@@ -1,0 +1,82 @@
+"""qwen3_rs_tpu — a TPU-native quantized-inference framework.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capability surface of
+reinterpretcat/qwen3-rs (HF→INT8-g64 exporter + Qwen3-family inference
+engine), designed TPU-first: batched jit-compiled prefill/decode, Pallas
+kernels for the quantized matmul and attention hot paths, and
+``jax.sharding`` tensor/data parallelism in place of the reference's
+single-CPU rayon loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+from .configuration import ModelConfig, read_config
+from .checkpoint import load_checkpoint
+from .export import export_model
+from .inference import Engine, Tokenizer, TokenSampler, chat, generate
+
+__version__ = "0.1.0"
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    """Capability parity with the reference public API
+    (qwen3-inference/src/lib.rs:24-106): same fields, same defaults
+    (temperature 1.0, top-p 0.9, chat mode, thinking off, seed=unix time)."""
+
+    checkpoint_path: str
+    temperature: float = 1.0
+    topp: float = 0.9
+    ctx_length: Optional[int] = None
+    mode: str = "chat"
+    prompt: Optional[str] = None
+    system_prompt: Optional[str] = None
+    enable_thinking: bool = False
+    seed: Optional[int] = None
+    # TPU-native extensions (no reference counterpart):
+    engine_mode: str = "fast"  # "fast" (W8A16 + Pallas) | "exact" (reference W8A8)
+    device_sampling: bool = False  # sample on device instead of host xorshift
+
+    def __post_init__(self):
+        if self.seed is None:
+            self.seed = int(time.time())
+
+
+def run_inference(config: InferenceConfig) -> None:
+    """Wire transformer + tokenizer + sampler and dispatch on mode
+    (qwen3-inference/src/lib.rs:109-138)."""
+    engine = Engine(
+        config.checkpoint_path, ctx_length=config.ctx_length, mode=config.engine_mode
+    )
+    tokenizer = Tokenizer(
+        config.checkpoint_path, engine.config.vocab_size, config.enable_thinking
+    )
+    sampler = TokenSampler(
+        config.temperature, config.topp, config.seed, device=config.device_sampling
+    )
+    if config.mode == "generate":
+        generate(engine, tokenizer, sampler, config.prompt)
+    elif config.mode == "chat":
+        chat(engine, tokenizer, sampler, config.prompt, config.system_prompt)
+    else:
+        raise ValueError(f"Unknown mode: {config.mode}")
+
+
+__all__ = [
+    "ModelConfig",
+    "InferenceConfig",
+    "read_config",
+    "load_checkpoint",
+    "export_model",
+    "run_inference",
+    "Engine",
+    "Tokenizer",
+    "TokenSampler",
+    "generate",
+    "chat",
+    "__version__",
+]

@@ -1,0 +1,235 @@
+"""Checkpoint I/O: TPU-native directory format + legacy single-file format.
+
+The reference's checkpoint system is a single streamed ``.bin``
+(qwen3-export/src/model_exporter.rs write side,
+qwen3-inference/src/models/qwen3.rs:199-277 read side).  The TPU-native
+format re-specifies the same contract as a directory of standard ``.npy``
+arrays **pre-stacked per component** on a leading ``[n_layers]`` axis — i.e.
+exactly the layout the model's ``lax.scan`` consumes and the layout that
+shards cleanly over a device mesh, with ``config.json`` carrying the header
+semantics (magic/version included).
+
+    <out>.qtpu/
+      config.json
+      tokenizer.bin               # same binary format as legacy .tokenizer
+      template[.with-*]           # same %s prompt templates as legacy
+      weights/
+        embed.q.npy [V, dim] i8      embed.s.npy [V, dim/g] f32
+        wq.q.npy [L, AH, dim] i8     wq.s.npy [L, AH, dim/g] f32
+        wk/wv.q.npy [L, KV, dim]     ...
+        wo.q.npy [L, dim, AH]        w1/w3.q.npy [L, H, dim]
+        w2.q.npy [L, dim, H]         lm_head.q/s.npy (absent when shared)
+        rms_att.npy [L, dim]         rms_ffn.npy [L, dim]
+        rms_final.npy [dim]          q_norm.npy [L, hd]   k_norm.npy [L, hd]
+
+Both flavors load into the same ``Qwen3Weights`` pytree; the legacy reader
+exists so checkpoints produced by the reference exporter work unchanged.
+"""
+
+from __future__ import annotations
+
+import mmap
+from pathlib import Path
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from .configuration import HEADER_SIZE, ModelConfig, read_config
+from .models.qwen3 import Qwen3LayerWeights, Qwen3Weights
+from .ops.quant import QuantizedTensor
+
+WEIGHTS_DIR = "weights"
+
+
+# --------------------------------------------------------------------- native
+class NativeCheckpointWriter:
+    """Streaming writer: tensors are appended one at a time (bounded memory,
+    like the reference's streaming quantizer, model_exporter.rs:235-316)
+    directly into memory-mapped .npy files."""
+
+    def __init__(self, path: str | Path, config: ModelConfig):
+        self.root = Path(path)
+        self.wdir = self.root / WEIGHTS_DIR
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        self.config = config
+        (self.root / "config.json").write_text(config.to_native_json())
+        self._open: dict[str, np.memmap] = {}
+
+    def _memmap(self, name: str, shape, dtype) -> np.memmap:
+        if name not in self._open:
+            self._open[name] = np.lib.format.open_memmap(
+                self.wdir / f"{name}.npy", mode="w+", dtype=dtype, shape=tuple(shape)
+            )
+        return self._open[name]
+
+    def write_norm(self, name: str, data: np.ndarray, layer_idx: int | None = None):
+        if layer_idx is None:
+            self._memmap(name, data.shape, np.float32)[...] = data
+        else:
+            mm = self._memmap(name, (self.config.n_layers, *data.shape), np.float32)
+            mm[layer_idx] = data
+
+    def write_quantized(
+        self,
+        name: str,
+        q: np.ndarray,
+        scales: np.ndarray,
+        layer_idx: int | None = None,
+    ):
+        if layer_idx is None:
+            self._memmap(f"{name}.q", q.shape, np.int8)[...] = q
+            self._memmap(f"{name}.s", scales.shape, np.float32)[...] = scales
+        else:
+            l = self.config.n_layers
+            self._memmap(f"{name}.q", (l, *q.shape), np.int8)[layer_idx] = q
+            self._memmap(f"{name}.s", (l, *scales.shape), np.float32)[layer_idx] = scales
+
+    def close(self):
+        for mm in self._open.values():
+            mm.flush()
+        self._open.clear()
+
+
+def _np_load(wdir: Path, name: str) -> np.ndarray:
+    return np.load(wdir / f"{name}.npy", mmap_mode="r")
+
+
+def _load_qt(wdir: Path, name: str) -> QuantizedTensor:
+    return QuantizedTensor(
+        jnp.asarray(_np_load(wdir, f"{name}.q")), jnp.asarray(_np_load(wdir, f"{name}.s"))
+    )
+
+
+def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
+    root = Path(path)
+    config = ModelConfig.from_native_json((root / "config.json").read_text())
+    wdir = root / WEIGHTS_DIR
+    embed = _load_qt(wdir, "embed")
+    layers = Qwen3LayerWeights(
+        rms_att=jnp.asarray(_np_load(wdir, "rms_att")),
+        rms_ffn=jnp.asarray(_np_load(wdir, "rms_ffn")),
+        q_norm=jnp.asarray(_np_load(wdir, "q_norm")),
+        k_norm=jnp.asarray(_np_load(wdir, "k_norm")),
+        wq=_load_qt(wdir, "wq"),
+        wk=_load_qt(wdir, "wk"),
+        wv=_load_qt(wdir, "wv"),
+        wo=_load_qt(wdir, "wo"),
+        w1=_load_qt(wdir, "w1"),
+        w2=_load_qt(wdir, "w2"),
+        w3=_load_qt(wdir, "w3"),
+    )
+    lm_head = embed if config.shared_classifier else _load_qt(wdir, "lm_head")
+    weights = Qwen3Weights(
+        embed=embed,
+        layers=layers,
+        rms_final=jnp.asarray(_np_load(wdir, "rms_final")),
+        lm_head=lm_head,
+    )
+    return config, weights
+
+
+# --------------------------------------------------------------------- legacy
+class _Cursor:
+    """Sequential zero-copy cursor over a memory-mapped legacy checkpoint —
+    counterpart of MemoryMapper (qwen3-inference/src/utils.rs:7-59)."""
+
+    def __init__(self, path: str | Path):
+        self._file = open(path, "rb")
+        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        self._buf = memoryview(self._mm)
+        self.offset = 0
+
+    def take(self, count: int, dtype) -> np.ndarray:
+        nbytes = count * np.dtype(dtype).itemsize
+        if self.offset + nbytes > len(self._buf):
+            raise ValueError(
+                f"Offset {self.offset} + size {nbytes} exceeds checkpoint size {len(self._buf)}"
+            )
+        arr = np.frombuffer(self._buf, dtype=dtype, count=count, offset=self.offset)
+        self.offset += nbytes
+        return arr
+
+    def skip(self, nbytes: int):
+        self.offset += nbytes
+
+    def close(self):
+        self._buf.release()
+        self._mm.close()
+        self._file.close()
+
+
+def _read_legacy_qt(cur: _Cursor, n_tensors: int, rows: int, cols: int, group_size: int):
+    """Read n_tensors consecutive (q, s) records (models/mod.rs:83-110) and
+    stack to ([n, rows, cols] i8, [n, rows, cols/g] f32)."""
+    qs, ss = [], []
+    for _ in range(n_tensors):
+        q = cur.take(rows * cols, np.int8).reshape(rows, cols)
+        s = cur.take(rows * cols // group_size, np.float32).reshape(rows, cols // group_size)
+        qs.append(q)
+        ss.append(s)
+    return np.stack(qs), np.stack(ss)
+
+
+def load_legacy(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
+    """Load a reference-format .bin checkpoint
+    (read order: models/qwen3.rs:199-277)."""
+    config = read_config(path)
+    cur = _Cursor(path)
+    try:
+        cur.skip(HEADER_SIZE)
+        l, d, hd = config.n_layers, config.dim, config.head_dim
+        ah, kv, h, v = config.all_heads_dim, config.kv_dim, config.hidden_dim, config.vocab_size
+        g = config.group_size
+
+        rms_att = cur.take(l * d, np.float32).reshape(l, d).copy()
+        rms_ffn = cur.take(l * d, np.float32).reshape(l, d).copy()
+        rms_final = cur.take(d, np.float32).copy()
+        q_norm = cur.take(l * hd, np.float32).reshape(l, hd).copy()
+        k_norm = cur.take(l * hd, np.float32).reshape(l, hd).copy()
+
+        emb_q, emb_s = _read_legacy_qt(cur, 1, v, d, g)
+        wq = _read_legacy_qt(cur, l, ah, d, g)
+        wk = _read_legacy_qt(cur, l, kv, d, g)
+        wv = _read_legacy_qt(cur, l, kv, d, g)
+        wo = _read_legacy_qt(cur, l, d, ah, g)
+        w1 = _read_legacy_qt(cur, l, h, d, g)
+        w2 = _read_legacy_qt(cur, l, d, h, g)
+        w3 = _read_legacy_qt(cur, l, h, d, g)
+        if config.shared_classifier:
+            cls_q, cls_s = emb_q, emb_s
+        else:
+            cls_q, cls_s = _read_legacy_qt(cur, 1, v, d, g)
+
+        embed = QuantizedTensor(jnp.asarray(emb_q[0]), jnp.asarray(emb_s[0]))
+        lm_head = (
+            embed
+            if config.shared_classifier
+            else QuantizedTensor(jnp.asarray(cls_q[0]), jnp.asarray(cls_s[0]))
+        )
+        layers = Qwen3LayerWeights(
+            rms_att=jnp.asarray(rms_att),
+            rms_ffn=jnp.asarray(rms_ffn),
+            q_norm=jnp.asarray(q_norm),
+            k_norm=jnp.asarray(k_norm),
+            wq=QuantizedTensor(jnp.asarray(wq[0]), jnp.asarray(wq[1])),
+            wk=QuantizedTensor(jnp.asarray(wk[0]), jnp.asarray(wk[1])),
+            wv=QuantizedTensor(jnp.asarray(wv[0]), jnp.asarray(wv[1])),
+            wo=QuantizedTensor(jnp.asarray(wo[0]), jnp.asarray(wo[1])),
+            w1=QuantizedTensor(jnp.asarray(w1[0]), jnp.asarray(w1[1])),
+            w2=QuantizedTensor(jnp.asarray(w2[0]), jnp.asarray(w2[1])),
+            w3=QuantizedTensor(jnp.asarray(w3[0]), jnp.asarray(w3[1])),
+        )
+        return config, Qwen3Weights(
+            embed=embed, layers=layers, rms_final=jnp.asarray(rms_final), lm_head=lm_head
+        )
+    finally:
+        cur.close()
+
+
+def load_checkpoint(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
+    """Load either checkpoint flavor (directory → native, file → legacy)."""
+    path = Path(path)
+    if path.is_dir():
+        return load_native(path)
+    return load_legacy(path)

@@ -1,0 +1,119 @@
+"""Command-line interface: ``export`` and ``inference`` subcommands.
+
+Capability parity with qwen3-cli/src/main.rs — same subcommands, same flags
+(short and long), same model-directory validation; plus TPU-native flags
+(--format, --engine-mode).  The reference's ``--context`` u32/usize clap
+panic (main.rs:72 vs :150, flagged in SURVEY §2.3) is deliberately not
+replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="qwen3-tpu",
+        description="TPU-native Qwen3 INT8 export and inference",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # export MODEL_PATH OUTPUT_PATH --group-size/-g (main.rs:10-33)
+    exp = sub.add_parser("export", help="Export HF model to quantized checkpoint")
+    exp.add_argument("model_path", help="Path to the HF model directory")
+    exp.add_argument("output_path", help="Output checkpoint path")
+    exp.add_argument(
+        "-g", "--group-size", type=int, default=64, help="Quantization group size (default 64)"
+    )
+    exp.add_argument(
+        "--format",
+        choices=["native", "legacy"],
+        default="native",
+        help="native = TPU checkpoint directory (default); legacy = reference .bin",
+    )
+
+    # inference checkpoint -t -p -s -c -m -i -y -r (main.rs:36-93)
+    inf = sub.add_parser("inference", help="Run inference on a checkpoint")
+    inf.add_argument("checkpoint", help="Checkpoint (native directory or legacy .bin)")
+    inf.add_argument("-t", "--temperature", type=float, default=1.0)
+    inf.add_argument("-p", "--topp", type=float, default=0.9, help="top-p (nucleus) threshold")
+    inf.add_argument("-s", "--seed", type=int, default=None)
+    inf.add_argument("-c", "--context", type=int, default=None, help="context window override")
+    inf.add_argument("-m", "--mode", choices=["generate", "chat"], default="chat")
+    inf.add_argument("-i", "--input", default=None, help="input prompt")
+    inf.add_argument("-y", "--system", default=None, help="system prompt (chat mode)")
+    inf.add_argument(
+        "-r",
+        "--reasoning",
+        type=int,
+        choices=[0, 1],
+        default=0,
+        help="reasoning mode: 0=no thinking, 1=thinking",
+    )
+    inf.add_argument(
+        "--engine-mode",
+        choices=["fast", "exact"],
+        default="fast",
+        help="fast = W8A16 + Pallas kernels; exact = reference-parity W8A8",
+    )
+    inf.add_argument(
+        "--device-sampling",
+        action="store_true",
+        help="sample on the TPU instead of the host xorshift sampler",
+    )
+    return parser
+
+
+def validate_export_dir(model_path: Path) -> None:
+    """Pre-export validation (main.rs:102-131)."""
+    if not model_path.is_dir():
+        raise SystemExit(f"Model path is not a directory: {model_path}")
+    required = ["config.json", "tokenizer.json"]
+    missing = [f for f in required if not (model_path / f).exists()]
+    if missing:
+        raise SystemExit(f"Model directory {model_path} is missing: {', '.join(missing)}")
+    if not list(model_path.glob("*.safetensors")):
+        raise SystemExit(f"No .safetensors files found in {model_path}")
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(message)s", stream=sys.stderr
+    )  # env_logger-equivalent bare formatting (main.rs:168-173)
+    args = build_parser().parse_args(argv)
+
+    if args.command == "export":
+        from .export import export_model
+
+        validate_export_dir(Path(args.model_path))
+        export_model(args.model_path, args.output_path, args.group_size, fmt=args.format)
+        return 0
+
+    if args.command == "inference":
+        from . import InferenceConfig, run_inference
+
+        config = InferenceConfig(
+            checkpoint_path=args.checkpoint,
+            temperature=args.temperature,
+            topp=args.topp,
+            ctx_length=args.context,
+            mode=args.mode,
+            prompt=args.input,
+            system_prompt=args.system,
+            enable_thinking=args.reasoning == 1,
+            seed=args.seed,
+            engine_mode=args.engine_mode,
+            device_sampling=args.device_sampling,
+        )
+        run_inference(config)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,224 @@
+"""Inference engine: jitted prefill/decode over a loaded checkpoint.
+
+The reference engine's shape is a mutable ``Transformer::forward(token, pos)``
+scalar loop (qwen3-inference/src/models/qwen3.rs:62-79).  The TPU-native
+engine instead compiles two pure functions over batched state:
+
+* ``prefill(tokens[B, S])`` — bucket-padded prompt windows, one MXU-saturating
+  pass (the reference feeds prompt tokens one at a time, generation.rs:26-29);
+* ``decode_step(token[B])`` — one token per request per step, KV cache donated
+  so XLA updates it in place.
+
+Sampling runs either through the reference-parity host sampler (same
+xorshift64* stream as the Rust engine) or fully on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import load_checkpoint
+from ..configuration import ModelConfig
+from ..models.qwen3 import KVCache, Qwen3Weights, init_kv_cache, qwen3_forward
+from ..ops.sampling import Sampler, sample_tokens_jax
+
+logger = logging.getLogger(__name__)
+
+PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
+class Engine:
+    """Loads a checkpoint and serves prefill/decode.
+
+    Parameters
+    ----------
+    checkpoint:
+        Path to a native checkpoint directory or a legacy ``.bin`` file.
+    ctx_length:
+        Optional context override, clamped to the checkpoint seq_len
+        (reference: models/mod.rs:65-67).
+    mode:
+        ``"fast"`` (W8A16, Pallas kernels — the production path) or
+        ``"exact"`` (W8A8 with reference-matching rounding, for parity).
+    cache_dtype:
+        KV cache dtype; f32 matches the reference, bf16 halves cache HBM.
+    """
+
+    def __init__(
+        self,
+        checkpoint: str | Path | None = None,
+        *,
+        config: ModelConfig | None = None,
+        weights: Qwen3Weights | None = None,
+        ctx_length: Optional[int] = None,
+        mode: str = "fast",
+        cache_dtype=jnp.float32,
+        batch_size: int = 1,
+    ):
+        if checkpoint is not None:
+            config, weights = load_checkpoint(checkpoint)
+        assert config is not None and weights is not None
+        self.config = config.with_seq_len(ctx_length).validate()
+        self.weights = weights
+        self.mode = mode
+        self.cache_dtype = cache_dtype
+        self.batch_size = batch_size
+
+        fwd = functools.partial(qwen3_forward, self.config, mode=mode)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill(weights, tokens, cache, pos_start, out_idx):
+            return fwd(weights, tokens, cache, pos_start, out_idx=out_idx)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _decode(weights, tokens, cache, pos_start):
+            return fwd(weights, tokens, cache, pos_start)
+
+        self._prefill = _prefill
+        self._decode = _decode
+        self._logits_all = jax.jit(
+            functools.partial(fwd, return_all_logits=True), donate_argnums=(2,)
+        )
+
+    # ------------------------------------------------------------------ api
+    def new_cache(self, batch_size: Optional[int] = None) -> KVCache:
+        return init_kv_cache(
+            self.config, batch_size or self.batch_size, dtype=self.cache_dtype
+        )
+
+    def prefill(
+        self, cache: KVCache, prompt_tokens: np.ndarray, pos_start: np.ndarray
+    ) -> tuple[jax.Array, KVCache]:
+        """Run a prompt window. prompt_tokens [B, S_real] is right-padded to
+        a bucket; returns logits [B, V] at each row's last real token."""
+        b, s_real = prompt_tokens.shape
+        # Pad to a compile bucket, but never beyond the cache window.
+        s_pad = max(s_real, min(_bucket(s_real), cache.seq_len))
+        padded = np.zeros((b, s_pad), np.int32)
+        padded[:, :s_real] = prompt_tokens
+        out_idx = np.full((b,), s_real - 1, np.int32)
+        logits, cache = self._prefill(
+            self.weights,
+            jnp.asarray(padded),
+            cache,
+            jnp.asarray(pos_start, jnp.int32).reshape(b),
+            jnp.asarray(out_idx),
+        )
+        return logits, cache
+
+    def decode_step(
+        self, cache: KVCache, tokens: jax.Array, pos: jax.Array
+    ) -> tuple[jax.Array, KVCache]:
+        """One decode step: tokens [B], pos [B] → logits [B, V]."""
+        b = tokens.shape[0]
+        return self._decode(
+            self.weights,
+            jnp.asarray(tokens, jnp.int32).reshape(b, 1),
+            cache,
+            jnp.asarray(pos, jnp.int32).reshape(b),
+        )
+
+    def all_logits(self, cache: KVCache, tokens, pos_start) -> tuple[jax.Array, KVCache]:
+        """Logits for every position (perplexity evaluation)."""
+        b, s = tokens.shape
+        return self._logits_all(
+            self.weights,
+            jnp.asarray(tokens, jnp.int32),
+            cache,
+            jnp.asarray(pos_start, jnp.int32).reshape(b),
+        )
+
+
+class TokenMetrics:
+    """tokens/sec + TTFT reporter (reference: generation.rs:198-233, which
+    reports only tokens/sec; TTFT is added per the TPU serving target)."""
+
+    def __init__(self):
+        self.start_time: Optional[float] = None
+        self.first_token_time: Optional[float] = None
+        self.prefill_start: Optional[float] = None
+        self.generated = 0
+
+    def start_prefill(self):
+        if self.prefill_start is None:
+            self.prefill_start = time.perf_counter()
+
+    def start_generation(self):
+        if self.start_time is None:
+            self.start_time = time.perf_counter()
+
+    def increment(self):
+        if self.first_token_time is None:
+            self.first_token_time = time.perf_counter()
+        self.generated += 1
+
+    def report_and_reset(self) -> Optional[dict]:
+        stats = None
+        if self.start_time is not None:
+            duration = time.perf_counter() - self.start_time
+            if self.generated > 0 and duration > 0:
+                stats = {
+                    "tokens": self.generated,
+                    "seconds": duration,
+                    "tokens_per_sec": self.generated / duration,
+                }
+                if self.prefill_start is not None and self.first_token_time is not None:
+                    stats["ttft_sec"] = self.first_token_time - self.prefill_start
+                logger.info(
+                    "[Generated %d tokens in %.2fs - %.2f tokens/sec]",
+                    stats["tokens"],
+                    stats["seconds"],
+                    stats["tokens_per_sec"],
+                )
+        self.__init__()
+        return stats
+
+
+class TokenSampler:
+    """Unified host/device sampling front-end for the generation loops."""
+
+    def __init__(self, temperature: float, topp: float, seed: int, device: bool = False):
+        self.temperature = temperature
+        self.topp = topp
+        self.device = device
+        self._host = Sampler(temperature, topp, seed)
+        self._key = jax.random.PRNGKey(seed)
+
+    def sample(self, logits: jax.Array) -> int:
+        """logits [1, V] or [V] → token id."""
+        logits = logits.reshape(-1)
+        if self.device:
+            self._key, sub = jax.random.split(self._key)
+            return int(
+                sample_tokens_jax(logits[None, :], sub, self.temperature, self.topp)[0]
+            )
+        return self._host.sample(np.asarray(logits))
+
+    def skip_draws(self, n: int):
+        """Advance the RNG stream by n discarded draws.  The reference's chat
+        loop samples once per fed prompt token and drops all but the last
+        result (generation.rs:116-123); each such sample consumes exactly one
+        coin when temperature > 0 (sampler.rs:116-136)."""
+        if self.temperature == 0.0 or n <= 0:
+            return
+        if self.device:
+            for _ in range(n):
+                self._key, _ = jax.random.split(self._key)
+        else:
+            for _ in range(n):
+                self._host.rng.random_f32()

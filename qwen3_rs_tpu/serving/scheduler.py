@@ -1,0 +1,264 @@
+"""Continuous batching scheduler over fixed decode slots.
+
+The reference serves exactly one interactive request at a time
+(SURVEY §2.4: no batching, no serving layer).  The TPU-native engine decodes
+a fixed-width batch of request *slots* every step and refills slots as
+requests finish — request-level continuous batching:
+
+* decode: one jitted step over all ``n_slots`` (per-slot positions; finished/
+  empty slots are masked out of cache writes and their logits ignored);
+* prefill: a new request runs through a batch-1 scratch cache (bucketed
+  prompt length) and its K/V window is inserted into the shared cache at its
+  slot with one small dynamic-slice copy — no full-batch recompute;
+* sampling: per-request host samplers (reference-parity xorshift streams,
+  per-request seeds) or a shared on-device sampler.
+
+Scheduling is FCFS admission; each scheduler ``step()`` admits at most one
+queued request (one prefill) and then advances every active slot by one
+decode token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import load_checkpoint
+from ..configuration import ModelConfig
+from ..models.qwen3 import KVCache, Qwen3Weights, init_kv_cache, qwen3_forward
+from ..ops.sampling import Sampler
+
+
+class RequestState(enum.Enum):
+    QUEUED = "queued"
+    ACTIVE = "active"
+    DONE = "done"
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_tokens: list[int]
+    max_new_tokens: int = 256
+    temperature: float = 0.0
+    topp: float = 0.9
+    seed: int = 0
+    eos_token_ids: tuple[int, ...] = ()
+    # Filled by the scheduler:
+    generated: list[int] = dataclasses.field(default_factory=list)
+    state: RequestState = RequestState.QUEUED
+    slot: Optional[int] = None
+    submit_time: float = 0.0
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+    finish_reason: Optional[str] = None
+    _sampler: Optional[Sampler] = None
+    _next_pos: int = 0
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.first_token_time is None:
+            return None
+        return self.first_token_time - self.submit_time
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over one shared KV cache."""
+
+    def __init__(
+        self,
+        checkpoint: str | Path | None = None,
+        *,
+        config: ModelConfig | None = None,
+        weights: Qwen3Weights | None = None,
+        n_slots: int = 8,
+        mode: str = "fast",
+        cache_dtype=jnp.bfloat16,
+        prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
+    ):
+        if checkpoint is not None:
+            config, weights = load_checkpoint(checkpoint)
+        assert config is not None and weights is not None
+        self.config = config.validate()
+        self.weights = weights
+        self.n_slots = n_slots
+        self.mode = mode
+        self.prefill_buckets = tuple(
+            b for b in prefill_buckets if b <= config.seq_len
+        ) or (config.seq_len,)
+
+        self.cache: KVCache = init_kv_cache(config, n_slots, dtype=cache_dtype)
+        self._scratch_cache: KVCache = init_kv_cache(config, 1, dtype=cache_dtype)
+
+        # Host-side slot bookkeeping.
+        self.slot_request: list[Optional[Request]] = [None] * n_slots
+        self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
+        self.slot_token = np.zeros(n_slots, np.int32)  # last sampled token
+        self.queue: list[Request] = []
+        self.completed: list[Request] = []
+        self._decode_steps = 0
+        self._decode_tokens = 0
+
+        fwd = functools.partial(qwen3_forward, self.config, mode=mode)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _decode(weights, tokens, cache, pos, active):
+            return fwd(weights, tokens, cache, pos, write_mask=active)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill1(weights, tokens, cache, out_idx):
+            return fwd(
+                weights, tokens, cache, jnp.zeros(1, jnp.int32), out_idx=out_idx
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+        def _insert(cache, scratch, s_len: int, slot):
+            def ins(big, small):
+                window = jax.lax.dynamic_slice_in_dim(small, 0, s_len, axis=2)
+                return jax.lax.dynamic_update_slice(
+                    big, window.astype(big.dtype), (0, slot, 0, 0, 0)
+                )
+
+            return KVCache(ins(cache.k, scratch.k), ins(cache.v, scratch.v))
+
+        self._decode = _decode
+        self._prefill1 = _prefill1
+        self._insert = _insert
+
+    # ------------------------------------------------------------------ api
+    def submit(self, request: Request) -> None:
+        request.submit_time = time.perf_counter()
+        request.state = RequestState.QUEUED
+        request._sampler = Sampler(request.temperature, request.topp, request.seed)
+        self.queue.append(request)
+
+    @property
+    def active_count(self) -> int:
+        return sum(r is not None for r in self.slot_request)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or self.active_count > 0
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prefill_buckets:
+            if n <= b:
+                return b
+        return self.prefill_buckets[-1]
+
+    def _free_slot(self) -> Optional[int]:
+        for i, r in enumerate(self.slot_request):
+            if r is None:
+                return i
+        return None
+
+    # ------------------------------------------------------------ scheduling
+    def step(self) -> list[tuple[Request, int]]:
+        """One scheduler iteration. Returns (request, token) pairs emitted."""
+        emitted: list[tuple[Request, int]] = []
+        self._admit_one(emitted)
+        if self.active_count:
+            self._decode_all(emitted)
+        return emitted
+
+    def run(self) -> list[Request]:
+        """Drain queue + slots to completion; returns completed requests."""
+        while self.has_work:
+            self.step()
+        return self.completed
+
+    def _admit_one(self, emitted) -> None:
+        slot = self._free_slot()
+        if slot is None or not self.queue:
+            return
+        req = self.queue.pop(0)
+        prompt = req.prompt_tokens[: self.config.seq_len - 1]
+        s_real = max(len(prompt), 1)
+        s_pad = max(s_real, min(self._bucket(s_real), self.config.seq_len))
+        padded = np.zeros((1, s_pad), np.int32)
+        padded[0, :s_real] = prompt
+
+        logits, self._scratch_cache = self._prefill1(
+            self.weights,
+            jnp.asarray(padded),
+            self._scratch_cache,
+            jnp.asarray([s_real - 1], jnp.int32),
+        )
+        self.cache = self._insert(self.cache, self._scratch_cache, s_pad, slot)
+
+        first = req._sampler.sample(np.asarray(logits)[0])
+        req.first_token_time = time.perf_counter()
+        req.state = RequestState.ACTIVE
+        req.slot = slot
+        req._next_pos = s_real
+        self.slot_request[slot] = req
+        self.slot_pos[slot] = s_real
+        self.slot_token[slot] = first
+        self._emit(req, first, emitted)
+
+    def _decode_all(self, emitted) -> None:
+        active = np.array([r is not None for r in self.slot_request])
+        logits, self.cache = self._decode(
+            self.weights,
+            jnp.asarray(self.slot_token[:, None]),
+            self.cache,
+            jnp.asarray(self.slot_pos),
+            jnp.asarray(active),
+        )
+        logits_np = np.asarray(logits)
+        self._decode_steps += 1
+        for slot, req in enumerate(self.slot_request):
+            if req is None:
+                continue
+            self._decode_tokens += 1
+            self.slot_pos[slot] += 1
+            if self.slot_pos[slot] >= self.config.seq_len:
+                self._finish(req, "length")
+                continue
+            token = req._sampler.sample(logits_np[slot])
+            self.slot_token[slot] = token
+            self._emit(req, token, emitted)
+
+    def _emit(self, req: Request, token: int, emitted) -> None:
+        if token in req.eos_token_ids:
+            self._finish(req, "stop")
+            return
+        req.generated.append(token)
+        emitted.append((req, token))
+        if len(req.generated) >= req.max_new_tokens:
+            self._finish(req, "length")
+
+    def _finish(self, req: Request, reason: str) -> None:
+        req.state = RequestState.DONE
+        req.finish_time = time.perf_counter()
+        req.finish_reason = reason
+        if req.slot is not None:
+            self.slot_request[req.slot] = None
+            self.slot_pos[req.slot] = 0
+            self.slot_token[req.slot] = 0
+            req.slot = None
+        self.completed.append(req)
+
+    # -------------------------------------------------------------- metrics
+    def stats(self) -> dict:
+        done = [r for r in self.completed if r.finish_time]
+        ttfts = sorted(r.ttft for r in done if r.ttft is not None)
+        return {
+            "completed": len(done),
+            "decode_steps": self._decode_steps,
+            "decode_tokens": self._decode_tokens,
+            "p50_ttft": ttfts[len(ttfts) // 2] if ttfts else None,
+            "slot_utilization": (
+                self._decode_tokens / (self._decode_steps * self.n_slots)
+                if self._decode_steps
+                else 0.0
+            ),
+        }

@@ -1,0 +1,152 @@
+"""Engine + generation-loop e2e tests on a synthetic exported checkpoint."""
+
+import io
+
+import numpy as np
+import pytest
+
+from utils import make_hf_model_dir
+
+from qwen3_rs_tpu import InferenceConfig, run_inference
+from qwen3_rs_tpu.inference import Engine, Tokenizer, TokenSampler, chat, generate
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("engine")
+    model_dir = make_hf_model_dir(tmp, rng=np.random.default_rng(9))
+    out = tmp / "m.qtpu"
+    from qwen3_rs_tpu.export import export_model
+
+    export_model(model_dir, out, group_size=16, fmt="native")
+    legacy = tmp / "m.bin"
+    export_model(model_dir, legacy, group_size=16, fmt="legacy")
+    return out, legacy
+
+
+@pytest.fixture(scope="module")
+def engine(ckpt):
+    return Engine(ckpt[0], mode="exact")
+
+
+@pytest.fixture(scope="module")
+def tokenizer(ckpt, engine):
+    return Tokenizer(ckpt[0], engine.config.vocab_size)
+
+
+class TestEngine:
+    def test_config_loaded(self, engine):
+        assert engine.config.group_size == 16
+        assert engine.config.shared_classifier
+
+    def test_legacy_checkpoint_loads_same(self, ckpt, engine):
+        legacy_engine = Engine(ckpt[1], mode="exact")
+        assert legacy_engine.config == engine.config
+        cache_a = engine.new_cache(1)
+        cache_b = legacy_engine.new_cache(1)
+        toks = np.array([[3, 7, 11]], np.int32)
+        la, _ = engine.prefill(cache_a, toks, np.zeros(1, np.int32))
+        lb, _ = legacy_engine.prefill(cache_b, toks, np.zeros(1, np.int32))
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
+    def test_ctx_length_clamp(self, ckpt):
+        e = Engine(ckpt[0], ctx_length=16)
+        assert e.config.seq_len == 16
+        e2 = Engine(ckpt[0], ctx_length=10**6)
+        assert e2.config.seq_len == 64  # unchanged
+
+    def test_decode_after_prefill_consistent(self, engine):
+        """Bucketed prefill then decode must equal a longer prefill."""
+        toks = [3, 7, 11, 2]
+        cache = engine.new_cache(1)
+        logits, cache = engine.prefill(cache, np.array([toks], np.int32), np.zeros(1, np.int32))
+        nxt = 5
+        logits_d, _ = engine.decode_step(cache, np.array([nxt]), np.array([len(toks)]))
+
+        cache2 = engine.new_cache(1)
+        logits_p, _ = engine.prefill(
+            cache2, np.array([toks + [nxt]], np.int32), np.zeros(1, np.int32)
+        )
+        np.testing.assert_allclose(np.asarray(logits_d), np.asarray(logits_p), rtol=2e-4, atol=2e-4)
+
+
+class TestGenerate:
+    def test_greedy_deterministic(self, engine, tokenizer):
+        s1 = TokenSampler(0.0, 0.9, 1)
+        s2 = TokenSampler(0.0, 0.9, 2)  # seed irrelevant at temp 0
+        out1 = io.StringIO()
+        out2 = io.StringIO()
+        g1 = generate(engine, tokenizer, s1, "hello world", out=out1)
+        g2 = generate(engine, tokenizer, s2, "hello world", out=out2)
+        assert g1 == g2
+        assert out1.getvalue() == out2.getvalue()
+        assert out1.getvalue().startswith("hello world")
+
+    def test_seeded_sampling_deterministic(self, engine, tokenizer):
+        g1 = generate(engine, tokenizer, TokenSampler(0.8, 0.9, 42), "hi", out=io.StringIO())
+        g2 = generate(engine, tokenizer, TokenSampler(0.8, 0.9, 42), "hi", out=io.StringIO())
+        assert g1 == g2
+
+    def test_empty_prompt_rejected(self, engine, tokenizer):
+        with pytest.raises(ValueError, match="Please provide a prompt"):
+            generate(engine, tokenizer, TokenSampler(0.0, 0.9, 1), "", out=io.StringIO())
+
+    def test_respects_seq_len(self, ckpt, tokenizer):
+        e = Engine(ckpt[0], ctx_length=12, mode="exact")
+        out = io.StringIO()
+        g = generate(e, tokenizer, TokenSampler(0.0, 0.9, 1), "hello", out=out)
+        # ≤ seq_len total positions.
+        assert len(g) <= 12
+
+    def test_fast_mode_runs(self, ckpt, tokenizer):
+        e = Engine(ckpt[0], mode="fast")
+        g = generate(e, tokenizer, TokenSampler(0.0, 0.9, 1), "hello", out=io.StringIO())
+        assert isinstance(g, list)
+
+
+class TestChat:
+    def test_single_shot_cli_prompt(self, engine, tokenizer):
+        out = io.StringIO()
+        chat(engine, tokenizer, TokenSampler(0.0, 0.9, 1), cli_user_prompt="hello", out=out)
+        # Loop exits after the single CLI prompt is consumed.
+
+    def test_system_prompt_renders(self, engine, tokenizer):
+        from qwen3_rs_tpu.inference.generation import render_prompt
+
+        r = render_prompt(0, "be nice", "hi", tokenizer)
+        # Reference quirk: every %s gets "system\nuser" (generation.rs:188-195).
+        assert "be nice\nhi" in r
+        r2 = render_prompt(5, "be nice", "hi", tokenizer)
+        assert r2 == tokenizer.prompt_template.replace("%s", "hi")
+
+    def test_interactive_turns(self, engine, tokenizer):
+        inputs = iter(["hello", ""])
+        out = io.StringIO()
+        chat(
+            engine,
+            tokenizer,
+            TokenSampler(0.0, 0.9, 1),
+            out=out,
+            input_fn=lambda: next(inputs),
+        )
+
+
+class TestRunInference:
+    def test_generate_mode(self, ckpt, capsys):
+        run_inference(
+            InferenceConfig(
+                checkpoint_path=str(ckpt[0]),
+                mode="generate",
+                prompt="hello",
+                temperature=0.0,
+                seed=1,
+                engine_mode="exact",
+            )
+        )
+        assert "hello" in capsys.readouterr().out
+
+    def test_unknown_mode(self, ckpt):
+        with pytest.raises(ValueError, match="Unknown mode"):
+            run_inference(
+                InferenceConfig(checkpoint_path=str(ckpt[0]), mode="nope", seed=1)
+            )

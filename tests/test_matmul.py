@@ -1,0 +1,85 @@
+"""Grouped quantized matmul tests: exact path vs the numpy reference engine,
+fast path vs dense dequantized matmul."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ref_engine import matmul as ref_matmul, quantize_act as ref_quantize_act
+from qwen3_rs_tpu.ops.matmul import dequant_weights_T, qmatmul, qmatmul_exact
+from qwen3_rs_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize_np,
+    quantize_activations,
+    quantize_weights_np,
+)
+
+
+def _random_qw(rng, d, n, gs):
+    w = rng.normal(0, 0.3, (d, n)).astype(np.float32)
+    q, s, _ = quantize_weights_np(w, gs)
+    return QuantizedTensor(jnp.asarray(q), jnp.asarray(s)), (q, s)
+
+
+def test_exact_matches_reference(rng):
+    n, d, gs = 128, 96, 32
+    wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
+    x = rng.normal(0, 1, n).astype(np.float32)
+    xq_ref, xs_ref = ref_quantize_act(x, gs)
+    expected = ref_matmul(xq_ref, xs_ref, q_np, s_np, n, d, gs)
+
+    xq = quantize_activations(jnp.asarray(x)[None, :], gs)
+    out = np.asarray(qmatmul_exact(xq, wq))[0]
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_exact_batched(rng):
+    n, d, gs, b = 64, 32, 16, 5
+    wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
+    x = rng.normal(0, 1, (b, n)).astype(np.float32)
+    xq = quantize_activations(jnp.asarray(x), gs)
+    out = np.asarray(qmatmul_exact(xq, wq))
+    for i in range(b):
+        xq_ref, xs_ref = ref_quantize_act(x[i], gs)
+        expected = ref_matmul(xq_ref, xs_ref, q_np, s_np, n, d, gs)
+        np.testing.assert_allclose(out[i], expected, rtol=1e-5, atol=1e-5)
+
+
+def test_exact_multidim_batch(rng):
+    n, d, gs = 64, 32, 16
+    wq, _ = _random_qw(rng, d, n, gs)
+    x = rng.normal(0, 1, (2, 3, n)).astype(np.float32)
+    xq = quantize_activations(jnp.asarray(x), gs)
+    out = np.asarray(qmatmul_exact(xq, wq))
+    assert out.shape == (2, 3, d)
+    flat = np.asarray(
+        qmatmul_exact(quantize_activations(jnp.asarray(x.reshape(6, n)), gs), wq)
+    )
+    np.testing.assert_allclose(out.reshape(6, d), flat, rtol=1e-6)
+
+
+def test_fast_matches_dense(rng):
+    n, d, gs = 256, 128, 64
+    wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
+    x = rng.normal(0, 1, (4, n)).astype(np.float32)
+    dense = dequantize_np(q_np, s_np)
+    expected = x @ dense.T
+    out = np.asarray(qmatmul(jnp.asarray(x), wq, use_pallas=False))
+    np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-2)
+
+
+def test_dequant_weights_T(rng):
+    n, d, gs = 64, 32, 16
+    wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
+    dense_t = np.asarray(dequant_weights_T(wq, jnp.float32))
+    np.testing.assert_allclose(dense_t, dequantize_np(q_np, s_np).T, rtol=1e-6)
+
+
+def test_pallas_interpret_matches_fast(rng):
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas
+
+    n, d, gs = 256, 128, 64
+    wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
+    x = rng.normal(0, 1, (4, n)).astype(np.float32)
+    expected = x @ dequantize_np(q_np, s_np).T
+    out = np.asarray(qmatmul_pallas(jnp.asarray(x), wq, interpret=True))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,223 @@
+"""End-to-end model parity: the jitted JAX forward in ``exact`` mode vs the
+numpy reference engine (a 1:1 translation of the Rust semantics), token by
+token through a KV-cached autoregressive run."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ref_engine import RefQwen3
+from utils import TINY_CONFIG
+
+from qwen3_rs_tpu.models.qwen3 import (
+    Qwen3LayerWeights,
+    Qwen3Weights,
+    init_kv_cache,
+    qwen3_forward,
+)
+from qwen3_rs_tpu.ops.quant import QuantizedTensor, quantize_weights_np
+
+
+def make_weights(config, rng, scale=0.08):
+    """Random quantized weights in both numpy-dict and pytree forms."""
+    c = config
+    g = c.group_size
+
+    def qw(*shape):
+        w = rng.normal(0, scale, shape).astype(np.float32)
+        q, s, _ = quantize_weights_np(w, g)
+        return q, s
+
+    def norm(*shape):
+        return rng.normal(1, 0.05, shape).astype(np.float32)
+
+    np_w = {}
+    np_w["embed.q"], np_w["embed.s"] = qw(c.vocab_size, c.dim)
+    np_w["rms_att"] = norm(c.n_layers, c.dim)
+    np_w["rms_ffn"] = norm(c.n_layers, c.dim)
+    np_w["rms_final"] = norm(c.dim)
+    np_w["q_norm"] = norm(c.n_layers, c.head_dim)
+    np_w["k_norm"] = norm(c.n_layers, c.head_dim)
+    for name, shape in [
+        ("wq", (c.n_layers, c.all_heads_dim, c.dim)),
+        ("wk", (c.n_layers, c.kv_dim, c.dim)),
+        ("wv", (c.n_layers, c.kv_dim, c.dim)),
+        ("wo", (c.n_layers, c.dim, c.all_heads_dim)),
+        ("w1", (c.n_layers, c.hidden_dim, c.dim)),
+        ("w2", (c.n_layers, c.dim, c.hidden_dim)),
+        ("w3", (c.n_layers, c.hidden_dim, c.dim)),
+    ]:
+        np_w[f"{name}.q"], np_w[f"{name}.s"] = qw(*shape)
+    np_w["lm_head.q"], np_w["lm_head.s"] = np_w["embed.q"], np_w["embed.s"]
+
+    def qt(name):
+        return QuantizedTensor(jnp.asarray(np_w[f"{name}.q"]), jnp.asarray(np_w[f"{name}.s"]))
+
+    weights = Qwen3Weights(
+        embed=qt("embed"),
+        layers=Qwen3LayerWeights(
+            rms_att=jnp.asarray(np_w["rms_att"]),
+            rms_ffn=jnp.asarray(np_w["rms_ffn"]),
+            q_norm=jnp.asarray(np_w["q_norm"]),
+            k_norm=jnp.asarray(np_w["k_norm"]),
+            wq=qt("wq"),
+            wk=qt("wk"),
+            wv=qt("wv"),
+            wo=qt("wo"),
+            w1=qt("w1"),
+            w2=qt("w2"),
+            w3=qt("w3"),
+        ),
+        rms_final=jnp.asarray(np_w["rms_final"]),
+        lm_head=qt("lm_head"),
+    )
+    return np_w, weights
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    rng = np.random.default_rng(7)
+    config = TINY_CONFIG
+    np_w, weights = make_weights(config, rng)
+    return config, np_w, weights
+
+
+def test_decode_parity_over_sequence(parity_setup):
+    """Feed the same token sequence one position at a time; logits must track
+    the reference within f32 reordering noise and greedy argmax must agree."""
+    config, np_w, weights = parity_setup
+    ref = RefQwen3(config, np_w)
+    cache = init_kv_cache(config, 1)
+
+    tokens = [3, 17, 42, 5, 88, 1, 64, 30]
+    for pos, tok in enumerate(tokens):
+        ref_logits = ref.forward(tok, pos)
+        logits, cache = qwen3_forward(
+            config,
+            weights,
+            jnp.asarray([[tok]], jnp.int32),
+            cache,
+            jnp.asarray([pos], jnp.int32),
+            mode="exact",
+        )
+        got = np.asarray(logits)[0]
+        np.testing.assert_allclose(got, ref_logits, rtol=2e-4, atol=2e-4)
+        assert int(np.argmax(got)) == int(np.argmax(ref_logits))
+
+
+def test_prefill_matches_decode(parity_setup):
+    """One batched prefill call must equal the token-by-token decode path."""
+    config, _, weights = parity_setup
+    tokens = [3, 17, 42, 5, 88]
+
+    cache_a = init_kv_cache(config, 1)
+    logits_prefill, cache_a = qwen3_forward(
+        config,
+        weights,
+        jnp.asarray([tokens], jnp.int32),
+        cache_a,
+        jnp.zeros(1, jnp.int32),
+        mode="exact",
+    )
+
+    cache_b = init_kv_cache(config, 1)
+    for pos, tok in enumerate(tokens):
+        logits_decode, cache_b = qwen3_forward(
+            config,
+            weights,
+            jnp.asarray([[tok]], jnp.int32),
+            cache_b,
+            jnp.asarray([pos], jnp.int32),
+            mode="exact",
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits_prefill), np.asarray(logits_decode), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_a.k), np.asarray(cache_b.k), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fast_mode_tracks_exact(parity_setup):
+    """W8A16 fast mode differs only by activation-quant noise."""
+    config, _, weights = parity_setup
+    tokens = [3, 17, 42, 5]
+    for mode in ["exact", "fast"]:
+        cache = init_kv_cache(config, 1)
+        logits, cache = qwen3_forward(
+            config,
+            weights,
+            jnp.asarray([tokens], jnp.int32),
+            cache,
+            jnp.zeros(1, jnp.int32),
+            mode=mode,
+        )
+        if mode == "exact":
+            exact = np.asarray(logits)
+        else:
+            fast = np.asarray(logits)
+    # bf16 activations: tolerances scale with logit magnitude.
+    np.testing.assert_allclose(fast, exact, rtol=0.1, atol=0.15)
+    assert int(np.argmax(fast)) == int(np.argmax(exact))
+
+
+def test_batched_requests_independent(parity_setup):
+    """Two requests in one batch must match two single-request runs."""
+    config, _, weights = parity_setup
+    t1 = [3, 17, 42]
+    t2 = [9, 2, 55]
+
+    cache = init_kv_cache(config, 2)
+    logits, _ = qwen3_forward(
+        config,
+        weights,
+        jnp.asarray([t1, t2], jnp.int32),
+        cache,
+        jnp.zeros(2, jnp.int32),
+        mode="exact",
+    )
+    for i, toks in enumerate([t1, t2]):
+        cache_i = init_kv_cache(config, 1)
+        solo, _ = qwen3_forward(
+            config,
+            weights,
+            jnp.asarray([toks], jnp.int32),
+            cache_i,
+            jnp.zeros(1, jnp.int32),
+            mode="exact",
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits)[i], np.asarray(solo)[0], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_out_idx_selects_row(parity_setup):
+    """Padded prefill with out_idx must match unpadded prefill."""
+    config, _, weights = parity_setup
+    tokens = [3, 17, 42, 5, 88]
+    padded = tokens + [0, 0, 0]
+
+    cache_a = init_kv_cache(config, 1)
+    logits_a, _ = qwen3_forward(
+        config,
+        weights,
+        jnp.asarray([tokens], jnp.int32),
+        cache_a,
+        jnp.zeros(1, jnp.int32),
+        mode="exact",
+    )
+    cache_b = init_kv_cache(config, 1)
+    logits_b, _ = qwen3_forward(
+        config,
+        weights,
+        jnp.asarray([padded], jnp.int32),
+        cache_b,
+        jnp.zeros(1, jnp.int32),
+        mode="exact",
+        out_idx=jnp.asarray([len(tokens) - 1], jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(logits_b), rtol=1e-5, atol=1e-5
+    )

@@ -1,0 +1,106 @@
+"""RMSNorm / RoPE / attention / softmax parity vs the numpy reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import ref_engine
+from qwen3_rs_tpu.ops.attention import gqa_attention_xla
+from qwen3_rs_tpu.ops.norms import rms_norm
+from qwen3_rs_tpu.ops.rope import apply_rope, rope_table
+
+
+def test_rms_norm_matches_reference(rng):
+    x = rng.normal(0, 1, 64).astype(np.float32)
+    w = rng.normal(1, 0.1, 64).astype(np.float32)
+    expected = ref_engine.rms_norm(x, w)
+    out = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_rms_norm_eps_inside_mean():
+    # ε must be added to mean(x²), not to the sum (layers.rs:114).
+    x = np.full(4, 1e-4, np.float32)
+    w = np.ones(4, np.float32)
+    expected = ref_engine.rms_norm(x, w)
+    out = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_rope_matches_reference(rng):
+    head_dim = 32
+    for pos in [0, 1, 7, 100]:
+        v = rng.normal(0, 1, head_dim).astype(np.float32)
+        expected = ref_engine.rope_apply(v, pos)
+        cos, sin = rope_table(128, head_dim, 1e6)
+        out = np.asarray(apply_rope(jnp.asarray(v)[None, :], cos[pos], sin[pos]))[0]
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_rope_preserves_norm(rng):
+    v = rng.normal(0, 1, (2, 3, 4, 64)).astype(np.float32)
+    cos, sin = rope_table(16, 64)
+    out = np.asarray(apply_rope(jnp.asarray(v), cos[5], sin[5]))
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), np.linalg.norm(v, axis=-1), rtol=1e-5
+    )
+
+
+def test_attention_matches_reference_loop(rng):
+    b, t, n_heads, n_kv, hd = 1, 8, 4, 2, 16
+    kv_mul = n_heads // n_kv
+    q = rng.normal(0, 1, (b, 1, n_heads, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    pos = 5  # only t <= 5 participates
+
+    out = np.asarray(
+        gqa_attention_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.full((b, 1), pos, jnp.int32)
+        )
+    )
+
+    scale = 1.0 / np.sqrt(hd)
+    for h in range(n_heads):
+        kvh = h // kv_mul
+        scores = (k[0, : pos + 1, kvh] @ q[0, 0, h]) * scale
+        att = ref_engine.softmax(scores)
+        expected = att @ v[0, : pos + 1, kvh]
+        np.testing.assert_allclose(out[0, 0, h], expected, rtol=1e-5, atol=1e-5)
+
+
+def test_attention_causal_mask(rng):
+    """Changing future cache entries must not change outputs."""
+    b, t, n_heads, n_kv, hd = 2, 16, 4, 4, 8
+    q = rng.normal(0, 1, (b, 1, n_heads, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    pos = np.array([[3], [7]], np.int32)
+    out1 = np.asarray(gqa_attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos)))
+    k2, v2 = k.copy(), v.copy()
+    k2[0, 4:] = 99.0
+    v2[0, 4:] = -99.0
+    k2[1, 8:] = 99.0
+    v2[1, 8:] = -99.0
+    out2 = np.asarray(gqa_attention_xla(jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2), jnp.asarray(pos)))
+    np.testing.assert_allclose(out1, out2, rtol=1e-6)
+
+
+def test_attention_prefill_window(rng):
+    """Multi-row query window attends causally within the window."""
+    b, t, n_heads, n_kv, hd, s = 1, 8, 2, 1, 8, 4
+    q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    q_pos = np.arange(s, dtype=np.int32)[None, :]
+    out = np.asarray(gqa_attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(q_pos)))
+    # Row i must equal a decode call at pos=i.
+    for i in range(s):
+        row = np.asarray(
+            gqa_attention_xla(
+                jnp.asarray(q[:, i : i + 1]),
+                jnp.asarray(k),
+                jnp.asarray(v),
+                jnp.full((b, 1), i, jnp.int32),
+            )
+        )
+        np.testing.assert_allclose(out[:, i : i + 1], row, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,136 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: TP/DP-sharded
+prefill+decode must reproduce single-device results exactly (same math, just
+distributed)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from test_model_parity import make_weights
+from utils import TINY_CONFIG
+
+from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
+from qwen3_rs_tpu.parallel.mesh import DP_AXIS, TP_AXIS, create_mesh
+from qwen3_rs_tpu.parallel.sharding import (
+    cache_pspecs,
+    shard_cache,
+    shard_weights,
+    validate_tp,
+    weight_pspecs,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(21)
+    config = TINY_CONFIG  # n_heads=4, n_kv=2, hidden=128, dim=64, g=16
+    _, weights = make_weights(config, rng)
+    return config, weights
+
+
+def _run(config, weights, cache, tokens, pos):
+    return qwen3_forward(config, weights, tokens, cache, pos, mode="fast")
+
+
+class TestMesh:
+    def test_create_shapes(self):
+        mesh = create_mesh(tp=4, dp=2)
+        assert mesh.shape == {DP_AXIS: 2, TP_AXIS: 4}
+
+    def test_default_all_tp(self):
+        mesh = create_mesh()
+        assert mesh.shape[TP_AXIS] == 8
+        assert mesh.shape[DP_AXIS] == 1
+
+    def test_bad_factorization(self):
+        with pytest.raises(ValueError):
+            create_mesh(tp=3, dp=2)
+
+
+class TestValidateTp:
+    def test_ok(self):
+        validate_tp(TINY_CONFIG, 2)
+
+    def test_bad_heads(self):
+        with pytest.raises(ValueError):
+            validate_tp(TINY_CONFIG, 3)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (1, 1), (2, 1)])
+def test_sharded_matches_single_device(setup, dp, tp):
+    config, weights = setup
+    batch = 2 * max(dp, 1)
+    tokens = np.arange(batch * 4, dtype=np.int32).reshape(batch, 4) % config.vocab_size
+    pos0 = np.zeros(batch, np.int32)
+
+    # Single-device baseline.
+    cache0 = init_kv_cache(config, batch)
+    base_logits, base_cache = _run(
+        config, weights, cache0, jnp.asarray(tokens), jnp.asarray(pos0)
+    )
+
+    mesh = create_mesh(tp=tp, dp=dp, devices=jax.devices()[: dp * tp])
+    w_sharded = shard_weights(weights, mesh, config)
+    cache = shard_cache(init_kv_cache(config, batch), mesh)
+    data_sharding = NamedSharding(mesh, P(DP_AXIS, None))
+
+    step = jax.jit(
+        functools.partial(qwen3_forward, config, mode="fast"),
+        in_shardings=(
+            jax.tree.map(lambda s: NamedSharding(mesh, s), weight_pspecs(config)),
+            data_sharding,
+            jax.tree.map(lambda s: NamedSharding(mesh, s), cache_pspecs()),
+            NamedSharding(mesh, P(DP_AXIS)),
+        ),
+    )
+    logits, new_cache = step(
+        w_sharded,
+        jax.device_put(jnp.asarray(tokens), data_sharding),
+        cache,
+        jax.device_put(jnp.asarray(pos0), NamedSharding(mesh, P(DP_AXIS))),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(base_logits), rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_cache.k), np.asarray(base_cache.k), rtol=1e-4, atol=1e-4
+    )
+
+    # Decode step on the sharded cache.
+    next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+    pos1 = jnp.full(batch, 4, jnp.int32)
+    logits2, _ = step(
+        w_sharded,
+        jax.device_put(next_tok, data_sharding),
+        new_cache,
+        jax.device_put(pos1, NamedSharding(mesh, P(DP_AXIS))),
+    )
+    base_logits2, _ = _run(config, weights, base_cache, next_tok, pos1)
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(base_logits2), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_tiny():
+    import os
+
+    os.environ["GRAFT_ENTRY_LAYERS"] = "2"
+    try:
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        logits, cache = jax.jit(fn)(*args)
+        assert logits.shape[0] == 1
+        assert np.isfinite(np.asarray(logits)).all()
+    finally:
+        del os.environ["GRAFT_ENTRY_LAYERS"]

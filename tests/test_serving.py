@@ -1,0 +1,158 @@
+"""Continuous batching scheduler tests."""
+
+import numpy as np
+import pytest
+
+from test_model_parity import make_weights
+from utils import TINY_CONFIG
+
+from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
+from qwen3_rs_tpu.serving import ContinuousBatchingEngine, Request, RequestState
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(33)
+    config = TINY_CONFIG
+    _, weights = make_weights(config, rng)
+    return config, weights
+
+
+@pytest.fixture
+def engine(setup):
+    config, weights = setup
+    return ContinuousBatchingEngine(
+        config=config, weights=weights, n_slots=4, mode="fast",
+        prefill_buckets=(8, 16, 32),
+    )
+
+
+def _greedy_single(config, weights, prompt, n_tokens):
+    """Single-request greedy baseline using the raw model functions."""
+    import jax.numpy as jnp
+
+    cache = init_kv_cache(config, 1, dtype=jnp.bfloat16)
+    logits, cache = qwen3_forward(
+        config,
+        weights,
+        jnp.asarray([prompt], jnp.int32),
+        cache,
+        jnp.zeros(1, jnp.int32),
+        mode="fast",
+    )
+    out = []
+    pos = len(prompt)
+    for _ in range(n_tokens):
+        token = int(np.argmax(np.asarray(logits)[0]))
+        out.append(token)
+        logits, cache = qwen3_forward(
+            config,
+            weights,
+            jnp.asarray([[token]], jnp.int32),
+            cache,
+            jnp.asarray([pos], jnp.int32),
+            mode="fast",
+        )
+        pos += 1
+    return out
+
+
+class TestScheduler:
+    def test_single_request_matches_unbatched(self, setup, engine):
+        config, weights = setup
+        prompt = [3, 17, 42, 5]
+        n = 6
+        req = Request(request_id=0, prompt_tokens=prompt, max_new_tokens=n)
+        engine.submit(req)
+        done = engine.run()
+        assert len(done) == 1
+        assert done[0].state == RequestState.DONE
+        expected = _greedy_single(config, weights, prompt, n)
+        assert done[0].generated == expected
+
+    def test_concurrent_requests_all_complete(self, engine):
+        rng = np.random.default_rng(1)
+        reqs = [
+            Request(
+                request_id=i,
+                prompt_tokens=list(rng.integers(0, 90, rng.integers(2, 10))),
+                max_new_tokens=5,
+            )
+            for i in range(7)  # more requests than slots
+        ]
+        for r in reqs:
+            engine.submit(r)
+        done = engine.run()
+        assert len(done) == 7
+        assert all(len(r.generated) == 5 for r in done)
+        assert all(r.finish_reason == "length" for r in done)
+
+    def test_interleaved_matches_solo(self, setup, engine):
+        """Requests decoded concurrently must produce the same tokens as if
+        run alone — slot isolation."""
+        config, weights = setup
+        prompts = [[3, 17, 42], [9, 2, 55, 8], [1, 64]]
+        n = 4
+        for i, p in enumerate(prompts):
+            engine.submit(Request(request_id=i, prompt_tokens=p, max_new_tokens=n))
+        done = {r.request_id: r for r in engine.run()}
+        for i, p in enumerate(prompts):
+            expected = _greedy_single(config, weights, p, n)
+            assert done[i].generated == expected, f"request {i}"
+
+    def test_slot_reuse_after_finish(self, setup):
+        config, weights = setup
+        engine = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=1, mode="fast",
+            prefill_buckets=(8,),
+        )
+        for i in range(3):
+            engine.submit(Request(request_id=i, prompt_tokens=[5, i + 1], max_new_tokens=3))
+        done = engine.run()
+        assert len(done) == 3
+        # With one slot, requests are strictly sequential (FCFS).
+        assert [r.request_id for r in done] == [0, 1, 2]
+
+    def test_eos_stops(self, setup, engine):
+        config, weights = setup
+        prompt = [3, 17, 42, 5]
+        solo = _greedy_single(config, weights, prompt, 1)
+        req = Request(
+            request_id=0,
+            prompt_tokens=prompt,
+            max_new_tokens=50,
+            eos_token_ids=(solo[0],),  # first greedy token acts as EOS
+        )
+        engine.submit(req)
+        done = engine.run()
+        assert done[0].generated == []
+        assert done[0].finish_reason == "stop"
+
+    def test_stats(self, engine):
+        engine.submit(Request(request_id=0, prompt_tokens=[1, 2], max_new_tokens=3))
+        engine.run()
+        s = engine.stats()
+        assert s["completed"] == 1
+        assert s["p50_ttft"] is not None
+        assert 0 < s["slot_utilization"] <= 1.0
+
+    def test_seeded_sampling_reproducible(self, setup):
+        config, weights = setup
+        outs = []
+        for _ in range(2):
+            engine = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8,),
+            )
+            engine.submit(
+                Request(
+                    request_id=0,
+                    prompt_tokens=[3, 7],
+                    max_new_tokens=5,
+                    temperature=0.9,
+                    topp=0.9,
+                    seed=123,
+                )
+            )
+            outs.append(engine.run()[0].generated)
+        assert outs[0] == outs[1]
