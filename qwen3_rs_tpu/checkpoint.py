@@ -41,6 +41,30 @@ from .ops.quant import QuantizedTensor
 
 WEIGHTS_DIR = "weights"
 
+# The classifier's vocab (out) axis is zero-padded to this multiple at load
+# time so the Pallas matmul can use large tiles (151936 = 128 × 1187 would
+# otherwise force 128-row blocks); qwen3_forward slices logits back.
+VOCAB_PAD_MULTIPLE = 2048
+
+
+def _transpose_qt(q: np.ndarray, s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-major storage ([.., out, in] codes, [.., out, in/g] scales) →
+    in-major compute layout ([.., in, out], [.., in/g, out])."""
+    return np.swapaxes(q, -1, -2), np.swapaxes(s, -1, -2)
+
+
+def _classifier_from(q_vd: np.ndarray, s_vd: np.ndarray) -> QuantizedTensor:
+    """Build the lm_head compute tensor from row-major [V, dim] codes:
+    transpose to [dim, V] and pad V up to a tile multiple (zero codes,
+    unit scales — padded logits are exactly 0 and get sliced off)."""
+    q_t, s_t = _transpose_qt(q_vd, s_vd)  # codes [dim, V], scales [dim/g, V]
+    v = q_t.shape[-1]
+    if v >= VOCAB_PAD_MULTIPLE and v % VOCAB_PAD_MULTIPLE:
+        pad = VOCAB_PAD_MULTIPLE - v % VOCAB_PAD_MULTIPLE
+        q_t = np.pad(q_t, [(0, 0), (0, pad)])
+        s_t = np.pad(s_t, [(0, 0), (0, pad)], constant_values=1.0)
+    return QuantizedTensor(jnp.asarray(q_t), jnp.asarray(s_t))
+
 
 # --------------------------------------------------------------------- native
 class NativeCheckpointWriter:
@@ -101,6 +125,12 @@ def _load_qt(wdir: Path, name: str) -> QuantizedTensor:
     )
 
 
+def _load_qt_T(wdir: Path, name: str) -> QuantizedTensor:
+    """Load row-major [L, out, in] storage into the in-major compute layout."""
+    q, s = _transpose_qt(_np_load(wdir, f"{name}.q"), _np_load(wdir, f"{name}.s"))
+    return QuantizedTensor(jnp.asarray(np.ascontiguousarray(q)), jnp.asarray(np.ascontiguousarray(s)))
+
+
 def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
     root = Path(path)
     config = ModelConfig.from_native_json((root / "config.json").read_text())
@@ -111,15 +141,18 @@ def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
         rms_ffn=jnp.asarray(_np_load(wdir, "rms_ffn")),
         q_norm=jnp.asarray(_np_load(wdir, "q_norm")),
         k_norm=jnp.asarray(_np_load(wdir, "k_norm")),
-        wq=_load_qt(wdir, "wq"),
-        wk=_load_qt(wdir, "wk"),
-        wv=_load_qt(wdir, "wv"),
-        wo=_load_qt(wdir, "wo"),
-        w1=_load_qt(wdir, "w1"),
-        w2=_load_qt(wdir, "w2"),
-        w3=_load_qt(wdir, "w3"),
+        wq=_load_qt_T(wdir, "wq"),
+        wk=_load_qt_T(wdir, "wk"),
+        wv=_load_qt_T(wdir, "wv"),
+        wo=_load_qt_T(wdir, "wo"),
+        w1=_load_qt_T(wdir, "w1"),
+        w2=_load_qt_T(wdir, "w2"),
+        w3=_load_qt_T(wdir, "w3"),
     )
-    lm_head = embed if config.shared_classifier else _load_qt(wdir, "lm_head")
+    if config.shared_classifier:
+        lm_head = _classifier_from(_np_load(wdir, "embed.q"), _np_load(wdir, "embed.s"))
+    else:
+        lm_head = _classifier_from(_np_load(wdir, "lm_head.q"), _np_load(wdir, "lm_head.s"))
     weights = Qwen3Weights(
         embed=embed,
         layers=layers,
@@ -202,23 +235,26 @@ def load_legacy(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
             cls_q, cls_s = _read_legacy_qt(cur, 1, v, d, g)
 
         embed = QuantizedTensor(jnp.asarray(emb_q[0]), jnp.asarray(emb_s[0]))
-        lm_head = (
-            embed
-            if config.shared_classifier
-            else QuantizedTensor(jnp.asarray(cls_q[0]), jnp.asarray(cls_s[0]))
-        )
+        lm_head = _classifier_from(cls_q[0], cls_s[0])
+
+        def qt_T(pair):
+            q, s = _transpose_qt(pair[0], pair[1])
+            return QuantizedTensor(
+                jnp.asarray(np.ascontiguousarray(q)), jnp.asarray(np.ascontiguousarray(s))
+            )
+
         layers = Qwen3LayerWeights(
             rms_att=jnp.asarray(rms_att),
             rms_ffn=jnp.asarray(rms_ffn),
             q_norm=jnp.asarray(q_norm),
             k_norm=jnp.asarray(k_norm),
-            wq=QuantizedTensor(jnp.asarray(wq[0]), jnp.asarray(wq[1])),
-            wk=QuantizedTensor(jnp.asarray(wk[0]), jnp.asarray(wk[1])),
-            wv=QuantizedTensor(jnp.asarray(wv[0]), jnp.asarray(wv[1])),
-            wo=QuantizedTensor(jnp.asarray(wo[0]), jnp.asarray(wo[1])),
-            w1=QuantizedTensor(jnp.asarray(w1[0]), jnp.asarray(w1[1])),
-            w2=QuantizedTensor(jnp.asarray(w2[0]), jnp.asarray(w2[1])),
-            w3=QuantizedTensor(jnp.asarray(w3[0]), jnp.asarray(w3[1])),
+            wq=qt_T(wq),
+            wk=qt_T(wk),
+            wv=qt_T(wv),
+            wo=qt_T(wo),
+            w1=qt_T(w1),
+            w2=qt_T(w2),
+            w3=qt_T(w3),
         )
         return config, Qwen3Weights(
             embed=embed, layers=layers, rms_final=jnp.asarray(rms_final), lm_head=lm_head

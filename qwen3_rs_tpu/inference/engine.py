@@ -95,6 +95,31 @@ class Engine:
             functools.partial(fwd, return_all_logits=True), donate_argnums=(2,)
         )
 
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), static_argnums=(5, 6, 7)
+        )
+        def _decode_loop(weights, token, cache, pos, key, n_steps, temperature, topp):
+            """n_steps decode iterations fully on device — one dispatch for
+            the whole chunk (host round-trips through the runtime cost ~ms;
+            the reference's token-at-a-time loop shape would be dispatch
+            bound).  Sampling happens in-graph; EOS is handled by the host
+            truncating the returned chunk."""
+            from ..ops.sampling import sample_tokens_jax
+
+            def body(carry, _):
+                token, cache, pos, key = carry
+                logits, cache = fwd(weights, token, cache, pos)
+                key, sub = jax.random.split(key)
+                nxt = sample_tokens_jax(logits, sub, temperature, topp)
+                return (nxt[:, None], cache, pos + 1, key), nxt
+
+            (token, cache, pos, key), toks = jax.lax.scan(
+                body, (token, cache, pos, key), None, length=n_steps
+            )
+            return toks, cache
+
+        self._decode_loop = _decode_loop
+
     # ------------------------------------------------------------------ api
     def new_cache(self, batch_size: Optional[int] = None) -> KVCache:
         return init_kv_cache(
@@ -132,6 +157,35 @@ class Engine:
             cache,
             jnp.asarray(pos, jnp.int32).reshape(b),
         )
+
+    def decode_chunk(
+        self,
+        cache: KVCache,
+        token: int,
+        pos: int,
+        n_steps: int,
+        *,
+        temperature: float = 0.0,
+        topp: float = 0.9,
+        key: Optional[jax.Array] = None,
+    ) -> tuple[np.ndarray, KVCache]:
+        """Run ``n_steps`` decode+sample iterations on device (single
+        dispatch) starting from ``token`` at ``pos``.  Returns the sampled
+        token ids [n_steps] (batch 1).  On-device sampling: greedy is exact;
+        top-p uses jax PRNG (seeded-reproducible, not xorshift-parity)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        toks, cache = self._decode_loop(
+            self.weights,
+            jnp.asarray([[token]], jnp.int32),
+            cache,
+            jnp.asarray([pos], jnp.int32),
+            key,
+            n_steps,
+            float(temperature),
+            float(topp),
+        )
+        return np.asarray(toks)[:, 0], cache
 
     def all_logits(self, cache: KVCache, tokens, pos_start) -> tuple[jax.Array, KVCache]:
         """Logits for every position (perplexity evaluation)."""
@@ -208,6 +262,11 @@ class TokenSampler:
                 sample_tokens_jax(logits[None, :], sub, self.temperature, self.topp)[0]
             )
         return self._host.sample(np.asarray(logits))
+
+    def next_key(self) -> jax.Array:
+        """Fresh PRNG key for an on-device sampling chunk."""
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     def skip_draws(self, n: int):
         """Advance the RNG stream by n discarded draws.  The reference's chat

@@ -63,18 +63,63 @@ def generate(
 
     generated: list[int] = []
     pos = len(prompt_tokens) - 1
-    while True:
+
+    if sampler.device:
+        # On-device chunked decode: the whole forward→sample loop runs in one
+        # dispatch per chunk (per-step host round-trips would dominate).
         metrics.start_generation()
         next_token = sampler.sample(logits)
         metrics.increment()
-        if tokenizer.is_termination(next_token):
+        done = tokenizer.is_termination(next_token)
+        chunk_size = 64
+        pos += 1  # next_token is fed at position len(prompt)
+        while not done:
+            generated.append(next_token)
+            _emit(decoder.push(tokenizer.decode_bytes(next_token)), out)
+            if pos >= seq_len:
+                break
+            n = min(chunk_size, seq_len - pos)
+            chunk, cache = engine.decode_chunk(
+                cache,
+                next_token,
+                pos,
+                n,
+                temperature=sampler.temperature,
+                topp=sampler.topp,
+                key=sampler.next_key(),
+            )
+            pos += n
+            for t in chunk[:-1]:
+                t = int(t)
+                metrics.increment()
+                if tokenizer.is_termination(t):
+                    done = True
+                    break
+                generated.append(t)
+                _emit(decoder.push(tokenizer.decode_bytes(t)), out)
+            else:
+                # Last token of the chunk becomes the next chunk's input
+                # (emitted at the top of the loop, like the single-step path).
+                next_token = int(chunk[-1])
+                metrics.increment()
+                done = tokenizer.is_termination(next_token)
+                continue
             break
-        generated.append(next_token)
-        _emit(decoder.push(tokenizer.decode_bytes(next_token)), out)
-        pos += 1
-        if pos >= seq_len:
-            break
-        logits, cache = engine.decode_step(cache, np.asarray([next_token]), np.asarray([pos]))
+    else:
+        while True:
+            metrics.start_generation()
+            next_token = sampler.sample(logits)
+            metrics.increment()
+            if tokenizer.is_termination(next_token):
+                break
+            generated.append(next_token)
+            _emit(decoder.push(tokenizer.decode_bytes(next_token)), out)
+            pos += 1
+            if pos >= seq_len:
+                break
+            logits, cache = engine.decode_step(
+                cache, np.asarray([next_token]), np.asarray([pos])
+            )
 
     _emit(decoder.flush(), out)
     metrics.report_and_reset()

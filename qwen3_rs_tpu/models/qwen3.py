@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configuration import ModelConfig
-from ..ops.attention import gqa_attention
+from ..ops.attention import gqa_attention_split
 from ..ops.matmul import qmatmul, qmatmul_exact
 from ..ops.norms import rms_norm
 from ..ops.quant import QuantizedTensor, dequantize, quantize_activations
@@ -40,29 +40,37 @@ from ..ops.rope import apply_rope, rope_table
 
 
 class Qwen3LayerWeights(NamedTuple):
-    """Per-layer weights, each stacked on a leading [n_layers] axis."""
+    """Per-layer weights, each stacked on a leading [n_layers] axis.
+
+    Linear weights use the **in-major (transposed) compute layout**:
+    codes ``[L, in, out]`` with scales ``[L, in/g, out]`` — see
+    ops/matmul.py.  The checkpoint loaders transpose from the on-disk
+    row-major layout once at load time.
+    """
 
     rms_att: jax.Array  # [L, dim] f32
     rms_ffn: jax.Array  # [L, dim] f32
     q_norm: jax.Array  # [L, head_dim] f32
     k_norm: jax.Array  # [L, head_dim] f32
-    wq: QuantizedTensor  # [L, all_heads_dim, dim]
-    wk: QuantizedTensor  # [L, kv_dim, dim]
-    wv: QuantizedTensor  # [L, kv_dim, dim]
-    wo: QuantizedTensor  # [L, dim, all_heads_dim]
-    w1: QuantizedTensor  # [L, hidden_dim, dim]   (gate)
-    w2: QuantizedTensor  # [L, dim, hidden_dim]   (down)
-    w3: QuantizedTensor  # [L, hidden_dim, dim]   (up)
+    wq: QuantizedTensor  # [L, dim, all_heads_dim]
+    wk: QuantizedTensor  # [L, dim, kv_dim]
+    wv: QuantizedTensor  # [L, dim, kv_dim]
+    wo: QuantizedTensor  # [L, all_heads_dim, dim]
+    w1: QuantizedTensor  # [L, dim, hidden_dim]   (gate)
+    w2: QuantizedTensor  # [L, hidden_dim, dim]   (down)
+    w3: QuantizedTensor  # [L, dim, hidden_dim]   (up)
 
 
 class Qwen3Weights(NamedTuple):
-    embed: QuantizedTensor  # [vocab, dim] — kept quantized; rows are
-    # gathered and dequantized per token instead of materializing the f32
-    # table up front as the reference does (models/qwen3.rs:240-242).
+    embed: QuantizedTensor  # [vocab, dim] row-major — kept quantized; rows
+    # are gathered and dequantized per token instead of materializing the
+    # f32 table up front as the reference does (models/qwen3.rs:240-242).
     layers: Qwen3LayerWeights
     rms_final: jax.Array  # [dim] f32
-    lm_head: QuantizedTensor  # [vocab, dim]; same buffers as embed when the
-    # classifier is shared (models/qwen3.rs:252-259).
+    lm_head: QuantizedTensor  # [dim, vocab_padded] in-major; a transposed
+    # copy of the embedding when the classifier is shared
+    # (models/qwen3.rs:252-259).  The out axis may be zero-padded to a tile
+    # multiple — qwen3_forward slices logits back to vocab_size.
 
 
 class KVCache(NamedTuple):
@@ -95,31 +103,34 @@ def _project(x, xq, w, mode: str):
     return qmatmul(x, w)
 
 
+def _slice_layer(w_all: QuantizedTensor, idx) -> QuantizedTensor:
+    return QuantizedTensor(
+        jax.lax.dynamic_index_in_dim(w_all.q, idx, 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(w_all.scales, idx, 0, keepdims=False),
+    )
+
+
+def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
+    """One projection against layer ``idx`` of stacked weights [L, N, D].
+
+    In fast mode on TPU the Pallas kernel indexes the stacked array itself
+    (scalar prefetch) so no per-layer weight copy is ever materialized; other
+    paths slice explicitly."""
+    if mode == "fast":
+        from ..ops import pallas as pallas_ops
+        from ..ops.pallas.qmatmul import supports_shapes
+
+        _, n, d = w_all.q.shape
+        group_size = n // w_all.scales.shape[1]
+        if pallas_ops.pallas_enabled() and supports_shapes(n, d, group_size):
+            return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
+    return _project(x, xq, _slice_layer(w_all, idx), mode)
+
+
 def _maybe_quant(x, group_size: int, mode: str):
     if mode == "exact":
         return quantize_activations(x, group_size)
     return None
-
-
-def _write_cache(
-    cache_layer: jax.Array,
-    new: jax.Array,
-    pos_start: jax.Array,
-    write_mask: jax.Array | None,
-) -> jax.Array:
-    """Write new [B, S, kv, hd] rows at per-batch offsets pos_start [B].
-
-    ``write_mask`` [B] bool (optional) suppresses the write for masked-out
-    requests — used by the continuous-batching scheduler to prefill one slot
-    of a shared cache without touching the others."""
-
-    def upd(cache_b, new_b, p):
-        return jax.lax.dynamic_update_slice(cache_b, new_b.astype(cache_b.dtype), (p, 0, 0))
-
-    updated = jax.vmap(upd)(cache_layer, new, pos_start)
-    if write_mask is None:
-        return updated
-    return jnp.where(write_mask[:, None, None, None], updated, cache_layer)
 
 
 def qwen3_forward(
@@ -163,44 +174,89 @@ def qwen3_forward(
     cos = cos_t[q_pos][:, :, None, :]  # [B, S, 1, hd/2]
     sin = sin_t[q_pos][:, :, None, :]
 
+    lw_all = weights.layers
+
     def layer_step(x, scanned):
-        lw, k_layer, v_layer = scanned
-        lw: Qwen3LayerWeights
+        idx, rms_att_l, rms_ffn_l, q_norm_l, k_norm_l, k_layer, v_layer = scanned
 
         # --- Attention block (models/qwen3.rs:131-156) ---
-        xn = rms_norm(x, lw.rms_att, config.norm_eps)
+        xn = rms_norm(x, rms_att_l, config.norm_eps)
         xq = _maybe_quant(xn, g, mode)
-        q = _project(xn, xq, lw.wq, mode).reshape(b, s, config.n_heads, config.head_dim)
-        k = _project(xn, xq, lw.wk, mode).reshape(b, s, config.n_kv_heads, config.head_dim)
-        v = _project(xn, xq, lw.wv, mode).reshape(b, s, config.n_kv_heads, config.head_dim)
+        q = _project_layer(xn, xq, lw_all.wq, idx, mode).reshape(
+            b, s, config.n_heads, config.head_dim
+        )
+        k = _project_layer(xn, xq, lw_all.wk, idx, mode).reshape(
+            b, s, config.n_kv_heads, config.head_dim
+        )
+        v = _project_layer(xn, xq, lw_all.wv, idx, mode).reshape(
+            b, s, config.n_kv_heads, config.head_dim
+        )
 
         # Per-head QK-RMSNorm then RoPE (layers.rs:346-372).
-        q = rms_norm(q, lw.q_norm, config.norm_eps)
-        k = rms_norm(k, lw.k_norm, config.norm_eps)
+        q = rms_norm(q, q_norm_l, config.norm_eps)
+        k = rms_norm(k, k_norm_l, config.norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_layer = _write_cache(k_layer, k, pos_start, write_mask)
-        v_layer = _write_cache(v_layer, v, pos_start, write_mask)
-
-        att = gqa_attention(q.astype(compute_dtype), k_layer, v_layer, q_pos)
+        # Attention over cached prefix + in-window K/V.  The cache is only
+        # *read* here; the new rows are emitted from the scan and scattered
+        # into the cache once afterwards — avoiding a full-cache restack per
+        # layer per step.
+        att = gqa_attention_split(
+            q.astype(compute_dtype),
+            k_layer,
+            v_layer,
+            k.astype(compute_dtype),
+            v.astype(compute_dtype),
+            q_pos,
+            pos_start,
+        )
         att = att.reshape(b, s, config.all_heads_dim)
         att_q = _maybe_quant(att, g, mode)
-        x = x + _project(att, att_q, lw.wo, mode).astype(compute_dtype)
+        x = x + _project_layer(att, att_q, lw_all.wo, idx, mode).astype(compute_dtype)
 
         # --- FFN block with SwiGLU (models/qwen3.rs:159-175, layers.rs:466-480) ---
-        xn = rms_norm(x, lw.rms_ffn, config.norm_eps)
+        xn = rms_norm(x, rms_ffn_l, config.norm_eps)
         xq = _maybe_quant(xn, g, mode)
-        gate = _project(xn, xq, lw.w1, mode)
-        up = _project(xn, xq, lw.w3, mode)
+        gate = _project_layer(xn, xq, lw_all.w1, idx, mode)
+        up = _project_layer(xn, xq, lw_all.w3, idx, mode)
         h = (gate * jax.nn.sigmoid(gate) * up).astype(compute_dtype)
         h_q = _maybe_quant(h, g, mode)
-        x = x + _project(h, h_q, lw.w2, mode).astype(compute_dtype)
+        x = x + _project_layer(h, h_q, lw_all.w2, idx, mode).astype(compute_dtype)
 
-        return x, (k_layer, v_layer)
+        return x, (k, v)
 
-    x, (new_k, new_v) = jax.lax.scan(layer_step, x, (weights.layers, cache.k, cache.v))
-    new_cache = KVCache(new_k, new_v)
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_step,
+        x,
+        (
+            jnp.arange(config.n_layers, dtype=jnp.int32),
+            lw_all.rms_att,
+            lw_all.rms_ffn,
+            lw_all.q_norm,
+            lw_all.k_norm,
+            cache.k,
+            cache.v,
+        ),
+    )
+
+    # Scatter the window's K/V rows ([L, B, S, kv, hd]) into the cache at
+    # per-request offsets — the only cache write of the whole step.
+    def scatter(cache_full, new_rows):
+        def upd_b(cache_lb, new_lb, p):  # [T,kv,hd], [S,kv,hd]
+            return jax.lax.dynamic_update_slice(
+                cache_lb, new_lb.astype(cache_lb.dtype), (p, 0, 0)
+            )
+
+        def upd_l(cache_l, new_l):  # [B,T,kv,hd], [B,S,kv,hd]
+            updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
+            if write_mask is None:
+                return updated
+            return jnp.where(write_mask[:, None, None, None], updated, cache_l)
+
+        return jax.vmap(upd_l)(cache_full, new_rows)
+
+    new_cache = KVCache(scatter(cache.k, new_k), scatter(cache.v, new_v))
 
     # Final norm + classifier head (models/qwen3.rs:72-76).
     if not return_all_logits:
@@ -211,6 +267,8 @@ def qwen3_forward(
     xn = rms_norm(x, weights.rms_final, config.norm_eps)
     xq = _maybe_quant(xn, g, mode)
     logits = _project(xn, xq, weights.lm_head, mode).astype(jnp.float32)
+    # Drop tile padding on the vocab axis (zero-padded rows at load time).
+    logits = logits[..., : config.vocab_size]
     if not return_all_logits:
         logits = logits[:, 0, :]
     return logits, new_cache

@@ -45,6 +45,76 @@ def gqa_attention(
     return gqa_attention_xla(q, k, v, q_pos)
 
 
+def gqa_attention_split(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    q_pos: jax.Array,
+    pos_start: jax.Array,
+    *,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Causal GQA attention over a cached prefix plus the current window.
+
+    q:        [B, S, n_heads, head_dim] — queries for the current window
+    k_cache:  [B, T, n_kv, head_dim]    — cache; rows t < pos_start[b] valid
+    k_new:    [B, S, n_kv, head_dim]    — keys for the window itself
+    q_pos:    [B, S] absolute positions; pos_start: [B]
+
+    Equivalent to attending over the fully-updated cache (the reference's
+    t ∈ [0, pos] walk) but without materializing the cache update before
+    attention: the window's K/V never round-trip through HBM, and the model's
+    layer scan can emit just the new rows instead of restacking the cache.
+    Softmax is computed jointly across both parts (shared max / sum).
+    """
+    b, s, n_heads, head_dim = q.shape
+    t = k_cache.shape[1]
+    n_kv = k_cache.shape[2]
+    kv_mul = n_heads // n_kv
+    scale = 1.0 / (head_dim**0.5)
+
+    qf = q.reshape(b, s, n_kv, kv_mul, head_dim).astype(jnp.float32)
+
+    # Cache part: [B, KV, M, S, T], valid where t < pos_start.
+    sc = jnp.einsum(
+        "bsnmh,btnh->bnmst", qf, k_cache.astype(jnp.float32), preferred_element_type=jnp.float32
+    ) * scale
+    cache_mask = (
+        jnp.arange(t, dtype=jnp.int32)[None, None, :] < pos_start[:, None, None]
+    )  # [B, 1, T]
+    sc = jnp.where(cache_mask[:, None, None, :, :], sc, -jnp.inf)
+
+    # Window part: [B, KV, M, S, S], causal within the window (j <= i).
+    sn = jnp.einsum(
+        "bsnmh,bjnh->bnmsj", qf, k_new.astype(jnp.float32), preferred_element_type=jnp.float32
+    ) * scale
+    win_mask = (
+        jnp.arange(s, dtype=jnp.int32)[None, :, None]
+        >= jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    )  # [1, S, S]
+    sn = jnp.where(win_mask[:, None, None, :, :], sn, -jnp.inf)
+
+    # Joint softmax (the window always contains the self key, so the max is
+    # finite even when the cache part is fully masked).
+    m = jnp.maximum(
+        jnp.max(sc, axis=-1, keepdims=True), jnp.max(sn, axis=-1, keepdims=True)
+    )
+    ec = jnp.exp(sc - m)
+    en = jnp.exp(sn - m)
+    denom = jnp.sum(ec, axis=-1, keepdims=True) + jnp.sum(en, axis=-1, keepdims=True)
+
+    out = jnp.einsum(
+        "bnmst,btnh->bsnmh", ec, v_cache.astype(jnp.float32), preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bnmsj,bjnh->bsnmh", en, v_new.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    # denom [B, KV, M, S, 1] → [B, S, KV, M, 1] to divide the output layout.
+    out = out / jnp.transpose(denom, (0, 3, 1, 2, 4))
+    return out.reshape(b, s, n_heads, head_dim).astype(q.dtype)
+
+
 def gqa_attention_xla(
     q: jax.Array, k: jax.Array, v: jax.Array, q_pos: jax.Array
 ) -> jax.Array:

@@ -33,6 +33,12 @@ def qmatmul_pallas(x, w):
     return _impl(x, w)
 
 
+def qmatmul_pallas_stacked(x, w, layer_idx):
+    from .qmatmul import qmatmul_pallas_stacked as _impl
+
+    return _impl(x, w, layer_idx)
+
+
 def flash_gqa_attention(q, k, v, q_pos):
     from .flash_attention import flash_gqa_attention as _impl
 

@@ -1,20 +1,21 @@
-"""Fused dequant+matmul Pallas kernel.
+"""Fused dequant+matmul Pallas kernel (in-major weight layout).
 
 The TPU-native replacement for the reference's hand-rolled W8A8 row loop
 (qwen3-inference/src/tensor.rs:23-62).  Weights stream HBM→VMEM as INT8 (the
 memory-bound decode path reads exactly 1 byte/param + 1 f32 scale per group)
-and the per-group scale is applied to the MXU dot *result* — no dense
-f32/bf16 weight matrix ever exists in HBM.
+and are dequantized in VMEM into a single MXU contraction per block — no
+dense f32/bf16 weight matrix ever exists in HBM.
 
-Math per (out-tile i, in-tile k):
-    out[b, d] += Σ_j  (x[b, G_j] · wq[d, G_j])  *  ws[G_j, d]
-one MXU dot per group slab (K = group_size), scaled in the [B, TILE_D]
-output domain where the scale row broadcasts for free.  Scales travel in
-transposed ``[G, D]`` layout so every block and slice is static — Mosaic's
-lane-tiling rules forbid dynamic lane offsets on the ``[D, G]`` layout.
+Layout: codes ``[N, D]`` (contraction-major), scales ``[G, D]``.  The
+per-group scale expansion is a **sublane-major broadcast**
+(``[G_t, D_t] → [G_t, g, D_t] → reshape [N_t, D_t]``) which Mosaic lowers
+without lane shuffles; the dequantized tile feeds one
+``[B, N_t] × [N_t, D_t]`` MXU dot.  (int8 codes are exact in the MXU's bf16
+input path: |q| ≤ 127 < 2^8.)
 
 Grid: (out_tiles, in_tiles); the output block stays VMEM-resident across the
-in-tile sweep and accumulates in f32.
+in-tile sweep and accumulates in f32.  Tile sizes are chosen per shape to
+amortize the ~1 µs/block fixed cost against DMA time within a VMEM budget.
 """
 
 from __future__ import annotations
@@ -29,59 +30,75 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant import QuantizedTensor
 
 
-def _kernel(x_ref, wq_ref, ws_t_ref, out_ref, *, group_size: int, tile_groups: int):
+def _accumulate_tile(x, wq, ws, out_ref, *, group_size: int, tile_groups: int):
+    """out_ref += x @ dequant(wq, ws) for one (in, out) tile."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = x_ref[:]  # [B, TILE_N] f32
-    wq = wq_ref[:]  # [TILE_D, TILE_N] int8
-    acc = jnp.zeros_like(out_ref)
-    for j in range(tile_groups):
-        sl = slice(j * group_size, (j + 1) * group_size)
-        # int8 codes are exact in the MXU's bf16 input path (|q| ≤ 127 < 2^8).
-        dot_j = jax.lax.dot_general(
-            x[:, sl],
-            wq[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, TILE_D]
-        acc = acc + dot_j * ws_t_ref[j : j + 1, :]  # scale row broadcasts over B
-    out_ref[:] += acc
+    tile_n, tile_d = wq.shape
+    scales = jnp.broadcast_to(
+        ws[:, None, :].astype(jnp.bfloat16), (tile_groups, group_size, tile_d)
+    ).reshape(tile_n, tile_d)
+    wf = wq.astype(jnp.bfloat16) * scales
+    out_ref[:] += jax.lax.dot_general(
+        x,
+        wf,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _pick_tile(dim: int, candidates) -> int | None:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    return None
+def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int):
+    _accumulate_tile(
+        x_ref[:], wq_ref[:], ws_ref[:], out_ref, group_size=group_size, tile_groups=tile_groups
+    )
+
+
+# ~VMEM budget for the weight tile (int8 codes; dequantized bf16 copy is 2×,
+# double buffering 2× more → keep codes ≤ 2 MB so the working set ≲ 12 MB).
+_TILE_BYTES_BUDGET = 2 * 1024 * 1024
+
+
+def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
+    """Largest (tile_n, tile_d) dividing (n, d) within the VMEM budget."""
+    n_candidates = [c for c in (2048, 1024, 512, 256, 128) if n % c == 0 and c % group_size == 0]
+    d_candidates = [c for c in (4096, 2048, 1024, 512, 256, 128) if d % c == 0]
+    if not n_candidates or not d_candidates:
+        return None
+    best = None
+    for tn in n_candidates:
+        for td in d_candidates:
+            if tn * td > _TILE_BYTES_BUDGET:
+                continue
+            size = tn * td
+            if best is None or size > best[0]:
+                best = (size, tn, td)
+    if best is None:
+        return n_candidates[-1], d_candidates[-1]
+    return best[1], best[2]
 
 
 def supports_shapes(n: int, d: int, group_size: int) -> bool:
     """Whether the kernel's tiling constraints cover this (in, out) shape —
     callers fall back to the XLA path otherwise (e.g. tiny test models)."""
-    tile_n = _pick_tile(n, (512, 256, 128))
-    return (
-        _pick_tile(d, (512, 256, 128)) is not None
-        and tile_n is not None
-        and tile_n % group_size == 0
-    )
+    return _pick_tiles(n, d, group_size) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmatmul_2d(x, wq, ws_t, *, interpret: bool = False):
-    """x [B, N] f32, wq [D, N] int8, ws_t [G, D] f32 → [B, D] f32."""
+def _qmatmul_2d(x, wq, ws, *, interpret: bool = False):
+    """x [B, N] f32, wq [N, D] int8, ws [G, D] f32 → [B, D] f32."""
     b, n = x.shape
-    d, _ = wq.shape
-    g_count = ws_t.shape[0]
+    _, d = wq.shape
+    g_count = ws.shape[0]
     group_size = n // g_count
 
-    tile_d = _pick_tile(d, (512, 256, 128))
-    tile_n = _pick_tile(n, (512, 256, 128))
-    if tile_d is None or tile_n is None or tile_n % group_size != 0:
+    tiles = _pick_tiles(n, d, group_size)
+    if tiles is None:
         raise ValueError(f"unsupported shapes for pallas qmatmul: {x.shape} x {wq.shape}")
+    tile_n, tile_d = tiles
     tile_groups = tile_n // group_size
 
     grid = (d // tile_d, n // tile_n)
@@ -91,23 +108,96 @@ def _qmatmul_2d(x, wq, ws_t, *, interpret: bool = False):
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, tile_n), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_d, tile_n), lambda i, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_groups, tile_d), lambda i, k: (k, i), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tile_n, tile_d), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_groups, tile_d), lambda i, k: (k, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, tile_d), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
-    )(x, wq, ws_t)
+    )(x, wq, ws)
 
 
 def qmatmul_pallas(x: jax.Array, w: QuantizedTensor, *, interpret: bool = False) -> jax.Array:
-    """x [..., N] float × w([D, N] int8, [D, G] f32) → [..., D] f32."""
+    """x [..., N] float × w([N, D] int8 in-major, [G, D] f32) → [..., D] f32."""
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.float32)
-    # Transposed scales: [G, D].  TODO(perf): cache the transposed layout in
-    # the weight pytree to save ~6% of decode HBM traffic.
-    out = _qmatmul_2d(x2, w.q, w.scales.T, interpret=interpret)
-    return out.reshape(*batch_shape, w.q.shape[0])
+    out = _qmatmul_2d(x2, w.q, w.scales, interpret=interpret)
+    return out.reshape(*batch_shape, w.q.shape[1])
+
+
+def _kernel_stacked(
+    layer_ref, x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int
+):
+    # Same math as _kernel; the layer index only affects the index maps.
+    _accumulate_tile(
+        x_ref[:], wq_ref[0], ws_ref[0], out_ref, group_size=group_size, tile_groups=tile_groups
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_stacked_2d(x, wq_all, ws_all, layer_idx, *, interpret: bool = False):
+    """x [B, N] f32, wq_all [L, N, D] int8, ws_all [L, G, D] f32, layer_idx
+    scalar int32 → [B, D] f32.
+
+    The layer is selected inside the kernel's index maps (scalar prefetch),
+    so the per-layer weight slice is streamed HBM→VMEM directly — the
+    ``lax.scan`` over layers never materializes a sliced copy of the weights
+    (which would otherwise triple the decode HBM traffic).
+    """
+    b, n = x.shape
+    _, _, d = wq_all.shape
+    g_count = ws_all.shape[1]
+    group_size = n // g_count
+
+    tiles = _pick_tiles(n, d, group_size)
+    if tiles is None:
+        raise ValueError(
+            f"unsupported shapes for pallas qmatmul: {x.shape} x {wq_all.shape}"
+        )
+    tile_n, tile_d = tiles
+    tile_groups = tile_n // group_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d // tile_d, n // tile_n),
+        # Index maps receive grid indices first, then the scalar-prefetch ref.
+        in_specs=[
+            pl.BlockSpec((b, tile_n), lambda i, k, l: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, tile_d), lambda i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_groups, tile_d),
+                lambda i, k, l: (l[0], k, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((b, tile_d), lambda i, k, l: (0, i), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _kernel_stacked, group_size=group_size, tile_groups=tile_groups
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, wq_all, ws_all)
+
+
+def qmatmul_pallas_stacked(
+    x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """x [..., N] × stacked w([L, N, D], [L, G, D]) at ``layer_idx`` → [..., D]."""
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.float32)
+    out = _qmatmul_stacked_2d(x2, w.q, w.scales, layer_idx, interpret=interpret)
+    return out.reshape(*batch_shape, w.q.shape[-1])

@@ -60,9 +60,10 @@ def _qt_spec(spec_q: P) -> QuantizedTensor:
 
 
 def weight_pspecs(config: ModelConfig) -> Qwen3Weights:
-    """PartitionSpec pytree matching Qwen3Weights."""
-    col = _qt_spec(P(None, TP_AXIS, None))  # [L, out(tp), in]
-    row = _qt_spec(P(None, None, TP_AXIS))  # [L, out, in(tp)]
+    """PartitionSpec pytree matching Qwen3Weights (in-major weight layout:
+    codes [L, in, out], scales [L, in/g, out])."""
+    col = _qt_spec(P(None, None, TP_AXIS))  # shard the out axis
+    row = _qt_spec(P(None, TP_AXIS, None))  # shard the in (contraction) axis
     layers = Qwen3LayerWeights(
         rms_att=P(None, None),
         rms_ffn=P(None, None),
@@ -76,12 +77,11 @@ def weight_pspecs(config: ModelConfig) -> Qwen3Weights:
         w2=row,
         w3=col,
     )
-    vocab_sharded = _qt_spec(P(TP_AXIS, None))
     return Qwen3Weights(
-        embed=vocab_sharded,
+        embed=_qt_spec(P(TP_AXIS, None)),  # [V(tp), dim] row-major
         layers=layers,
         rms_final=P(None),
-        lm_head=vocab_sharded,
+        lm_head=_qt_spec(P(None, TP_AXIS)),  # [dim, V_pad(tp)]
     )
 
 

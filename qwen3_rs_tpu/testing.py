@@ -38,36 +38,61 @@ def qwen3_config(name: str = "0.6b", seq_len: int = 4096, group_size: int = 64,
 
 def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
     """Random INT8-quantized weights with plausible scales — exercises the
-    real memory traffic and kernels without needing checkpoint files."""
+    real memory traffic and kernels without needing checkpoint files.
+
+    Linear weights use the in-major compute layout ([in, out] codes with
+    [in/g, out] scales, see ops/matmul.py); lm_head's vocab axis is padded
+    to the same tile multiple the checkpoint loader uses.
+    """
+    from .checkpoint import VOCAB_PAD_MULTIPLE
+
     rng = np.random.default_rng(seed)
     c = config
     g = c.group_size
 
-    def qt(*shape):
-        q = rng.integers(-127, 128, shape, dtype=np.int8)
-        s = (rng.random((*shape[:-1], shape[-1] // g), dtype=np.float32) * 0.02).astype(
-            np.float32
-        )
+    def qt_T(in_dim, out_dim):
+        q = rng.integers(-127, 128, (in_dim, out_dim), dtype=np.int8)
+        s = (rng.random((in_dim // g, out_dim), dtype=np.float32) * 0.02).astype(np.float32)
         return QuantizedTensor(jnp.asarray(q), jnp.asarray(s))
+
+    def stack(f, *shape_args):
+        qs, ss = [], []
+        for _ in range(c.n_layers):
+            t = f(*shape_args)
+            qs.append(t.q)
+            ss.append(t.scales)
+        return QuantizedTensor(jnp.stack(qs), jnp.stack(ss))
 
     def norm(*shape):
         return jnp.asarray(rng.normal(1, 0.02, shape).astype(np.float32))
 
-    embed = qt(c.vocab_size, c.dim)
+    embed_q = rng.integers(-127, 128, (c.vocab_size, c.dim), dtype=np.int8)
+    embed_s = (rng.random((c.vocab_size, c.dim // g), dtype=np.float32) * 0.02).astype(np.float32)
+    embed = QuantizedTensor(jnp.asarray(embed_q), jnp.asarray(embed_s))
+
+    v_pad = c.vocab_size
+    if v_pad >= VOCAB_PAD_MULTIPLE and v_pad % VOCAB_PAD_MULTIPLE:
+        v_pad += VOCAB_PAD_MULTIPLE - v_pad % VOCAB_PAD_MULTIPLE
+    lm_q = np.zeros((c.dim, v_pad), np.int8)
+    lm_s = np.ones((c.dim // g, v_pad), np.float32)
+    lm_q[:, : c.vocab_size] = embed_q.T
+    lm_s[:, : c.vocab_size] = embed_s.T
+    lm_head = QuantizedTensor(jnp.asarray(lm_q), jnp.asarray(lm_s))
+
     layers = Qwen3LayerWeights(
         rms_att=norm(c.n_layers, c.dim),
         rms_ffn=norm(c.n_layers, c.dim),
         q_norm=norm(c.n_layers, c.head_dim),
         k_norm=norm(c.n_layers, c.head_dim),
-        wq=qt(c.n_layers, c.all_heads_dim, c.dim),
-        wk=qt(c.n_layers, c.kv_dim, c.dim),
-        wv=qt(c.n_layers, c.kv_dim, c.dim),
-        wo=qt(c.n_layers, c.dim, c.all_heads_dim),
-        w1=qt(c.n_layers, c.hidden_dim, c.dim),
-        w2=qt(c.n_layers, c.dim, c.hidden_dim),
-        w3=qt(c.n_layers, c.hidden_dim, c.dim),
+        wq=stack(qt_T, c.dim, c.all_heads_dim),
+        wk=stack(qt_T, c.dim, c.kv_dim),
+        wv=stack(qt_T, c.dim, c.kv_dim),
+        wo=stack(qt_T, c.all_heads_dim, c.dim),
+        w1=stack(qt_T, c.dim, c.hidden_dim),
+        w2=stack(qt_T, c.hidden_dim, c.dim),
+        w3=stack(qt_T, c.dim, c.hidden_dim),
     )
-    return Qwen3Weights(embed=embed, layers=layers, rms_final=norm(c.dim), lm_head=embed)
+    return Qwen3Weights(embed=embed, layers=layers, rms_final=norm(c.dim), lm_head=lm_head)
 
 
 def weight_bytes_per_decode_token(config: ModelConfig) -> int:

@@ -103,6 +103,27 @@ class TestGenerate:
         g = generate(e, tokenizer, TokenSampler(0.0, 0.9, 1), "hello", out=io.StringIO())
         assert isinstance(g, list)
 
+    def test_device_chunked_matches_host_greedy(self, ckpt, tokenizer):
+        """The on-device chunked decode loop must reproduce the host
+        step-by-step greedy path token for token."""
+        e = Engine(ckpt[0], mode="fast")
+        g_dev = generate(
+            e, tokenizer, TokenSampler(0.0, 0.9, 1, device=True), "hello world", out=io.StringIO()
+        )
+        g_host = generate(
+            e, tokenizer, TokenSampler(0.0, 0.9, 7, device=False), "hello world", out=io.StringIO()
+        )
+        assert g_dev == g_host
+
+    def test_decode_chunk_api(self, ckpt):
+        e = Engine(ckpt[0], mode="fast")
+        cache = e.new_cache(1)
+        logits, cache = e.prefill(cache, np.array([[3, 7]], np.int32), np.zeros(1, np.int32))
+        first = int(np.argmax(np.asarray(logits)[0]))
+        toks, cache = e.decode_chunk(cache, first, 2, 5)
+        assert toks.shape == (5,)
+        assert all(0 <= t < e.config.vocab_size for t in toks)
+
 
 class TestChat:
     def test_single_shot_cli_prompt(self, engine, tokenizer):

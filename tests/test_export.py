@@ -187,11 +187,11 @@ class TestExportRoundTrip:
         cfg, w = load_native(native_out)
         reader = TensorReader(model_dir)
         src = reader.load_tensor("model.layers.0.self_attn.q_proj.weight")
-        got = dequantize_np(
-            np.asarray(w.layers.wq.q)[0], np.asarray(w.layers.wq.scales)[0]
-        )
-        scales = np.asarray(w.layers.wq.scales)[0]
-        step = np.repeat(scales, cfg.group_size, axis=-1)
+        # In-memory layout is in-major; transpose back to compare row-major.
+        q0 = np.asarray(w.layers.wq.q)[0].T
+        s0 = np.asarray(w.layers.wq.scales)[0].T
+        got = dequantize_np(q0, s0)
+        step = np.repeat(s0, cfg.group_size, axis=-1)
         assert np.all(np.abs(got - src) <= step / 2 + 1e-7)
 
     def test_tokenizer_binary_roundtrip(self, exported):
@@ -265,12 +265,14 @@ class TestLoRAExport:
         reader = TensorReader(model_dir)
         base = reader.load_tensor("model.layers.0.self_attn.q_proj.weight")
         expected = base + (alpha / rank) * (b @ a)
-        got = dequantize_np(np.asarray(w.layers.wq.q)[0], np.asarray(w.layers.wq.scales)[0])
-        scales = np.asarray(w.layers.wq.scales)[0]
-        step = np.repeat(scales, 16, axis=-1)
+        q0 = np.asarray(w.layers.wq.q)[0].T
+        s0 = np.asarray(w.layers.wq.scales)[0].T
+        got = dequantize_np(q0, s0)
+        step = np.repeat(s0, 16, axis=-1)
         assert np.all(np.abs(got - expected) <= step / 2 + 1e-6)
         # Layer 1 (no adapters) must be untouched base quantization.
         base1 = reader.load_tensor("model.layers.1.self_attn.q_proj.weight")
-        got1 = dequantize_np(np.asarray(w.layers.wq.q)[1], np.asarray(w.layers.wq.scales)[1])
-        scales1 = np.asarray(w.layers.wq.scales)[1]
-        assert np.all(np.abs(got1 - base1) <= np.repeat(scales1, 16, axis=-1) / 2 + 1e-7)
+        q1 = np.asarray(w.layers.wq.q)[1].T
+        s1 = np.asarray(w.layers.wq.scales)[1].T
+        got1 = dequantize_np(q1, s1)
+        assert np.all(np.abs(got1 - base1) <= np.repeat(s1, 16, axis=-1) / 2 + 1e-7)

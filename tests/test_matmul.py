@@ -1,11 +1,16 @@
 """Grouped quantized matmul tests: exact path vs the numpy reference engine,
-fast path vs dense dequantized matmul."""
+fast path vs dense dequantized matmul.
+
+Weight convention under test: in-major compute layout — codes [N, D],
+scales [G, D] (ops/matmul.py); the reference comparisons quantize in the
+canonical row-major [D, N] layout and transpose.
+"""
 
 import numpy as np
 import jax.numpy as jnp
 
 from ref_engine import matmul as ref_matmul, quantize_act as ref_quantize_act
-from qwen3_rs_tpu.ops.matmul import dequant_weights_T, qmatmul, qmatmul_exact
+from qwen3_rs_tpu.ops.matmul import dequant_weights, qmatmul, qmatmul_exact
 from qwen3_rs_tpu.ops.quant import (
     QuantizedTensor,
     dequantize_np,
@@ -15,9 +20,11 @@ from qwen3_rs_tpu.ops.quant import (
 
 
 def _random_qw(rng, d, n, gs):
+    """Returns the in-major QuantizedTensor plus canonical (q, s) arrays."""
     w = rng.normal(0, 0.3, (d, n)).astype(np.float32)
-    q, s, _ = quantize_weights_np(w, gs)
-    return QuantizedTensor(jnp.asarray(q), jnp.asarray(s)), (q, s)
+    q, s, _ = quantize_weights_np(w, gs)  # [D, N], [D, G]
+    wt = QuantizedTensor(jnp.asarray(q.T.copy()), jnp.asarray(s.T.copy()))
+    return wt, (q, s)
 
 
 def test_exact_matches_reference(rng):
@@ -67,19 +74,29 @@ def test_fast_matches_dense(rng):
     np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-2)
 
 
-def test_dequant_weights_T(rng):
+def test_dequant_weights(rng):
     n, d, gs = 64, 32, 16
     wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
-    dense_t = np.asarray(dequant_weights_T(wq, jnp.float32))
-    np.testing.assert_allclose(dense_t, dequantize_np(q_np, s_np).T, rtol=1e-6)
+    dense = np.asarray(dequant_weights(wq, jnp.float32))  # [N, D]
+    np.testing.assert_allclose(dense, dequantize_np(q_np, s_np).T, rtol=1e-6)
 
 
 def test_pallas_interpret_matches_fast(rng):
-    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas, supports_shapes
 
     n, d, gs = 256, 128, 64
+    assert supports_shapes(n, d, gs)
     wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
     x = rng.normal(0, 1, (4, n)).astype(np.float32)
     expected = x @ dequantize_np(q_np, s_np).T
     out = np.asarray(qmatmul_pallas(jnp.asarray(x), wq, interpret=True))
-    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+    # Kernel dequantizes through bf16 — tolerance matches that precision.
+    np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_supports_shapes():
+    from qwen3_rs_tpu.ops.pallas.qmatmul import supports_shapes
+
+    assert supports_shapes(1024, 2048, 64)
+    assert supports_shapes(1024, 151936, 64)  # 151936 = 128 × 1187
+    assert not supports_shapes(64, 64, 16)  # tiny test models → XLA fallback

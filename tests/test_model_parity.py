@@ -55,6 +55,13 @@ def make_weights(config, rng, scale=0.08):
     def qt(name):
         return QuantizedTensor(jnp.asarray(np_w[f"{name}.q"]), jnp.asarray(np_w[f"{name}.s"]))
 
+    def qt_T(name):
+        """In-major compute layout: codes [L, in, out], scales [L, in/g, out]."""
+        return QuantizedTensor(
+            jnp.asarray(np.swapaxes(np_w[f"{name}.q"], -1, -2).copy()),
+            jnp.asarray(np.swapaxes(np_w[f"{name}.s"], -1, -2).copy()),
+        )
+
     weights = Qwen3Weights(
         embed=qt("embed"),
         layers=Qwen3LayerWeights(
@@ -62,16 +69,18 @@ def make_weights(config, rng, scale=0.08):
             rms_ffn=jnp.asarray(np_w["rms_ffn"]),
             q_norm=jnp.asarray(np_w["q_norm"]),
             k_norm=jnp.asarray(np_w["k_norm"]),
-            wq=qt("wq"),
-            wk=qt("wk"),
-            wv=qt("wv"),
-            wo=qt("wo"),
-            w1=qt("w1"),
-            w2=qt("w2"),
-            w3=qt("w3"),
+            wq=qt_T("wq"),
+            wk=qt_T("wk"),
+            wv=qt_T("wv"),
+            wo=qt_T("wo"),
+            w1=qt_T("w1"),
+            w2=qt_T("w2"),
+            w3=qt_T("w3"),
         ),
         rms_final=jnp.asarray(np_w["rms_final"]),
-        lm_head=qt("lm_head"),
+        lm_head=QuantizedTensor(
+            jnp.asarray(np_w["lm_head.q"].T.copy()), jnp.asarray(np_w["lm_head.s"].T.copy())
+        ),
     )
     return np_w, weights
 

@@ -85,6 +85,46 @@ def test_attention_causal_mask(rng):
     np.testing.assert_allclose(out1, out2, rtol=1e-6)
 
 
+def test_attention_split_equals_dense(rng):
+    """Split (cache prefix + window) attention must equal attention over the
+    fully-updated cache."""
+    from qwen3_rs_tpu.ops.attention import gqa_attention_split
+
+    b, t, n_heads, n_kv, hd, s = 2, 16, 4, 2, 8, 3
+    k_cache = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    v_cache = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
+    k_new = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    v_new = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    pos_start = np.array([4, 0], np.int32)  # second request: empty cache
+    q_pos = pos_start[:, None] + np.arange(s, dtype=np.int32)[None, :]
+
+    out_split = np.asarray(
+        gqa_attention_split(
+            jnp.asarray(q),
+            jnp.asarray(k_cache),
+            jnp.asarray(v_cache),
+            jnp.asarray(k_new),
+            jnp.asarray(v_new),
+            jnp.asarray(q_pos),
+            jnp.asarray(pos_start),
+        )
+    )
+
+    # Dense baseline: write the window into the cache, then mask by q_pos.
+    k_full = k_cache.copy()
+    v_full = v_cache.copy()
+    for i in range(b):
+        k_full[i, pos_start[i] : pos_start[i] + s] = k_new[i]
+        v_full[i, pos_start[i] : pos_start[i] + s] = v_new[i]
+    out_dense = np.asarray(
+        gqa_attention_xla(
+            jnp.asarray(q), jnp.asarray(k_full), jnp.asarray(v_full), jnp.asarray(q_pos)
+        )
+    )
+    np.testing.assert_allclose(out_split, out_dense, rtol=1e-5, atol=1e-5)
+
+
 def test_attention_prefill_window(rng):
     """Multi-row query window attends causally within the window."""
     b, t, n_heads, n_kv, hd, s = 1, 8, 2, 1, 8, 4
