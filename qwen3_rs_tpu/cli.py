@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="sample on the TPU instead of the host xorshift sampler",
     )
+
+    # eval-ppl: perplexity + int8-vs-f32 delta (the BASELINE accuracy bar).
+    ev = sub.add_parser("eval-ppl", help="Evaluate perplexity of a checkpoint")
+    ev.add_argument("checkpoint")
+    ev.add_argument("-f", "--file", required=True, help="UTF-8 text file to evaluate")
+    ev.add_argument(
+        "--modes",
+        default="fast,f32",
+        help="comma-separated engine modes (fast, exact, f32); default fast,f32",
+    )
+    ev.add_argument("-w", "--window", type=int, default=None, help="evaluation window")
     return parser
 
 
@@ -91,6 +102,29 @@ def main(argv=None) -> int:
 
         validate_export_dir(Path(args.model_path))
         export_model(args.model_path, args.output_path, args.group_size, fmt=args.format)
+        return 0
+
+    if args.command == "eval-ppl":
+        import json
+
+        from .evaluation import evaluate_checkpoint
+
+        text = Path(args.file).read_text()
+        results = evaluate_checkpoint(
+            args.checkpoint,
+            text=text,
+            modes=tuple(args.modes.split(",")),
+            window=args.window,
+        )
+        payload = {
+            mode: {"perplexity": r.perplexity, "avg_nll": r.avg_nll, "tokens": r.n_tokens}
+            for mode, r in results.items()
+        }
+        if "f32" in results:
+            for mode, r in results.items():
+                if mode != "f32":
+                    payload[mode]["ppl_delta_vs_f32"] = r.delta_vs(results["f32"])
+        print(json.dumps(payload, indent=2))
         return 0
 
     if args.command == "inference":

@@ -49,7 +49,8 @@ class ModelConfig:
     (qwen3-inference/src/configuration.rs:17-30).  ``norm_eps`` and RoPE theta
     are additionally carried here (the reference hardcodes eps=1e-6 and
     theta=1e6 at inference, qwen3-inference/src/layers.rs:6-9); the legacy
-    binary header cannot store them so legacy loads use those defaults.
+    header carries them in an extension block inside its padding (readers
+    that don't know the block — including the reference — skip it).
     """
 
     architecture_id: int
@@ -65,6 +66,10 @@ class ModelConfig:
     shared_classifier: bool
     norm_eps: float = 1e-6
     rope_theta: float = 1e6
+    # Qwen3 applies per-head RMSNorm to Q/K before RoPE (layers.rs:346-372);
+    # Llama does not.  (The reference declares LlamaForCausalLM but leaves it
+    # `todo!`, models/mod.rs:94 — here it is implemented.)
+    use_qk_norm: bool = True
 
     @property
     def all_heads_dim(self) -> int:
@@ -111,6 +116,13 @@ class ModelConfig:
         return dataclasses.replace(self, seq_len=ctx_length)
 
     # ---------------------------------------------------------------- legacy
+    # Extension block stashed in the legacy header's zero padding: the
+    # reference reader parses only the first 52 bytes and skips the rest
+    # (configuration.rs:110), so these extras are invisible to it while
+    # letting this engine carry norm_eps / rope_theta / qk-norm in the
+    # single-file format too.
+    _EXT_MAGIC = 0x71747031  # "qtp1"
+
     def to_legacy_header(self) -> bytes:
         """Serialize the 256-byte legacy header
         (write side: qwen3-export/src/model_exporter.rs:164-191)."""
@@ -130,6 +142,10 @@ class ModelConfig:
             1 if self.shared_classifier else 0,
             self.group_size,
         )
+        ext = struct.pack(
+            "<IddI", self._EXT_MAGIC, self.norm_eps, self.rope_theta, int(self.use_qk_norm)
+        )
+        packed += ext
         return packed + b"\x00" * (HEADER_SIZE - len(packed))
 
     @classmethod
@@ -163,6 +179,15 @@ class ModelConfig:
             raise ValueError(
                 f"Unsupported checkpoint version: expected {CHECKPOINT_VERSION}, got {version}"
             )
+        extras = {}
+        if len(data) >= 13 * 4 + 24:
+            ext_magic, eps, theta, qk = struct.unpack_from("<IddI", data, 13 * 4)
+            if ext_magic == cls._EXT_MAGIC:
+                extras = dict(norm_eps=eps, rope_theta=theta, use_qk_norm=bool(qk))
+        if not extras and architecture_id == ARCHITECTURE_LLAMA:
+            # Checkpoint from a writer without the extension block: Llama
+            # never has QK-norm.
+            extras = dict(use_qk_norm=False)
         return cls(
             architecture_id=architecture_id,
             dim=dim,
@@ -175,6 +200,7 @@ class ModelConfig:
             vocab_size=vocab_size,
             group_size=group_size,
             shared_classifier=shared_classifier != 0,
+            **extras,
         ).validate()
 
     # ---------------------------------------------------------------- native

@@ -52,14 +52,13 @@ def export_model(
     config = exporter.export(model_path, output_path, fmt=fmt)
 
     if fmt == "native":
-        tokenizer_out = output_path / "tokenizer.bin"
-        template_base = output_path / "template"
-        # Template files become "<dir>/template[.variant]": exporter appends
-        # ".template*" suffixes to the base, so strip to the directory name.
         TokenizerExporter().export_tokenizer(
-            model_path, tokenizer_out, model_info.bos_token_id, model_info.eos_token_id
+            model_path,
+            output_path / "tokenizer.bin",
+            model_info.bos_token_id,
+            model_info.eos_token_id,
         )
-        _export_templates_native(model_path, output_path)
+        _try_export_templates(lambda: _export_templates_native(model_path, output_path))
     else:
         TokenizerExporter().export_tokenizer(
             model_path,
@@ -67,8 +66,21 @@ def export_model(
             model_info.bos_token_id,
             model_info.eos_token_id,
         )
-        ChatTemplateExporter().export_templates(model_path, output_path)
+        _try_export_templates(
+            lambda: ChatTemplateExporter().export_templates(model_path, output_path)
+        )
     logger.info("Export complete: %s (group_size=%d)", output_path, config.group_size)
+
+
+def _try_export_templates(fn) -> None:
+    """Chat templates are best-effort: base models without a chat_template
+    (or with an unrecognized style) still export weights+tokenizer; chat mode
+    then degrades gracefully (tokenizer.rs:113-119 behavior).  The reference
+    aborts the whole export instead — deliberate divergence."""
+    try:
+        fn()
+    except ValueError as e:
+        logger.warning("Chat template export skipped: %s", e)
 
 
 def _export_templates_native(model_path: Path, output_dir: Path) -> None:

@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..configuration import ARCHITECTURE_QWEN3, ModelConfig
+from ..configuration import ARCHITECTURE_LLAMA, ARCHITECTURE_QWEN3, ModelConfig
 from .tensor_reader import TensorReader
 
 
@@ -89,14 +89,28 @@ class Qwen3Architecture:
         )
 
 
+class LlamaArchitecture(Qwen3Architecture):
+    """Llama tensor schedule — same projection/norm names as Qwen3 in HF
+    checkpoints, but no q_norm/k_norm tensors (the optional entries default
+    to 1.0 vectors in the artifact; inference skips QK-norm entirely via
+    ``config.use_qk_norm``).
+
+    The reference declares this architecture but leaves it unimplemented
+    (`todo!`, qwen3-export/src/models/mod.rs:94); it is implemented here.
+    """
+
+    ID = ARCHITECTURE_LLAMA
+    NAME = "LlamaForCausalLM"
+
+
 ARCHITECTURES = {
     ARCHITECTURE_QWEN3: Qwen3Architecture,
+    ARCHITECTURE_LLAMA: LlamaArchitecture,
 }
 
 
 def create_architecture(config: ModelConfig, tensor_reader: TensorReader):
-    """models/mod.rs:91-96.  LlamaForCausalLM is declared by the reference
-    but unimplemented (`todo!`, models/mod.rs:94) — same status here."""
+    """Architecture dispatch (models/mod.rs:91-96)."""
     cls = ARCHITECTURES.get(config.architecture_id)
     if cls is None:
         raise NotImplementedError(

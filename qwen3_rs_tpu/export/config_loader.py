@@ -112,8 +112,11 @@ def _load_hf_config(config_path: Path) -> tuple[ModelConfig, int, int]:
     if arch_name not in ARCHITECTURE_NAMES:
         raise ValueError(f"Unknown ArchitectureId: {arch_name}")
 
+    from ..configuration import ARCHITECTURE_LLAMA
+
     config = ModelConfig(
         architecture_id=ARCHITECTURE_NAMES[arch_name],
+        use_qk_norm=ARCHITECTURE_NAMES[arch_name] != ARCHITECTURE_LLAMA,
         dim=payload["hidden_size"],
         hidden_dim=payload["intermediate_size"],
         n_layers=payload["num_hidden_layers"],

@@ -6,7 +6,7 @@ Counterpart of the reference model dispatch
 
 from __future__ import annotations
 
-from ..configuration import ARCHITECTURE_QWEN3, ModelConfig
+from ..configuration import ARCHITECTURE_LLAMA, ARCHITECTURE_QWEN3, ModelConfig
 from .qwen3 import (
     KVCache,
     Qwen3LayerWeights,
@@ -17,6 +17,9 @@ from .qwen3 import (
 
 MODEL_FORWARDS = {
     ARCHITECTURE_QWEN3: qwen3_forward,
+    # Llama shares the decoder structure; QK-norm is disabled via
+    # config.use_qk_norm (the reference leaves Llama as `todo!`).
+    ARCHITECTURE_LLAMA: qwen3_forward,
 }
 
 

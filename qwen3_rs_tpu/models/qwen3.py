@@ -97,9 +97,25 @@ def init_kv_cache(
 
 
 def _project(x, xq, w, mode: str):
-    """Dispatch one quantized projection according to engine mode."""
+    """Dispatch one quantized projection according to engine mode.
+
+    Modes: ``fast`` (W8A16, Pallas), ``exact`` (reference-parity W8A8),
+    ``f32`` (dequantized weights, full-f32 matmul — the "fp32 reference"
+    side of the perplexity-delta accuracy bar).
+    """
     if mode == "exact":
         return qmatmul_exact(xq, w)
+    if mode == "f32":
+        from ..ops.matmul import dequant_weights
+
+        wf = dequant_weights(w, jnp.float32)
+        return jax.lax.dot_general(
+            x.astype(jnp.float32),
+            wf,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return qmatmul(x, w)
 
 
@@ -192,9 +208,11 @@ def qwen3_forward(
             b, s, config.n_kv_heads, config.head_dim
         )
 
-        # Per-head QK-RMSNorm then RoPE (layers.rs:346-372).
-        q = rms_norm(q, q_norm_l, config.norm_eps)
-        k = rms_norm(k, k_norm_l, config.norm_eps)
+        # Per-head QK-RMSNorm then RoPE (layers.rs:346-372).  Llama-family
+        # models have no QK-norm (config.use_qk_norm=False).
+        if config.use_qk_norm:
+            q = rms_norm(q, q_norm_l, config.norm_eps)
+            k = rms_norm(k, k_norm_l, config.norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 

@@ -113,13 +113,18 @@ class RefQwen3:
         k = matmul(xq, xs, w["wk.q"][l], w["wk.s"][l], c.dim, kv_dim, gs)
         v = matmul(xq, xs, w["wv.q"][l], w["wv.s"][l], c.dim, kv_dim, gs)
 
-        # Per-head QK norm + RoPE (layers.rs:346-372).
+        # Per-head QK norm + RoPE (layers.rs:346-372); Llama has no QK-norm.
+        use_qk = getattr(c, "use_qk_norm", True)
         for h in range(c.n_heads):
             sl = q[h * hd : (h + 1) * hd]
-            q[h * hd : (h + 1) * hd] = rope_apply(rms_norm(sl, w["q_norm"][l]), pos, c.rope_theta)
+            if use_qk:
+                sl = rms_norm(sl, w["q_norm"][l])
+            q[h * hd : (h + 1) * hd] = rope_apply(sl, pos, c.rope_theta)
         for h in range(c.n_kv_heads):
             sl = k[h * hd : (h + 1) * hd]
-            k[h * hd : (h + 1) * hd] = rope_apply(rms_norm(sl, w["k_norm"][l]), pos, c.rope_theta)
+            if use_qk:
+                sl = rms_norm(sl, w["k_norm"][l])
+            k[h * hd : (h + 1) * hd] = rope_apply(sl, pos, c.rope_theta)
 
         self.key_cache[l, pos] = k
         self.value_cache[l, pos] = v
