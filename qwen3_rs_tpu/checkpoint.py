@@ -131,6 +131,14 @@ def _load_qt_T(wdir: Path, name: str) -> QuantizedTensor:
     return QuantizedTensor(jnp.asarray(np.ascontiguousarray(q)), jnp.asarray(np.ascontiguousarray(s)))
 
 
+def _fuse_out(*tensors: QuantizedTensor) -> QuantizedTensor:
+    """Concatenate in-major tensors along the out axis (fused projections)."""
+    return QuantizedTensor(
+        jnp.concatenate([t.q for t in tensors], axis=-1),
+        jnp.concatenate([t.scales for t in tensors], axis=-1),
+    )
+
+
 def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
     root = Path(path)
     config = ModelConfig.from_native_json((root / "config.json").read_text())
@@ -141,13 +149,12 @@ def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
         rms_ffn=jnp.asarray(_np_load(wdir, "rms_ffn")),
         q_norm=jnp.asarray(_np_load(wdir, "q_norm")),
         k_norm=jnp.asarray(_np_load(wdir, "k_norm")),
-        wq=_load_qt_T(wdir, "wq"),
-        wk=_load_qt_T(wdir, "wk"),
-        wv=_load_qt_T(wdir, "wv"),
+        wqkv=_fuse_out(
+            _load_qt_T(wdir, "wq"), _load_qt_T(wdir, "wk"), _load_qt_T(wdir, "wv")
+        ),
         wo=_load_qt_T(wdir, "wo"),
-        w1=_load_qt_T(wdir, "w1"),
+        w13=_fuse_out(_load_qt_T(wdir, "w1"), _load_qt_T(wdir, "w3")),
         w2=_load_qt_T(wdir, "w2"),
-        w3=_load_qt_T(wdir, "w3"),
     )
     if config.shared_classifier:
         lm_head = _classifier_from(_np_load(wdir, "embed.q"), _np_load(wdir, "embed.s"))
@@ -248,13 +255,10 @@ def load_legacy(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
             rms_ffn=jnp.asarray(rms_ffn),
             q_norm=jnp.asarray(q_norm),
             k_norm=jnp.asarray(k_norm),
-            wq=qt_T(wq),
-            wk=qt_T(wk),
-            wv=qt_T(wv),
+            wqkv=_fuse_out(qt_T(wq), qt_T(wk), qt_T(wv)),
             wo=qt_T(wo),
-            w1=qt_T(w1),
+            w13=_fuse_out(qt_T(w1), qt_T(w3)),
             w2=qt_T(w2),
-            w3=qt_T(w3),
         )
         return config, Qwen3Weights(
             embed=embed, layers=layers, rms_final=jnp.asarray(rms_final), lm_head=lm_head

@@ -52,13 +52,14 @@ class Qwen3LayerWeights(NamedTuple):
     rms_ffn: jax.Array  # [L, dim] f32
     q_norm: jax.Array  # [L, head_dim] f32
     k_norm: jax.Array  # [L, head_dim] f32
-    wq: QuantizedTensor  # [L, dim, all_heads_dim]
-    wk: QuantizedTensor  # [L, dim, kv_dim]
-    wv: QuantizedTensor  # [L, dim, kv_dim]
+    # Projections sharing an input are fused along the out axis — one kernel
+    # streams one contiguous weight block instead of three/two (the out
+    # columns are independent, so results are bit-identical to separate
+    # matmuls; the loaders concatenate at load time).
+    wqkv: QuantizedTensor  # [L, dim, all_heads_dim + 2·kv_dim]  (q | k | v)
     wo: QuantizedTensor  # [L, all_heads_dim, dim]
-    w1: QuantizedTensor  # [L, dim, hidden_dim]   (gate)
+    w13: QuantizedTensor  # [L, dim, 2·hidden_dim]  (gate | up)
     w2: QuantizedTensor  # [L, hidden_dim, dim]   (down)
-    w3: QuantizedTensor  # [L, dim, hidden_dim]   (up)
 
 
 class Qwen3Weights(NamedTuple):
@@ -74,8 +75,8 @@ class Qwen3Weights(NamedTuple):
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, T, n_kv_heads, head_dim]
-    v: jax.Array  # [L, B, T, n_kv_heads, head_dim]
+    k: jax.Array  # [L, B, n_kv_heads, T, head_dim]
+    v: jax.Array  # [L, B, n_kv_heads, T, head_dim]
 
     @property
     def batch(self) -> int:
@@ -83,16 +84,17 @@ class KVCache(NamedTuple):
 
     @property
     def seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
     config: ModelConfig, batch: int, dtype=jnp.float32, seq_len: Optional[int] = None
 ) -> KVCache:
     """Preallocate the dense KV cache (reference: models/qwen3.rs:439-440,
-    but [L, B, T, kv_heads, head_dim] and batched)."""
+    but batched and head-major: each head's [T, head_dim] slab is contiguous
+    so attention reads stream in long bursts)."""
     t = seq_len or config.seq_len
-    shape = (config.n_layers, batch, t, config.n_kv_heads, config.head_dim)
+    shape = (config.n_layers, batch, config.n_kv_heads, t, config.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -192,21 +194,29 @@ def qwen3_forward(
 
     lw_all = weights.layers
 
+    from ..ops import pallas as pallas_ops
+    from ..ops.pallas.flash_attention import decode_supported
+
+    use_flash_decode = (
+        mode == "fast"
+        and s == 1
+        and pallas_ops.pallas_enabled()
+        and decode_supported(
+            config.n_heads, config.n_kv_heads, config.head_dim, cache.seq_len
+        )
+    )
+
     def layer_step(x, scanned):
         idx, rms_att_l, rms_ffn_l, q_norm_l, k_norm_l, k_layer, v_layer = scanned
 
         # --- Attention block (models/qwen3.rs:131-156) ---
         xn = rms_norm(x, rms_att_l, config.norm_eps)
         xq = _maybe_quant(xn, g, mode)
-        q = _project_layer(xn, xq, lw_all.wq, idx, mode).reshape(
-            b, s, config.n_heads, config.head_dim
-        )
-        k = _project_layer(xn, xq, lw_all.wk, idx, mode).reshape(
-            b, s, config.n_kv_heads, config.head_dim
-        )
-        v = _project_layer(xn, xq, lw_all.wv, idx, mode).reshape(
-            b, s, config.n_kv_heads, config.head_dim
-        )
+        qkv = _project_layer(xn, xq, lw_all.wqkv, idx, mode)
+        ah, kvd = config.all_heads_dim, config.kv_dim
+        q = qkv[..., :ah].reshape(b, s, config.n_heads, config.head_dim)
+        k = qkv[..., ah : ah + kvd].reshape(b, s, config.n_kv_heads, config.head_dim)
+        v = qkv[..., ah + kvd :].reshape(b, s, config.n_kv_heads, config.head_dim)
 
         # Per-head QK-RMSNorm then RoPE (layers.rs:346-372).  Llama-family
         # models have no QK-norm (config.use_qk_norm=False).
@@ -220,15 +230,31 @@ def qwen3_forward(
         # *read* here; the new rows are emitted from the scan and scattered
         # into the cache once afterwards — avoiding a full-cache restack per
         # layer per step.
-        att = gqa_attention_split(
-            q.astype(compute_dtype),
-            k_layer,
-            v_layer,
-            k.astype(compute_dtype),
-            v.astype(compute_dtype),
-            q_pos,
-            pos_start,
-        )
+        if use_flash_decode:
+            from ..ops.pallas.flash_attention import flash_gqa_decode_stacked
+
+            # Decode (S=1): the Pallas kernel reads only pos[b] cache rows
+            # per head (the XLA path scans the whole allocated window) and
+            # indexes the stacked cache by layer — no slice copies.
+            att = flash_gqa_decode_stacked(
+                q[:, 0].astype(jnp.float32),
+                k[:, 0].astype(jnp.float32),
+                v[:, 0].astype(jnp.float32),
+                cache.k,
+                cache.v,
+                pos_start,
+                idx,
+            )[:, None]
+        else:
+            att = gqa_attention_split(
+                q.astype(compute_dtype),
+                k_layer,
+                v_layer,
+                k.astype(compute_dtype),
+                v.astype(compute_dtype),
+                q_pos,
+                pos_start,
+            )
         att = att.reshape(b, s, config.all_heads_dim)
         att_q = _maybe_quant(att, g, mode)
         x = x + _project_layer(att, att_q, lw_all.wo, idx, mode).astype(compute_dtype)
@@ -236,8 +262,9 @@ def qwen3_forward(
         # --- FFN block with SwiGLU (models/qwen3.rs:159-175, layers.rs:466-480) ---
         xn = rms_norm(x, rms_ffn_l, config.norm_eps)
         xq = _maybe_quant(xn, g, mode)
-        gate = _project_layer(xn, xq, lw_all.w1, idx, mode)
-        up = _project_layer(xn, xq, lw_all.w3, idx, mode)
+        gate_up = _project_layer(xn, xq, lw_all.w13, idx, mode)
+        gate = gate_up[..., : config.hidden_dim]
+        up = gate_up[..., config.hidden_dim :]
         h = (gate * jax.nn.sigmoid(gate) * up).astype(compute_dtype)
         h_q = _maybe_quant(h, g, mode)
         x = x + _project_layer(h, h_q, lw_all.w2, idx, mode).astype(compute_dtype)
@@ -258,15 +285,17 @@ def qwen3_forward(
         ),
     )
 
-    # Scatter the window's K/V rows ([L, B, S, kv, hd]) into the cache at
-    # per-request offsets — the only cache write of the whole step.
+    # Scatter the window's K/V rows ([L, B, S, kv, hd] → cache's head-major
+    # [L, B, kv, T, hd]) at per-request offsets — the only cache write of
+    # the whole step.
     def scatter(cache_full, new_rows):
-        def upd_b(cache_lb, new_lb, p):  # [T,kv,hd], [S,kv,hd]
+        def upd_b(cache_lb, new_lb, p):  # [kv,T,hd], [kv,S,hd]
             return jax.lax.dynamic_update_slice(
-                cache_lb, new_lb.astype(cache_lb.dtype), (p, 0, 0)
+                cache_lb, new_lb.astype(cache_lb.dtype), (0, p, 0)
             )
 
-        def upd_l(cache_l, new_l):  # [B,T,kv,hd], [B,S,kv,hd]
+        def upd_l(cache_l, new_l):  # [B,kv,T,hd], [B,S,kv,hd]
+            new_l = jnp.swapaxes(new_l, 1, 2)  # → [B,kv,S,hd]
             updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
             if write_mask is None:
                 return updated

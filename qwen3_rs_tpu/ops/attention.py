@@ -9,7 +9,10 @@ covers the long-context path (ops/pallas/flash_attention.py).
 
 Conventions:
 * queries      q:     [B, S, n_heads, head_dim]
-* cache        k, v:  [B, T, n_kv_heads, head_dim]  (T = allocated seq_len)
+* cache        k, v:  [B, n_kv_heads, T, head_dim]  (T = allocated seq_len;
+  head-major so each head's [T, head_dim] slab is contiguous — the layout
+  the flash kernel DMAs in long bursts)
+* window k/v   [B, S, n_kv_heads, head_dim] (projection output order)
 * ``q_pos``    absolute position of each query row: [B, S] int32
 * attention scale is 1/sqrt(head_dim) (layers.rs:375); softmax in f32 with
   max subtraction (layers.rs:495-506); GQA maps query head h to kv head
@@ -59,7 +62,7 @@ def gqa_attention_split(
     """Causal GQA attention over a cached prefix plus the current window.
 
     q:        [B, S, n_heads, head_dim] — queries for the current window
-    k_cache:  [B, T, n_kv, head_dim]    — cache; rows t < pos_start[b] valid
+    k_cache:  [B, n_kv, T, head_dim]    — cache; rows t < pos_start[b] valid
     k_new:    [B, S, n_kv, head_dim]    — keys for the window itself
     q_pos:    [B, S] absolute positions; pos_start: [B]
 
@@ -70,8 +73,7 @@ def gqa_attention_split(
     Softmax is computed jointly across both parts (shared max / sum).
     """
     b, s, n_heads, head_dim = q.shape
-    t = k_cache.shape[1]
-    n_kv = k_cache.shape[2]
+    n_kv, t = k_cache.shape[1], k_cache.shape[2]
     kv_mul = n_heads // n_kv
     scale = 1.0 / (head_dim**0.5)
 
@@ -79,7 +81,7 @@ def gqa_attention_split(
 
     # Cache part: [B, KV, M, S, T], valid where t < pos_start.
     sc = jnp.einsum(
-        "bsnmh,btnh->bnmst", qf, k_cache.astype(jnp.float32), preferred_element_type=jnp.float32
+        "bsnmh,bnth->bnmst", qf, k_cache.astype(jnp.float32), preferred_element_type=jnp.float32
     ) * scale
     cache_mask = (
         jnp.arange(t, dtype=jnp.int32)[None, None, :] < pos_start[:, None, None]
@@ -106,7 +108,7 @@ def gqa_attention_split(
     denom = jnp.sum(ec, axis=-1, keepdims=True) + jnp.sum(en, axis=-1, keepdims=True)
 
     out = jnp.einsum(
-        "bnmst,btnh->bsnmh", ec, v_cache.astype(jnp.float32), preferred_element_type=jnp.float32
+        "bnmst,bnth->bsnmh", ec, v_cache.astype(jnp.float32), preferred_element_type=jnp.float32
     ) + jnp.einsum(
         "bnmsj,bjnh->bsnmh", en, v_new.astype(jnp.float32), preferred_element_type=jnp.float32
     )
@@ -118,8 +120,9 @@ def gqa_attention_split(
 def gqa_attention_xla(
     q: jax.Array, k: jax.Array, v: jax.Array, q_pos: jax.Array
 ) -> jax.Array:
+    """Dense attention over a fully-written cache (k/v [B, n_kv, T, hd])."""
     b, s, n_heads, head_dim = q.shape
-    _, t, n_kv, _ = k.shape
+    _, n_kv, t, _ = k.shape
     kv_mul = n_heads // n_kv
     scale = 1.0 / (head_dim**0.5)
 
@@ -128,7 +131,7 @@ def gqa_attention_xla(
     vf = v.astype(jnp.float32)
 
     # scores[b, kv, m, s, t] = q · k * scale
-    scores = jnp.einsum("bsnmh,btnh->bnmst", qf, kf, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bsnmh,bnth->bnmst", qf, kf, preferred_element_type=jnp.float32)
     scores = scores * scale
 
     key_idx = jnp.arange(t, dtype=jnp.int32)
@@ -136,5 +139,5 @@ def gqa_attention_xla(
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
     att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bnmst,btnh->bsnmh", att, vf, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnmst,bnth->bsnmh", att, vf, preferred_element_type=jnp.float32)
     return out.reshape(b, s, n_heads, head_dim).astype(q.dtype)

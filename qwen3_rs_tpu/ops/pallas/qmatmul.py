@@ -57,15 +57,34 @@ def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int
     )
 
 
-# ~VMEM budget for the weight tile (int8 codes; dequantized bf16 copy is 2×,
-# double buffering 2× more → keep codes ≤ 2 MB so the working set ≲ 12 MB).
-_TILE_BYTES_BUDGET = 2 * 1024 * 1024
+# ~VMEM budget for the weight tile (int8 codes; the dequantized bf16 copy is
+# 2×, double buffering 2× more → keep codes ≤ 3 MB so the working set ≲ 12 MB).
+_TILE_BYTES_BUDGET = 3 * 1024 * 1024
+
+
+def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
+    """Divisors of ``dim`` that are multiples of ``step``, up to ``cap``."""
+    out = []
+    c = step
+    while c <= min(dim, cap):
+        if dim % c == 0:
+            out.append(c)
+        c += step
+    return out
 
 
 def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
-    """Largest (tile_n, tile_d) dividing (n, d) within the VMEM budget."""
-    n_candidates = [c for c in (2048, 1024, 512, 256, 128) if n % c == 0 and c % group_size == 0]
-    d_candidates = [c for c in (4096, 2048, 1024, 512, 256, 128) if d % c == 0]
+    """(tile_n, tile_d) dividing (n, d): maximize block size within the VMEM
+    budget (per-block fixed costs ~1-2 µs amortize over DMA time), preferring
+    fewer blocks at equal size."""
+    step_n = max(group_size, 256)
+    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if c % group_size == 0]
+    d_candidates = _divisor_tiles(d, 256, 8192)
+    # Small-dim escape hatches (still Mosaic-tileable).
+    if not n_candidates:
+        n_candidates = [c for c in _divisor_tiles(n, 128, 8192) if c % group_size == 0]
+    if not d_candidates:
+        d_candidates = _divisor_tiles(d, 128, 8192)
     if not n_candidates or not d_candidates:
         return None
     best = None
@@ -73,11 +92,14 @@ def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
         for td in d_candidates:
             if tn * td > _TILE_BYTES_BUDGET:
                 continue
-            size = tn * td
-            if best is None or size > best[0]:
-                best = (size, tn, td)
+            blocks = (n // tn) * (d // td)
+            # ≥2 blocks keep the DMA of block k+1 overlapped with the
+            # dequant+dot of block k; a single block runs serial.
+            key = (blocks >= 2, tn * td, -blocks)
+            if best is None or key > best[0]:
+                best = (key, tn, td)
     if best is None:
-        return n_candidates[-1], d_candidates[-1]
+        return n_candidates[0], d_candidates[0]
     return best[1], best[2]
 
 

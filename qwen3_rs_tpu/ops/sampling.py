@@ -114,26 +114,48 @@ class Sampler:
 def sample_tokens_jax(
     logits: jax.Array,
     key: jax.Array,
-    temperature: float,
-    topp: float,
+    temperature,
+    topp,
 ) -> jax.Array:
     """Batched on-device sampling for the serving path.
 
-    logits: [B, V] → [B] int32.  Same decision structure as the reference
-    (temp=0 → argmax; topp outside (0,1) → plain categorical; else nucleus)
-    but drawn from jax.random — reproducible per key, not bit-identical to
-    the xorshift host path.
+    logits: [B, V] → [B] int32.  ``temperature``/``topp`` may be python
+    scalars (whole batch) or per-request [B] arrays.  Same decision
+    structure as the reference (temp=0 → argmax; topp outside (0,1) → plain
+    categorical; else nucleus) but drawn from jax.random — reproducible per
+    key, not bit-identical to the xorshift host path.
     """
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / temperature
-    if topp <= 0.0 or topp >= 1.0:
-        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    scalar_params = not (hasattr(temperature, "shape") and getattr(temperature, "ndim", 0))
+    if scalar_params:
+        # Scalar fast paths avoid the vocab sort entirely where possible.
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits.astype(jnp.float32) / temperature
+        if topp <= 0.0 or topp >= 1.0:
+            return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        return _topp_sample(scaled, key, jnp.float32(topp))
+
+    temperature = jnp.asarray(temperature, jnp.float32)  # [B]
+    topp_arr = jnp.asarray(topp, jnp.float32)  # [B]
+    safe_t = jnp.where(temperature == 0.0, 1.0, temperature)
+    scaled = logits.astype(jnp.float32) / safe_t[:, None]
+    # Rows with topp outside (0,1) keep everything (effective topp 1.0).
+    nucleus = (topp_arr > 0.0) & (topp_arr < 1.0)
+    sampled = _topp_sample(scaled, key, jnp.where(nucleus, topp_arr, 1.0))
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature == 0.0, greedy, sampled)
+
+
+def _topp_sample(scaled: jax.Array, key: jax.Array, topp) -> jax.Array:
+    """Nucleus sampling on scaled logits [B, V]; topp scalar or [B]."""
+    topp = jnp.asarray(topp, jnp.float32)
+    if topp.ndim == 0:
+        topp = topp[None]
     probs = jax.nn.softmax(scaled, axis=-1)
     sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
     cum = jnp.cumsum(sorted_probs, axis=-1)
     # Keep the smallest prefix with cumulative > topp (inclusive boundary).
-    keep_sorted = cum - sorted_probs <= topp
+    keep_sorted = cum - sorted_probs <= topp[:, None]
     threshold = jnp.min(
         jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
     )

@@ -28,7 +28,13 @@ from .mesh import DP_AXIS, TP_AXIS
 
 
 def validate_tp(config: ModelConfig, tp: int) -> None:
-    """Check that a tp degree is compatible with the model's shapes."""
+    """Check that a tp degree is compatible with the model's shapes.
+
+    Note: the fused wqkv/w13 projections shard on their concatenated out
+    axis; q|k|v split boundaries align with shard boundaries when tp divides
+    n_kv_heads (Qwen3's n_heads = 2·n_kv_heads ⇒ aligned for even tp).
+    Misaligned splits remain correct under GSPMD, at extra collective cost.
+    """
     if config.n_kv_heads % tp and tp % config.n_kv_heads:
         raise ValueError(
             f"tp={tp} incompatible with n_kv_heads={config.n_kv_heads}: one must divide the other"
@@ -69,13 +75,10 @@ def weight_pspecs(config: ModelConfig) -> Qwen3Weights:
         rms_ffn=P(None, None),
         q_norm=P(None, None),
         k_norm=P(None, None),
-        wq=col,
-        wk=col,
-        wv=col,
+        wqkv=col,
         wo=row,
-        w1=col,
+        w13=col,
         w2=row,
-        w3=col,
     )
     return Qwen3Weights(
         embed=_qt_spec(P(TP_AXIS, None)),  # [V(tp), dim] row-major
@@ -86,8 +89,8 @@ def weight_pspecs(config: ModelConfig) -> Qwen3Weights:
 
 
 def cache_pspecs() -> KVCache:
-    """[L, B(dp), T, n_kv(tp), head_dim]."""
-    spec = P(None, DP_AXIS, None, TP_AXIS, None)
+    """[L, B(dp), n_kv(tp), T, head_dim]."""
+    spec = P(None, DP_AXIS, TP_AXIS, None, None)
     return KVCache(spec, spec)
 
 

@@ -83,6 +83,9 @@ class ContinuousBatchingEngine:
         mode: str = "fast",
         cache_dtype=jnp.bfloat16,
         prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
+        sampling: str = "host",
+        decode_chunk_steps: int = 8,
+        seed: int = 0,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -91,6 +94,13 @@ class ContinuousBatchingEngine:
         self.weights = weights
         self.n_slots = n_slots
         self.mode = mode
+        # "host": per-request reference-parity xorshift samplers, one forward
+        # per scheduler step.  "device": forward+sampling chunked on device —
+        # decode_chunk_steps tokens per dispatch per slot, per-request
+        # temperature/top-p as [B] arrays (throughput mode; jax PRNG).
+        self.sampling = sampling
+        self.decode_chunk_steps = decode_chunk_steps
+        self._key = jax.random.PRNGKey(seed)
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= config.seq_len
         ) or (config.seq_len,)
@@ -113,6 +123,22 @@ class ContinuousBatchingEngine:
         def _decode(weights, tokens, cache, pos, active):
             return fwd(weights, tokens, cache, pos, write_mask=active)
 
+        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(8,))
+        def _decode_chunked(weights, tokens, cache, pos, active, temps, topps, key, n_steps):
+            from ..ops.sampling import sample_tokens_jax
+
+            def body(carry, _):
+                tokens, cache, pos, key = carry
+                logits, cache = fwd(weights, tokens, cache, pos, write_mask=active)
+                key, sub = jax.random.split(key)
+                nxt = sample_tokens_jax(logits, sub, temps, topps)
+                return (nxt[:, None], cache, pos + 1, key), nxt
+
+            (_, cache, _, _), toks = jax.lax.scan(
+                body, (tokens, cache, pos, key), None, length=n_steps
+            )
+            return toks, cache
+
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _prefill1(weights, tokens, cache, out_idx):
             return fwd(
@@ -122,7 +148,9 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
         def _insert(cache, scratch, s_len: int, slot):
             def ins(big, small):
-                window = jax.lax.dynamic_slice_in_dim(small, 0, s_len, axis=2)
+                # cache layout [L, B, kv, T, hd]: copy the scratch slot's
+                # first s_len rows of every head into the target slot.
+                window = jax.lax.dynamic_slice_in_dim(small, 0, s_len, axis=3)
                 return jax.lax.dynamic_update_slice(
                     big, window.astype(big.dtype), (0, slot, 0, 0, 0)
                 )
@@ -130,6 +158,7 @@ class ContinuousBatchingEngine:
             return KVCache(ins(cache.k, scratch.k), ins(cache.v, scratch.v))
 
         self._decode = _decode
+        self._decode_chunked = _decode_chunked
         self._prefill1 = _prefill1
         self._insert = _insert
 
@@ -205,6 +234,9 @@ class ContinuousBatchingEngine:
         self._emit(req, first, emitted)
 
     def _decode_all(self, emitted) -> None:
+        if self.sampling == "device":
+            self._decode_all_chunked(emitted)
+            return
         active = np.array([r is not None for r in self.slot_request])
         logits, self.cache = self._decode(
             self.weights,
@@ -226,6 +258,48 @@ class ContinuousBatchingEngine:
             token = req._sampler.sample(logits_np[slot])
             self.slot_token[slot] = token
             self._emit(req, token, emitted)
+
+    def _decode_all_chunked(self, emitted) -> None:
+        """Device-side chunk: n_steps of forward+per-request sampling in one
+        dispatch; EOS/length handled on the host afterwards (a slot's cache
+        rows past its stopping point are never attended — see scatter
+        semantics in models/qwen3.py)."""
+        active_mask = np.array([r is not None for r in self.slot_request])
+        active_pos = self.slot_pos[active_mask]
+        max_pos = int(active_pos.max()) if active_pos.size else 0
+        n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len - max_pos))
+        temps = np.array(
+            [r.temperature if r else 0.0 for r in self.slot_request], np.float32
+        )
+        topps = np.array([r.topp if r else 1.0 for r in self.slot_request], np.float32)
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode_chunked(
+            self.weights,
+            jnp.asarray(self.slot_token[:, None]),
+            self.cache,
+            jnp.asarray(self.slot_pos),
+            jnp.asarray(active_mask),
+            jnp.asarray(temps),
+            jnp.asarray(topps),
+            sub,
+            n_steps,
+        )
+        toks_np = np.asarray(toks)  # [n_steps, B]
+        self._decode_steps += n_steps
+        for slot, req in enumerate(self.slot_request):
+            if req is None:
+                continue
+            for i in range(n_steps):
+                self._decode_tokens += 1
+                self.slot_pos[slot] += 1
+                if self.slot_pos[slot] >= self.config.seq_len:
+                    self._finish(req, "length")
+                    break
+                token = int(toks_np[i, slot])
+                self.slot_token[slot] = token
+                self._emit(req, token, emitted)
+                if req.state == RequestState.DONE:
+                    break
 
     def _emit(self, req: Request, token: int, emitted) -> None:
         if token in req.eos_token_ids:

@@ -84,13 +84,10 @@ def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
         rms_ffn=norm(c.n_layers, c.dim),
         q_norm=norm(c.n_layers, c.head_dim),
         k_norm=norm(c.n_layers, c.head_dim),
-        wq=stack(qt_T, c.dim, c.all_heads_dim),
-        wk=stack(qt_T, c.dim, c.kv_dim),
-        wv=stack(qt_T, c.dim, c.kv_dim),
+        wqkv=stack(qt_T, c.dim, c.all_heads_dim + 2 * c.kv_dim),
         wo=stack(qt_T, c.all_heads_dim, c.dim),
-        w1=stack(qt_T, c.dim, c.hidden_dim),
+        w13=stack(qt_T, c.dim, 2 * c.hidden_dim),
         w2=stack(qt_T, c.hidden_dim, c.dim),
-        w3=stack(qt_T, c.dim, c.hidden_dim),
     )
     return Qwen3Weights(embed=embed, layers=layers, rms_final=norm(c.dim), lm_head=lm_head)
 

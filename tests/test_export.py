@@ -168,7 +168,7 @@ class TestExportRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(w_n.embed.scales), np.asarray(w_l.embed.scales)
         )
-        for field in ["wq", "wk", "wv", "wo", "w1", "w2", "w3"]:
+        for field in ["wqkv", "wo", "w13", "w2"]:
             qn = getattr(w_n.layers, field)
             ql = getattr(w_l.layers, field)
             np.testing.assert_array_equal(np.asarray(qn.q), np.asarray(ql.q))
@@ -188,8 +188,9 @@ class TestExportRoundTrip:
         reader = TensorReader(model_dir)
         src = reader.load_tensor("model.layers.0.self_attn.q_proj.weight")
         # In-memory layout is in-major; transpose back to compare row-major.
-        q0 = np.asarray(w.layers.wq.q)[0].T
-        s0 = np.asarray(w.layers.wq.scales)[0].T
+        ah = cfg.all_heads_dim
+        q0 = np.asarray(w.layers.wqkv.q)[0][:, :ah].T
+        s0 = np.asarray(w.layers.wqkv.scales)[0][:, :ah].T
         got = dequantize_np(q0, s0)
         step = np.repeat(s0, cfg.group_size, axis=-1)
         assert np.all(np.abs(got - src) <= step / 2 + 1e-7)
@@ -265,14 +266,15 @@ class TestLoRAExport:
         reader = TensorReader(model_dir)
         base = reader.load_tensor("model.layers.0.self_attn.q_proj.weight")
         expected = base + (alpha / rank) * (b @ a)
-        q0 = np.asarray(w.layers.wq.q)[0].T
-        s0 = np.asarray(w.layers.wq.scales)[0].T
+        ah = TINY_CONFIG.all_heads_dim
+        q0 = np.asarray(w.layers.wqkv.q)[0][:, :ah].T
+        s0 = np.asarray(w.layers.wqkv.scales)[0][:, :ah].T
         got = dequantize_np(q0, s0)
         step = np.repeat(s0, 16, axis=-1)
         assert np.all(np.abs(got - expected) <= step / 2 + 1e-6)
         # Layer 1 (no adapters) must be untouched base quantization.
         base1 = reader.load_tensor("model.layers.1.self_attn.q_proj.weight")
-        q1 = np.asarray(w.layers.wq.q)[1].T
-        s1 = np.asarray(w.layers.wq.scales)[1].T
+        q1 = np.asarray(w.layers.wqkv.q)[1][:, :ah].T
+        s1 = np.asarray(w.layers.wqkv.scales)[1][:, :ah].T
         got1 = dequantize_np(q1, s1)
         assert np.all(np.abs(got1 - base1) <= np.repeat(s1, 16, axis=-1) / 2 + 1e-7)

@@ -62,6 +62,13 @@ def make_weights(config, rng, scale=0.08):
             jnp.asarray(np.swapaxes(np_w[f"{name}.s"], -1, -2).copy()),
         )
 
+    def fuse(*names):
+        parts = [qt_T(n) for n in names]
+        return QuantizedTensor(
+            jnp.concatenate([p.q for p in parts], axis=-1),
+            jnp.concatenate([p.scales for p in parts], axis=-1),
+        )
+
     weights = Qwen3Weights(
         embed=qt("embed"),
         layers=Qwen3LayerWeights(
@@ -69,13 +76,10 @@ def make_weights(config, rng, scale=0.08):
             rms_ffn=jnp.asarray(np_w["rms_ffn"]),
             q_norm=jnp.asarray(np_w["q_norm"]),
             k_norm=jnp.asarray(np_w["k_norm"]),
-            wq=qt_T("wq"),
-            wk=qt_T("wk"),
-            wv=qt_T("wv"),
+            wqkv=fuse("wq", "wk", "wv"),
             wo=qt_T("wo"),
-            w1=qt_T("w1"),
+            w13=fuse("w1", "w3"),
             w2=qt_T("w2"),
-            w3=qt_T("w3"),
         ),
         rms_final=jnp.asarray(np_w["rms_final"]),
         lm_head=QuantizedTensor(

@@ -49,8 +49,8 @@ def test_attention_matches_reference_loop(rng):
     b, t, n_heads, n_kv, hd = 1, 8, 4, 2, 16
     kv_mul = n_heads // n_kv
     q = rng.normal(0, 1, (b, 1, n_heads, hd)).astype(np.float32)
-    k = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
-    v = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
     pos = 5  # only t <= 5 participates
 
     out = np.asarray(
@@ -62,9 +62,9 @@ def test_attention_matches_reference_loop(rng):
     scale = 1.0 / np.sqrt(hd)
     for h in range(n_heads):
         kvh = h // kv_mul
-        scores = (k[0, : pos + 1, kvh] @ q[0, 0, h]) * scale
+        scores = (k[0, kvh, : pos + 1] @ q[0, 0, h]) * scale
         att = ref_engine.softmax(scores)
-        expected = att @ v[0, : pos + 1, kvh]
+        expected = att @ v[0, kvh, : pos + 1]
         np.testing.assert_allclose(out[0, 0, h], expected, rtol=1e-5, atol=1e-5)
 
 
@@ -72,15 +72,15 @@ def test_attention_causal_mask(rng):
     """Changing future cache entries must not change outputs."""
     b, t, n_heads, n_kv, hd = 2, 16, 4, 4, 8
     q = rng.normal(0, 1, (b, 1, n_heads, hd)).astype(np.float32)
-    k = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
-    v = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
     pos = np.array([[3], [7]], np.int32)
     out1 = np.asarray(gqa_attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos)))
     k2, v2 = k.copy(), v.copy()
-    k2[0, 4:] = 99.0
-    v2[0, 4:] = -99.0
-    k2[1, 8:] = 99.0
-    v2[1, 8:] = -99.0
+    k2[0, :, 4:] = 99.0
+    v2[0, :, 4:] = -99.0
+    k2[1, :, 8:] = 99.0
+    v2[1, :, 8:] = -99.0
     out2 = np.asarray(gqa_attention_xla(jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2), jnp.asarray(pos)))
     np.testing.assert_allclose(out1, out2, rtol=1e-6)
 
@@ -91,8 +91,8 @@ def test_attention_split_equals_dense(rng):
     from qwen3_rs_tpu.ops.attention import gqa_attention_split
 
     b, t, n_heads, n_kv, hd, s = 2, 16, 4, 2, 8, 3
-    k_cache = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
-    v_cache = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    k_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
     q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
     k_new = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
     v_new = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
@@ -115,8 +115,8 @@ def test_attention_split_equals_dense(rng):
     k_full = k_cache.copy()
     v_full = v_cache.copy()
     for i in range(b):
-        k_full[i, pos_start[i] : pos_start[i] + s] = k_new[i]
-        v_full[i, pos_start[i] : pos_start[i] + s] = v_new[i]
+        k_full[i, :, pos_start[i] : pos_start[i] + s] = np.swapaxes(k_new[i], 0, 1)
+        v_full[i, :, pos_start[i] : pos_start[i] + s] = np.swapaxes(v_new[i], 0, 1)
     out_dense = np.asarray(
         gqa_attention_xla(
             jnp.asarray(q), jnp.asarray(k_full), jnp.asarray(v_full), jnp.asarray(q_pos)
@@ -129,8 +129,8 @@ def test_attention_prefill_window(rng):
     """Multi-row query window attends causally within the window."""
     b, t, n_heads, n_kv, hd, s = 1, 8, 2, 1, 8, 4
     q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
-    k = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
-    v = rng.normal(0, 1, (b, t, n_kv, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
     q_pos = np.arange(s, dtype=np.int32)[None, :]
     out = np.asarray(gqa_attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(q_pos)))
     # Row i must equal a decode call at pos=i.

@@ -136,6 +136,43 @@ class TestScheduler:
         assert s["p50_ttft"] is not None
         assert 0 < s["slot_utilization"] <= 1.0
 
+    def test_device_chunked_matches_host_greedy(self, setup):
+        """Device-sampling chunked decode must match the host single-step
+        path for greedy requests."""
+        config, weights = setup
+        prompts = [[3, 17, 42], [9, 2, 55, 8]]
+        n = 6
+        results = {}
+        for sampling in ("host", "device"):
+            engine = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8,), sampling=sampling, decode_chunk_steps=3,
+            )
+            for i, p in enumerate(prompts):
+                engine.submit(Request(request_id=i, prompt_tokens=p, max_new_tokens=n))
+            results[sampling] = {r.request_id: r.generated for r in engine.run()}
+        assert results["host"] == results["device"]
+
+    def test_device_chunked_eos_and_slot_reuse(self, setup):
+        config, weights = setup
+        engine = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=1, mode="fast",
+            prefill_buckets=(8,), sampling="device", decode_chunk_steps=4,
+        )
+        solo = _greedy_single(config, weights, [3, 17], 1)
+        engine.submit(
+            Request(request_id=0, prompt_tokens=[3, 17], max_new_tokens=50,
+                    eos_token_ids=(solo[0],))
+        )
+        engine.submit(Request(request_id=1, prompt_tokens=[5, 9], max_new_tokens=3))
+        done = {r.request_id: r for r in engine.run()}
+        assert done[0].finish_reason == "stop"
+        assert done[0].generated == []
+        assert len(done[1].generated) == 3
+        # Slot-1 result must be unaffected by slot reuse after request 0.
+        expected = _greedy_single(config, weights, [5, 9], 3)
+        assert done[1].generated == expected
+
     def test_seeded_sampling_reproducible(self, setup):
         config, weights = setup
         outs = []
