@@ -61,9 +61,14 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     steps_long = int(os.environ.get("BENCH_STEPS", "256"))
     steps_short = max(steps_long // 4, 1)
+    mode = os.environ.get("BENCH_MODE", "decode")  # decode | prefill
 
     config = qwen3_config(model_name, seq_len=seq_len)
     weights = random_weights(config)
+
+    if mode == "prefill":
+        _bench_prefill(config, weights, batch, seq_len)
+        return
 
     def decode_n(weights, token, cache, pos, n_steps):
         def body(carry, _):
@@ -104,6 +109,59 @@ def main() -> None:
                 "value": round(tok_per_sec, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": round(tok_per_sec / roofline, 4),
+            }
+        )
+    )
+
+
+def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
+    """Prefill latency (TTFT proxy): one full-window forward.
+
+    Timed as the slope between k=3 and k=1 chained prefills inside single
+    dispatches, cancelling dispatch + fetch RTT.
+    """
+    import functools
+
+    import numpy as np
+
+    from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
+
+    s = int(os.environ.get("BENCH_PREFILL_LEN", str(min(4096, seq_len))))
+
+    def prefill_k(weights, tokens, cache, k):
+        logits = None
+        for i in range(k):
+            logits, cache = qwen3_forward(
+                config, weights, tokens + i, cache, jnp.zeros(batch, jnp.int32), mode="fast"
+            )
+        return logits, cache
+
+    times = {}
+    for k in (1, 3):
+        f = jax.jit(
+            functools.partial(prefill_k, k=k), donate_argnums=(2,)
+        )
+        cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
+        tokens = jnp.ones((batch, s), jnp.int32)
+        logits, _ = f(weights, tokens, cache)
+        np.asarray(logits)
+        cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        logits, _ = f(weights, tokens, cache)
+        np.asarray(logits)
+        times[k] = time.perf_counter() - t0
+    per_prefill = (times[3] - times[1]) / 2
+
+    print(
+        json.dumps(
+            {
+                "metric": f"prefill_ms_qwen3_{os.environ.get('BENCH_MODEL', '0.6b')}"
+                f"_s{s}_b{batch}",
+                "value": round(per_prefill * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(
+                    (batch * s / per_prefill) / 1e6, 4
+                ),  # Mtok/s prefill throughput
             }
         )
     )

@@ -140,7 +140,16 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
 
         _, n, d = w_all.q.shape
         group_size = n // w_all.scales.shape[1]
-        if pallas_ops.pallas_enabled() and supports_shapes(n, d, group_size):
+        batch_rows = 1
+        for dim in x.shape[:-1]:
+            batch_rows *= dim
+        # Row cap: the kernel holds whole [rows, tile] activation/output
+        # blocks in VMEM — decode and small prefill buckets only.
+        if (
+            pallas_ops.pallas_enabled()
+            and batch_rows <= 256
+            and supports_shapes(n, d, group_size)
+        ):
             return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
     return _project(x, xq, _slice_layer(w_all, idx), mode)
 

@@ -99,14 +99,37 @@ def qmatmul(x: jax.Array, w: QuantizedTensor, *, use_pallas: bool | None = None)
     n, d = w.q.shape
     g_count = w.scales.shape[0]
     group_size = n // g_count
+    batch_rows = 1
+    for dim in x.shape[:-1]:
+        batch_rows *= dim
     if use_pallas is None:
         from .pallas.qmatmul import supports_shapes
 
-        use_pallas = pallas_ops.pallas_enabled() and supports_shapes(n, d, group_size)
+        # The kernel keeps the whole [rows, tile] activation/output blocks in
+        # VMEM — fine for decode/small prefill buckets, not for long prefill
+        # windows (compute-bound there anyway; XLA handles them well).
+        use_pallas = (
+            pallas_ops.pallas_enabled()
+            and batch_rows <= 256
+            and supports_shapes(n, d, group_size)
+        )
     if use_pallas:
         return pallas_ops.qmatmul_pallas(x, w)
 
     batch_shape = x.shape[:-1]
+    if batch_rows >= 512:
+        # Long prefill windows are compute bound: dequantize once and run a
+        # single MXU-saturating contraction (the per-group form below would
+        # issue G separate K=64 dots — poor MXU utilization).
+        wf = dequant_weights(w, jnp.bfloat16)
+        out = jax.lax.dot_general(
+            x.reshape(-1, n).astype(jnp.bfloat16),
+            wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(*batch_shape, d)
+
     xf = x.reshape(-1, g_count, group_size).astype(jnp.float32)
     wq = w.q.reshape(g_count, group_size, d)
     # Per-group contraction with the weight scale applied afterwards:
