@@ -48,6 +48,12 @@ def gqa_attention(
     return gqa_attention_xla(q, k, v, q_pos)
 
 
+# Above this many query rows, prefill attention runs in query chunks: the
+# full [S, T] score tensor at S=T=4096 is ~0.5 GB per (kv, mul) pair — the
+# chunked form bounds it to [CHUNK, T] and scans.
+_QUERY_CHUNK = 512
+
+
 def gqa_attention_split(
     q: jax.Array,
     k_cache: jax.Array,
@@ -71,7 +77,43 @@ def gqa_attention_split(
     attention: the window's K/V never round-trip through HBM, and the model's
     layer scan can emit just the new rows instead of restacking the cache.
     Softmax is computed jointly across both parts (shared max / sum).
+
+    Long windows are processed in query chunks to bound the score tensor.
     """
+    s = q.shape[1]
+    if s > _QUERY_CHUNK and s % _QUERY_CHUNK == 0:
+        outs = []
+        for c in range(s // _QUERY_CHUNK):
+            sl = slice(c * _QUERY_CHUNK, (c + 1) * _QUERY_CHUNK)
+            outs.append(
+                _split_attn_body(
+                    q[:, sl],
+                    k_cache,
+                    v_cache,
+                    k_new,
+                    v_new,
+                    q_pos[:, sl],
+                    pos_start,
+                    win_offset=c * _QUERY_CHUNK,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+    return _split_attn_body(q, k_cache, v_cache, k_new, v_new, q_pos, pos_start, win_offset=0)
+
+
+def _split_attn_body(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    q_pos: jax.Array,
+    pos_start: jax.Array,
+    *,
+    win_offset: int,
+) -> jax.Array:
+    """One query chunk: q rows sit at window offsets win_offset..+S_q over
+    the full k_new/v_new window [S_w]."""
     b, s, n_heads, head_dim = q.shape
     n_kv, t = k_cache.shape[1], k_cache.shape[2]
     kv_mul = n_heads // n_kv
@@ -88,14 +130,16 @@ def gqa_attention_split(
     )  # [B, 1, T]
     sc = jnp.where(cache_mask[:, None, None, :, :], sc, -jnp.inf)
 
-    # Window part: [B, KV, M, S, S], causal within the window (j <= i).
+    # Window part: [B, KV, M, S_q, S_w], causal within the full window
+    # (global row index win_offset + i attends window cols j <= that index).
+    s_w = k_new.shape[1]
     sn = jnp.einsum(
         "bsnmh,bjnh->bnmsj", qf, k_new.astype(jnp.float32), preferred_element_type=jnp.float32
     ) * scale
     win_mask = (
-        jnp.arange(s, dtype=jnp.int32)[None, :, None]
-        >= jnp.arange(s, dtype=jnp.int32)[None, None, :]
-    )  # [1, S, S]
+        win_offset + jnp.arange(s, dtype=jnp.int32)[None, :, None]
+        >= jnp.arange(s_w, dtype=jnp.int32)[None, None, :]
+    )  # [1, S_q, S_w]
     sn = jnp.where(win_mask[:, None, None, :, :], sn, -jnp.inf)
 
     # Joint softmax (the window always contains the self key, so the max is

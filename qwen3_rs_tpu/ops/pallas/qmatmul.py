@@ -59,7 +59,7 @@ def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int
 
 # ~VMEM budget for the weight tile (int8 codes; the dequantized bf16 copy is
 # 2×, double buffering 2× more → keep codes ≤ 3 MB so the working set ≲ 12 MB).
-_TILE_BYTES_BUDGET = 3 * 1024 * 1024
+_TILE_BYTES_BUDGET = 1536 * 1024
 
 
 def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
@@ -77,12 +77,18 @@ def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
     """(tile_n, tile_d) dividing (n, d): maximize block size within the VMEM
     budget (per-block fixed costs ~1-2 µs amortize over DMA time), preferring
     fewer blocks at equal size."""
+    def n_ok(c: int) -> bool:
+        # The scales block is [c // group_size, tile_d]; its sublane dim must
+        # be a multiple of 8 (or span the full group axis).
+        groups = c // group_size
+        return c % group_size == 0 and (groups % 8 == 0 or c == n)
+
     step_n = max(group_size, 256)
-    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if c % group_size == 0]
+    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if n_ok(c)]
     d_candidates = _divisor_tiles(d, 256, 8192)
     # Small-dim escape hatches (still Mosaic-tileable).
     if not n_candidates:
-        n_candidates = [c for c in _divisor_tiles(n, 128, 8192) if c % group_size == 0]
+        n_candidates = [c for c in _divisor_tiles(n, 128, 8192) if n_ok(c)]
     if not d_candidates:
         d_candidates = _divisor_tiles(d, 128, 8192)
     if not n_candidates or not d_candidates:

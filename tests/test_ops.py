@@ -125,6 +125,27 @@ def test_attention_split_equals_dense(rng):
     np.testing.assert_allclose(out_split, out_dense, rtol=1e-5, atol=1e-5)
 
 
+def test_attention_query_chunking(rng, monkeypatch):
+    """Chunked long-window attention must equal the unchunked computation."""
+    import qwen3_rs_tpu.ops.attention as A
+
+    b, t, n_kv, hd, s = 2, 64, 2, 8, 32
+    n_heads = 4
+    k_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
+    kn = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    vn = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    ps = np.array([16, 0], np.int32)
+    qp = ps[:, None] + np.arange(s, dtype=np.int32)[None, :]
+    args = tuple(map(jnp.asarray, (q, k_cache, v_cache, kn, vn, qp, ps)))
+
+    full = np.asarray(A._split_attn_body(*args, win_offset=0))
+    monkeypatch.setattr(A, "_QUERY_CHUNK", 8)
+    chunked = np.asarray(A.gqa_attention_split(*args))
+    np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
+
+
 def test_attention_prefill_window(rng):
     """Multi-row query window attends causally within the window."""
     b, t, n_heads, n_kv, hd, s = 1, 8, 2, 1, 8, 4
