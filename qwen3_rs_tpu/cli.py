@@ -66,6 +66,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="sample on the TPU instead of the host xorshift sampler",
     )
 
+    # batch: continuous-batching throughput runner (serving surface).
+    bt = sub.add_parser("batch", help="Serve a batch of prompts with continuous batching")
+    bt.add_argument("checkpoint")
+    bt.add_argument(
+        "-f", "--file", required=True, help="text file: one prompt per line"
+    )
+    bt.add_argument("-n", "--max-new-tokens", type=int, default=128)
+    bt.add_argument("-t", "--temperature", type=float, default=0.0)
+    bt.add_argument("-p", "--topp", type=float, default=0.9)
+    bt.add_argument("-s", "--seed", type=int, default=0)
+    bt.add_argument("--slots", type=int, default=8, help="concurrent decode slots")
+    bt.add_argument(
+        "--sampling", choices=["host", "device"], default="device",
+        help="host = reference-parity xorshift; device = chunked on-TPU sampling",
+    )
+
     # eval-ppl: perplexity + int8-vs-f32 delta (the BASELINE accuracy bar).
     ev = sub.add_parser("eval-ppl", help="Evaluate perplexity of a checkpoint")
     ev.add_argument("checkpoint")
@@ -97,11 +113,76 @@ def main(argv=None) -> int:
     )  # env_logger-equivalent bare formatting (main.rs:168-173)
     args = build_parser().parse_args(argv)
 
+    if args.command != "export":
+        # Model commands jit large programs; remote compiles here cost
+        # minutes, so persist executables across invocations.
+        from .utils import enable_compile_cache
+
+        enable_compile_cache()
+
     if args.command == "export":
         from .export import export_model
 
         validate_export_dir(Path(args.model_path))
         export_model(args.model_path, args.output_path, args.group_size, fmt=args.format)
+        return 0
+
+    if args.command == "batch":
+        import json
+        import time
+
+        from .checkpoint import load_checkpoint
+        from .inference.tokenizer import Tokenizer
+        from .serving import ContinuousBatchingEngine, Request
+
+        config, weights = load_checkpoint(args.checkpoint)
+        tokenizer = Tokenizer(args.checkpoint, config.vocab_size)
+        engine = ContinuousBatchingEngine(
+            config=config,
+            weights=weights,
+            n_slots=args.slots,
+            sampling=args.sampling,
+            seed=args.seed,
+        )
+        prompts = [l for l in Path(args.file).read_text().splitlines() if l.strip()]
+        for i, prompt in enumerate(prompts):
+            engine.submit(
+                Request(
+                    request_id=i,
+                    prompt_tokens=tokenizer.encode(prompt),
+                    max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature,
+                    topp=args.topp,
+                    seed=args.seed + i,
+                    eos_token_ids=(tokenizer.bos_token_id, tokenizer.eos_token_id),
+                )
+            )
+        t0 = time.perf_counter()
+        done = engine.run()
+        elapsed = time.perf_counter() - t0
+        for req in sorted(done, key=lambda r: r.request_id):
+            print(
+                json.dumps(
+                    {
+                        "id": req.request_id,
+                        "prompt": prompts[req.request_id],
+                        "completion": tokenizer.decode(req.generated),
+                        "tokens": len(req.generated),
+                        "finish_reason": req.finish_reason,
+                    }
+                )
+            )
+        stats = engine.stats()
+        total_tokens = sum(len(r.generated) for r in done)
+        logging.info(
+            "served %d requests, %d tokens in %.2fs (%.1f tok/s aggregate, "
+            "slot utilization %.0f%%)",
+            len(done),
+            total_tokens,
+            elapsed,
+            total_tokens / elapsed if elapsed else 0.0,
+            100 * stats["slot_utilization"],
+        )
         return 0
 
     if args.command == "eval-ppl":

@@ -2,8 +2,9 @@
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .configuration import ARCHITECTURE_QWEN3, ModelConfig
 from .models.qwen3 import Qwen3LayerWeights, Qwen3Weights
@@ -43,53 +44,66 @@ def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
     Linear weights use the in-major compute layout ([in, out] codes with
     [in/g, out] scales, see ops/matmul.py); lm_head's vocab axis is padded
     to the same tile multiple the checkpoint loader uses.
+
+    Arrays are generated **on device**, inside a single jitted program:
+    pushing ~8 GB of host randomness over a slow host→device link — or
+    dispatching ~100 eager primitives, each paying a remote-compile round
+    trip in this deployment — dominated setup time for the 8B flagship
+    config.  int8 codes come from raw random bits (1x memory, no wide
+    intermediates); a value of -128 is folded to 0 to match the Q8_0
+    [-127, 127] code range.
     """
     from .checkpoint import VOCAB_PAD_MULTIPLE
 
-    rng = np.random.default_rng(seed)
     c = config
     g = c.group_size
-
-    def qt_T(in_dim, out_dim):
-        q = rng.integers(-127, 128, (in_dim, out_dim), dtype=np.int8)
-        s = (rng.random((in_dim // g, out_dim), dtype=np.float32) * 0.02).astype(np.float32)
-        return QuantizedTensor(jnp.asarray(q), jnp.asarray(s))
-
-    def stack(f, *shape_args):
-        qs, ss = [], []
-        for _ in range(c.n_layers):
-            t = f(*shape_args)
-            qs.append(t.q)
-            ss.append(t.scales)
-        return QuantizedTensor(jnp.stack(qs), jnp.stack(ss))
-
-    def norm(*shape):
-        return jnp.asarray(rng.normal(1, 0.02, shape).astype(np.float32))
-
-    embed_q = rng.integers(-127, 128, (c.vocab_size, c.dim), dtype=np.int8)
-    embed_s = (rng.random((c.vocab_size, c.dim // g), dtype=np.float32) * 0.02).astype(np.float32)
-    embed = QuantizedTensor(jnp.asarray(embed_q), jnp.asarray(embed_s))
-
     v_pad = c.vocab_size
     if v_pad >= VOCAB_PAD_MULTIPLE and v_pad % VOCAB_PAD_MULTIPLE:
         v_pad += VOCAB_PAD_MULTIPLE - v_pad % VOCAB_PAD_MULTIPLE
-    lm_q = np.zeros((c.dim, v_pad), np.int8)
-    lm_s = np.ones((c.dim // g, v_pad), np.float32)
-    lm_q[:, : c.vocab_size] = embed_q.T
-    lm_s[:, : c.vocab_size] = embed_s.T
-    lm_head = QuantizedTensor(jnp.asarray(lm_q), jnp.asarray(lm_s))
 
-    layers = Qwen3LayerWeights(
-        rms_att=norm(c.n_layers, c.dim),
-        rms_ffn=norm(c.n_layers, c.dim),
-        q_norm=norm(c.n_layers, c.head_dim),
-        k_norm=norm(c.n_layers, c.head_dim),
-        wqkv=stack(qt_T, c.dim, c.all_heads_dim + 2 * c.kv_dim),
-        wo=stack(qt_T, c.all_heads_dim, c.dim),
-        w13=stack(qt_T, c.dim, 2 * c.hidden_dim),
-        w2=stack(qt_T, c.hidden_dim, c.dim),
-    )
-    return Qwen3Weights(embed=embed, layers=layers, rms_final=norm(c.dim), lm_head=lm_head)
+    def build(key):
+        keys = iter(jax.random.split(key, 16))
+
+        def int8_codes(shape):
+            bits = jax.random.bits(next(keys), shape, jnp.uint8).astype(jnp.int8)
+            return jnp.where(bits == jnp.int8(-128), jnp.int8(0), bits)
+
+        def stack(in_dim, out_dim):
+            q = int8_codes((c.n_layers, in_dim, out_dim))
+            s = jax.random.uniform(
+                next(keys), (c.n_layers, in_dim // g, out_dim), jnp.float32, 0.0, 0.02
+            )
+            return QuantizedTensor(q, s)
+
+        def norm(*shape):
+            return 1.0 + 0.02 * jax.random.normal(next(keys), shape, jnp.float32)
+
+        embed_q = int8_codes((c.vocab_size, c.dim))
+        embed_s = jax.random.uniform(
+            next(keys), (c.vocab_size, c.dim // g), jnp.float32, 0.0, 0.02
+        )
+        embed = QuantizedTensor(embed_q, embed_s)
+
+        pad = v_pad - c.vocab_size
+        lm_q = jnp.pad(embed_q.T, [(0, 0), (0, pad)])
+        lm_s = jnp.pad(embed_s.T, [(0, 0), (0, pad)], constant_values=1.0)
+        lm_head = QuantizedTensor(lm_q, lm_s)
+
+        layers = Qwen3LayerWeights(
+            rms_att=norm(c.n_layers, c.dim),
+            rms_ffn=norm(c.n_layers, c.dim),
+            q_norm=norm(c.n_layers, c.head_dim),
+            k_norm=norm(c.n_layers, c.head_dim),
+            wqkv=stack(c.dim, c.all_heads_dim + 2 * c.kv_dim),
+            wo=stack(c.all_heads_dim, c.dim),
+            w13=stack(c.dim, 2 * c.hidden_dim),
+            w2=stack(c.hidden_dim, c.dim),
+        )
+        return Qwen3Weights(
+            embed=embed, layers=layers, rms_final=norm(c.dim), lm_head=lm_head
+        )
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
 
 
 def weight_bytes_per_decode_token(config: ModelConfig) -> int:

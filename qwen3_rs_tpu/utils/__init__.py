@@ -1,3 +1,4 @@
+from .compile_cache import enable_compile_cache
 from .progress import ProgressTracker
 
-__all__ = ["ProgressTracker"]
+__all__ = ["ProgressTracker", "enable_compile_cache"]
