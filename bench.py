@@ -67,9 +67,12 @@ def main() -> None:
         _bench_prefill(config, random_weights(config), batch, seq_len)
         return
 
+    from qwen3_rs_tpu.models.qwen3 import cast_weight_scales
+
     def bench_decode(model: str) -> dict:
         config = qwen3_config(model, seq_len=seq_len)
-        weights = random_weights(config)
+        # bf16 scales: what the fast engine streams (testing.py/engine.py).
+        weights = cast_weight_scales(random_weights(config))
 
         def decode_n(weights, token, cache, pos, n_steps):
             def body(carry, _):
@@ -103,7 +106,7 @@ def main() -> None:
 
         device_kind = jax.devices()[0].device_kind
         bw = HBM_BW_BY_KIND.get(device_kind, 819e9)
-        roofline = bw / weight_bytes_per_decode_token(config) * batch
+        roofline = bw / weight_bytes_per_decode_token(config, scale_bytes=2) * batch
         return {
             "metric": f"decode_tok_s_qwen3_{model}_int8g64_b{batch}",
             "value": round(tok_per_sec, 2),

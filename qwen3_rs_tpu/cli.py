@@ -81,6 +81,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--sampling", choices=["host", "device"], default="device",
         help="host = reference-parity xorshift; device = chunked on-TPU sampling",
     )
+    bt.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip ahead-of-time compilation (TTFT stats will include compiles)",
+    )
+    bt.add_argument(
+        "--kv", choices=["dense", "paged"], default="dense",
+        help="KV cache layout: dense slots or a shared page pool",
+    )
+    bt.add_argument(
+        "--page-size", type=int, default=128, help="rows per KV page (paged only)"
+    )
+    bt.add_argument(
+        "--pages", type=int, default=None,
+        help="KV pool size in pages (paged only; default: half the dense footprint)",
+    )
 
     # eval-ppl: perplexity + int8-vs-f32 delta (the BASELINE accuracy bar).
     ev = sub.add_parser("eval-ppl", help="Evaluate perplexity of a checkpoint")
@@ -143,7 +158,12 @@ def main(argv=None) -> int:
             n_slots=args.slots,
             sampling=args.sampling,
             seed=args.seed,
+            kv_layout=args.kv,
+            page_size=args.page_size,
+            n_pages=args.pages,
         )
+        if not args.no_warmup:
+            engine.warmup()
         prompts = [l for l in Path(args.file).read_text().splitlines() if l.strip()]
         for i, prompt in enumerate(prompts):
             engine.submit(
@@ -176,12 +196,13 @@ def main(argv=None) -> int:
         total_tokens = sum(len(r.generated) for r in done)
         logging.info(
             "served %d requests, %d tokens in %.2fs (%.1f tok/s aggregate, "
-            "slot utilization %.0f%%)",
+            "slot utilization %.0f%%, p50 TTFT %s)",
             len(done),
             total_tokens,
             elapsed,
             total_tokens / elapsed if elapsed else 0.0,
             100 * stats["slot_utilization"],
+            f"{stats['p50_ttft']*1e3:.0f}ms" if stats["p50_ttft"] else "n/a",
         )
         return 0
 

@@ -74,6 +74,12 @@ class Engine:
             config, weights = load_checkpoint(checkpoint)
         assert config is not None and weights is not None
         self.config = config.with_seq_len(ctx_length).validate()
+        if mode == "fast":
+            from ..models.qwen3 import cast_weight_scales
+
+            # bf16 scales: identical numerics on the Pallas path (which
+            # loads scales as bf16 anyway), 3% less decode HBM traffic.
+            weights = cast_weight_scales(weights)
         self.weights = weights
         self.mode = mode
         self.cache_dtype = cache_dtype

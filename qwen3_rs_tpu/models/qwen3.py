@@ -87,6 +87,32 @@ class KVCache(NamedTuple):
         return self.k.shape[3]
 
 
+def cast_weight_scales(weights: Qwen3Weights, dtype=jnp.bfloat16) -> Qwen3Weights:
+    """Cast the linear-layer weight scales to ``dtype`` for the fast path.
+
+    The Pallas matmul kernel converts scales to bf16 in VMEM anyway
+    (ops/pallas/qmatmul.py), so storing them as bf16 is numerically
+    identical there while cutting the streamed scale bytes in half —
+    f32 scales at group size 64 are 6.25% of decode HBM traffic.
+    Embedding scales stay f32: they are gathered per token (negligible
+    traffic) and feed the residual stream directly.
+    """
+
+    def cast_qt(qt: QuantizedTensor) -> QuantizedTensor:
+        return QuantizedTensor(qt.q, qt.scales.astype(dtype))
+
+    lw = weights.layers
+    return weights._replace(
+        layers=lw._replace(
+            wqkv=cast_qt(lw.wqkv),
+            wo=cast_qt(lw.wo),
+            w13=cast_qt(lw.w13),
+            w2=cast_qt(lw.w2),
+        ),
+        lm_head=cast_qt(weights.lm_head),
+    )
+
+
 def init_kv_cache(
     config: ModelConfig, batch: int, dtype=jnp.float32, seq_len: Optional[int] = None
 ) -> KVCache:
@@ -171,6 +197,7 @@ def qwen3_forward(
     return_all_logits: bool = False,
     out_idx: jax.Array | None = None,  # [B] int32 — which row's logits to return
     write_mask: jax.Array | None = None,  # [B] bool — per-request cache-write gate
+    page_table: jax.Array | None = None,  # [B, max_pages] int32 — paged-cache mode
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill when S>1, decode when S==1).
 
@@ -182,12 +209,18 @@ def qwen3_forward(
     current position and are overwritten by later decode steps before any
     query can attend to them.
 
+    When ``page_table`` is given, ``cache`` is a paged page pool
+    (serving/paged_cache.py: k/v ``[L, P, n_kv, page, hd]``); attention
+    gathers cache chunks by page id and the step's K/V rows are scattered
+    into each request's pages.
+
     Mirrors the reference forward pass (models/qwen3.rs:62-79, 131-176) over
     a batch and a token window instead of a single (token, pos).
     """
     b, s = tokens.shape
     compute_dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
     g = config.group_size
+    paged = page_table is not None
 
     # Token embedding: gather quantized rows + dequantize (exact same values
     # as the reference's up-front dequantized table, layers.rs:72-76).
@@ -197,7 +230,8 @@ def qwen3_forward(
 
     # Absolute positions and RoPE tables for this window.
     q_pos = pos_start[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]  # [B, S]
-    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    rope_len = config.seq_len if paged else cache.seq_len
+    cos_t, sin_t = rope_table(rope_len, config.head_dim, config.rope_theta)
     cos = cos_t[q_pos][:, :, None, :]  # [B, S, 1, hd/2]
     sin = sin_t[q_pos][:, :, None, :]
 
@@ -207,7 +241,8 @@ def qwen3_forward(
     from ..ops.pallas.flash_attention import decode_supported
 
     use_flash_decode = (
-        mode == "fast"
+        not paged
+        and mode == "fast"
         and s == 1
         and pallas_ops.pallas_enabled()
         and decode_supported(
@@ -239,7 +274,19 @@ def qwen3_forward(
         # *read* here; the new rows are emitted from the scan and scattered
         # into the cache once afterwards — avoiding a full-cache restack per
         # layer per step.
-        if use_flash_decode:
+        if paged:
+            from ..ops.attention import gqa_attention_split_paged
+
+            att = gqa_attention_split_paged(
+                q.astype(compute_dtype),
+                k_layer,
+                v_layer,
+                page_table,
+                k.astype(compute_dtype),
+                v.astype(compute_dtype),
+                pos_start,
+            )
+        elif use_flash_decode:
             from ..ops.pallas.flash_attention import flash_gqa_decode_stacked
 
             # Decode (S=1): the Pallas kernel reads only pos[b] cache rows
@@ -294,25 +341,47 @@ def qwen3_forward(
         ),
     )
 
-    # Scatter the window's K/V rows ([L, B, S, kv, hd] → cache's head-major
-    # [L, B, kv, T, hd]) at per-request offsets — the only cache write of
-    # the whole step.
-    def scatter(cache_full, new_rows):
-        def upd_b(cache_lb, new_lb, p):  # [kv,T,hd], [kv,S,hd]
-            return jax.lax.dynamic_update_slice(
-                cache_lb, new_lb.astype(cache_lb.dtype), (0, p, 0)
-            )
+    if paged:
+        # Scatter each request's new rows into its pages:
+        # row at absolute position p lands in page_table[b, p // page] at
+        # page row p % page.  Gated requests get an out-of-bounds page id
+        # and their writes are dropped.
+        page = cache.k.shape[3]
+        n_pages = cache.k.shape[1]
+        pids = jnp.take_along_axis(page_table, q_pos // page, axis=1)  # [B, S]
+        rows = q_pos % page
+        if write_mask is not None:
+            pids = jnp.where(write_mask[:, None], pids, n_pages)
 
-        def upd_l(cache_l, new_l):  # [B,kv,T,hd], [B,S,kv,hd]
-            new_l = jnp.swapaxes(new_l, 1, 2)  # → [B,kv,S,hd]
-            updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
-            if write_mask is None:
-                return updated
-            return jnp.where(write_mask[:, None, None, None], updated, cache_l)
+        def scatter_paged(pool, new_rows):
+            # new_rows [L, B, S, kv, hd] → vals [B, S, L, kv, hd] (advanced
+            # indices move to the front of the result).
+            vals = jnp.transpose(new_rows, (1, 2, 0, 3, 4)).astype(pool.dtype)
+            return pool.at[:, pids, :, rows, :].set(vals, mode="drop")
 
-        return jax.vmap(upd_l)(cache_full, new_rows)
+        new_cache = cache._replace(
+            k=scatter_paged(cache.k, new_k), v=scatter_paged(cache.v, new_v)
+        )
+    else:
+        # Scatter the window's K/V rows ([L, B, S, kv, hd] → cache's
+        # head-major [L, B, kv, T, hd]) at per-request offsets — the only
+        # cache write of the whole step.
+        def scatter(cache_full, new_rows):
+            def upd_b(cache_lb, new_lb, p):  # [kv,T,hd], [kv,S,hd]
+                return jax.lax.dynamic_update_slice(
+                    cache_lb, new_lb.astype(cache_lb.dtype), (0, p, 0)
+                )
 
-    new_cache = KVCache(scatter(cache.k, new_k), scatter(cache.v, new_v))
+            def upd_l(cache_l, new_l):  # [B,kv,T,hd], [B,S,kv,hd]
+                new_l = jnp.swapaxes(new_l, 1, 2)  # → [B,kv,S,hd]
+                updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
+                if write_mask is None:
+                    return updated
+                return jnp.where(write_mask[:, None, None, None], updated, cache_l)
+
+            return jax.vmap(upd_l)(cache_full, new_rows)
+
+        new_cache = cache._replace(k=scatter(cache.k, new_k), v=scatter(cache.v, new_v))
 
     # Final norm + classifier head (models/qwen3.rs:72-76).
     if not return_all_logits:

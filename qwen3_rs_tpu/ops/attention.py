@@ -53,6 +53,24 @@ def gqa_attention(
 # chunked form bounds it to [CHUNK, T] and scans.
 _QUERY_CHUNK = 512
 
+# Cache-prefix attention reads the cache in key chunks of this size inside a
+# position-bounded loop: only ceil(max(pos)/CHUNK) chunks are streamed from
+# HBM instead of the whole allocated window T.  At decode position p with a
+# T-row cache this cuts cache traffic by T/p; at prefill from pos 0 the
+# cache part is skipped entirely.
+_CACHE_KEY_CHUNK = 512
+
+
+def _pick_cache_chunk(t: int) -> int | None:
+    """Largest power-of-two chunk ≤ _CACHE_KEY_CHUNK dividing ``t``; None →
+    dense fallback (tiny or oddly-sized windows)."""
+    c = _CACHE_KEY_CHUNK
+    while c >= 128:
+        if t % c == 0 and t > c:
+            return c
+        c //= 2
+    return None
+
 
 def gqa_attention_split(
     q: jax.Array,
@@ -121,14 +139,54 @@ def _split_attn_body(
 
     qf = q.reshape(b, s, n_kv, kv_mul, head_dim).astype(jnp.float32)
 
-    # Cache part: [B, KV, M, S, T], valid where t < pos_start.
-    sc = jnp.einsum(
-        "bsnmh,bnth->bnmst", qf, k_cache.astype(jnp.float32), preferred_element_type=jnp.float32
-    ) * scale
-    cache_mask = (
-        jnp.arange(t, dtype=jnp.int32)[None, None, :] < pos_start[:, None, None]
-    )  # [B, 1, T]
-    sc = jnp.where(cache_mask[:, None, None, :, :], sc, -jnp.inf)
+    chunk = _pick_cache_chunk(t)
+    if chunk is None:
+        # Dense cache part: one masked contraction over the whole window.
+        sc = jnp.einsum(
+            "bsnmh,bnth->bnmst",
+            qf,
+            k_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        cache_mask = (
+            jnp.arange(t, dtype=jnp.int32)[None, None, :] < pos_start[:, None, None]
+        )  # [B, 1, T]
+        sc = jnp.where(cache_mask[:, None, None, :, :], sc, -jnp.inf)
+        m_c = jnp.max(sc, axis=-1, keepdims=True)  # [B,KV,M,S,1], may be -inf
+        ec = jnp.where(jnp.isfinite(m_c), jnp.exp(sc - m_c), 0.0)
+        l_c = jnp.sum(ec, axis=-1, keepdims=True)
+        acc_c = jnp.einsum(
+            "bnmst,bnth->bnmsh",
+            ec,
+            v_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        m_c, l_c, acc_c = _cache_attn_online(
+            qf, k_cache, v_cache, pos_start, chunk=chunk, scale=scale
+        )
+
+    return _merge_window(
+        qf, m_c, l_c, acc_c, k_new, v_new, win_offset=win_offset, scale=scale,
+        out_dtype=q.dtype,
+    )
+
+
+def _merge_window(
+    qf: jax.Array,
+    m_c: jax.Array,
+    l_c: jax.Array,
+    acc_c: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    *,
+    win_offset: int,
+    scale: float,
+    out_dtype,
+) -> jax.Array:
+    """Combine the cache part's (max, sum, acc) with the in-window causal
+    attention into the final normalized output [B, S, n_heads, hd]."""
+    b, s, n_kv, kv_mul, head_dim = qf.shape
 
     # Window part: [B, KV, M, S_q, S_w], causal within the full window
     # (global row index win_offset + i attends window cols j <= that index).
@@ -142,23 +200,142 @@ def _split_attn_body(
     )  # [1, S_q, S_w]
     sn = jnp.where(win_mask[:, None, None, :, :], sn, -jnp.inf)
 
-    # Joint softmax (the window always contains the self key, so the max is
-    # finite even when the cache part is fully masked).
-    m = jnp.maximum(
-        jnp.max(sc, axis=-1, keepdims=True), jnp.max(sn, axis=-1, keepdims=True)
-    )
-    ec = jnp.exp(sc - m)
+    # Merge cache and window softmax parts.  The window always contains the
+    # self key, so the joint max is finite even when the cache part is empty.
+    m = jnp.maximum(m_c, jnp.max(sn, axis=-1, keepdims=True))
+    r_c = jnp.where(jnp.isfinite(m_c), jnp.exp(m_c - m), 0.0)
     en = jnp.exp(sn - m)
-    denom = jnp.sum(ec, axis=-1, keepdims=True) + jnp.sum(en, axis=-1, keepdims=True)
+    denom = l_c * r_c + jnp.sum(en, axis=-1, keepdims=True)
 
-    out = jnp.einsum(
-        "bnmst,bnth->bsnmh", ec, v_cache.astype(jnp.float32), preferred_element_type=jnp.float32
-    ) + jnp.einsum(
-        "bnmsj,bjnh->bsnmh", en, v_new.astype(jnp.float32), preferred_element_type=jnp.float32
+    out = acc_c * r_c + jnp.einsum(
+        "bnmsj,bjnh->bnmsh", en, v_new.astype(jnp.float32), preferred_element_type=jnp.float32
     )
-    # denom [B, KV, M, S, 1] → [B, S, KV, M, 1] to divide the output layout.
-    out = out / jnp.transpose(denom, (0, 3, 1, 2, 4))
-    return out.reshape(b, s, n_heads, head_dim).astype(q.dtype)
+    out = out / denom
+    # [B, KV, M, S, hd] → [B, S, KV, M, hd] → [B, S, n_heads, hd]
+    out = jnp.transpose(out, (0, 3, 1, 2, 4))
+    return out.reshape(b, s, n_kv * kv_mul, head_dim).astype(out_dtype)
+
+
+def gqa_attention_split_paged(
+    q: jax.Array,
+    k_pool: jax.Array,
+    v_pool: jax.Array,
+    page_table: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    pos_start: jax.Array,
+) -> jax.Array:
+    """Causal GQA attention over a paged cache prefix plus the current window.
+
+    q:          [B, S, n_heads, hd] — queries at absolute rows pos_start..+S
+    k/v_pool:   [P, n_kv, page, hd] — one layer's page pool
+    page_table: [B, max_pages] int32 — page ids covering rows < pos_start
+    k/v_new:    [B, S, n_kv, hd]
+
+    Same math as :func:`gqa_attention_split`, with each cache chunk gathered
+    from the pool by page id (serving/paged_cache.py).  Only
+    ``ceil(max(pos_start)/page)`` pages are touched per step.  Long query
+    windows are processed in chunks like the dense path.
+    """
+    s = q.shape[1]
+    if s > _QUERY_CHUNK and s % _QUERY_CHUNK == 0:
+        outs = []
+        for c in range(s // _QUERY_CHUNK):
+            sl = slice(c * _QUERY_CHUNK, (c + 1) * _QUERY_CHUNK)
+            outs.append(
+                _paged_attn_body(
+                    q[:, sl], k_pool, v_pool, page_table, k_new, v_new, pos_start,
+                    win_offset=c * _QUERY_CHUNK,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+    return _paged_attn_body(
+        q, k_pool, v_pool, page_table, k_new, v_new, pos_start, win_offset=0
+    )
+
+
+def _paged_attn_body(
+    q, k_pool, v_pool, page_table, k_new, v_new, pos_start, *, win_offset: int
+) -> jax.Array:
+    b, s, n_heads, head_dim = q.shape
+    n_kv, page = k_pool.shape[1], k_pool.shape[2]
+    kv_mul = n_heads // n_kv
+    scale = 1.0 / (head_dim**0.5)
+    qf = q.reshape(b, s, n_kv, kv_mul, head_dim).astype(jnp.float32)
+
+    def fetch_pages(c):
+        pids = jax.lax.dynamic_index_in_dim(page_table, c, 1, keepdims=False)  # [B]
+        k_c = k_pool[pids].astype(jnp.float32)  # [B, kv, page, hd]
+        v_c = v_pool[pids].astype(jnp.float32)
+        return k_c, v_c
+
+    m_c, l_c, acc_c = _cache_attn_online(
+        qf, None, None, pos_start, chunk=page, scale=scale, fetch_chunk=fetch_pages
+    )
+    return _merge_window(
+        qf, m_c, l_c, acc_c, k_new, v_new, win_offset=win_offset, scale=scale,
+        out_dtype=q.dtype,
+    )
+
+
+def _cache_attn_online(
+    qf: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos_start: jax.Array,
+    *,
+    chunk: int,
+    scale: float,
+    fetch_chunk=None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Online-softmax attention over the valid cache prefix, reading only
+    ``ceil(max(pos_start)/chunk)`` key chunks from HBM.
+
+    qf: [B, S, KV, M, hd] f32 queries; k/v_cache: [B, KV, T, hd].
+    ``fetch_chunk(c)`` optionally overrides how chunk ``c`` is read (the
+    paged cache gathers by page id); it must return f32
+    ``(k_c, v_c) [B, KV, chunk, hd]``.
+    Returns running (max [B,KV,M,S,1], sum [B,KV,M,S,1], acc [B,KV,M,S,hd]);
+    max is -inf where no cache rows are valid.
+    """
+    b, s, n_kv, kv_mul, head_dim = qf.shape
+    n_chunks_live = jax.lax.div(
+        jnp.max(pos_start) + (chunk - 1), jnp.int32(chunk)
+    )
+
+    m0 = jnp.full((b, n_kv, kv_mul, s, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, n_kv, kv_mul, s, 1), jnp.float32)
+    acc0 = jnp.zeros((b, n_kv, kv_mul, s, head_dim), jnp.float32)
+
+    def default_fetch(c):
+        start = c * chunk
+        k_c = jax.lax.dynamic_slice_in_dim(k_cache, start, chunk, 2)
+        v_c = jax.lax.dynamic_slice_in_dim(v_cache, start, chunk, 2)
+        return k_c.astype(jnp.float32), v_c.astype(jnp.float32)
+
+    fetch = fetch_chunk or default_fetch
+
+    def body(c, carry):
+        m, l, acc = carry
+        k_c, v_c = fetch(c)
+        sc = jnp.einsum(
+            "bsnmh,bnch->bnmsc", qf, k_c, preferred_element_type=jnp.float32
+        ) * scale
+        tidx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        valid = tidx[None, :] < pos_start[:, None]  # [B, C]
+        sc = jnp.where(valid[:, None, None, None, :], sc, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+        finite = jnp.isfinite(m_new)
+        r = jnp.where(finite, jnp.exp(m - m_new), 0.0)
+        p = jnp.where(finite, jnp.exp(sc - m_new), 0.0)
+        l_new = l * r + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * r + jnp.einsum(
+            "bnmsc,bnch->bnmsh", p, v_c, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    return jax.lax.fori_loop(0, n_chunks_live, body, (m0, l0, acc0))
 
 
 def gqa_attention_xla(

@@ -30,8 +30,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant import QuantizedTensor
 
 
-def _accumulate_tile(x, wq, ws, out_ref, *, group_size: int, tile_groups: int):
-    """out_ref += x @ dequant(wq, ws) for one (in, out) tile."""
+def _accumulate_tile(
+    x, wq, ws, out_ref, *, group_size: int, tile_groups: int, impl: str = "defer"
+):
+    """out_ref += x @ dequant(wq, ws) for one (in, out) tile.
+
+    ``impl="scale_w"`` (default): dequantize the whole weight tile (convert +
+    scaled multiply) and run one dot.  ``impl="defer"``: convert codes to
+    bf16 only, run per-group batched dots, and apply the per-(group, column)
+    scale to the [groups, D] partials afterwards — less elementwise work,
+    and near-exact vs an f32 reference (scales never round through bf16),
+    but its lane-splitting activation reshape does not lower on current
+    Mosaic (``[B, N] → [B, G, g]`` with g < 128 lanes), so it is only used
+    in interpret mode / tests.  Activations are cast to bf16 before the dot
+    either way: an f32 LHS makes Mosaic run the MXU in multi-pass f32 mode
+    (int8 codes are exact in bf16: |q| ≤ 127 < 2^8).
+    """
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -39,27 +53,54 @@ def _accumulate_tile(x, wq, ws, out_ref, *, group_size: int, tile_groups: int):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     tile_n, tile_d = wq.shape
-    scales = jnp.broadcast_to(
-        ws[:, None, :].astype(jnp.bfloat16), (tile_groups, group_size, tile_d)
-    ).reshape(tile_n, tile_d)
-    wf = wq.astype(jnp.bfloat16) * scales
-    out_ref[:] += jax.lax.dot_general(
-        x,
-        wf,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    b = x.shape[0]
+    if impl == "scale_w":
+        scales = jnp.broadcast_to(
+            ws[:, None, :].astype(jnp.bfloat16), (tile_groups, group_size, tile_d)
+        ).reshape(tile_n, tile_d)
+        wf = wq.astype(jnp.bfloat16) * scales
+        out_ref[:] += jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        wg = wq.reshape(tile_groups, group_size, tile_d).astype(jnp.bfloat16)
+        xg = jnp.swapaxes(
+            x.reshape(b, tile_groups, group_size), 0, 1
+        ).astype(jnp.bfloat16)  # [tg, b, g]
+        part = jax.lax.dot_general(
+            xg,
+            wg,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [tg, b, td]
+        out_ref[:] += jnp.sum(
+            part * ws[:, None, :].astype(jnp.float32), axis=0
+        )
 
 
-def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int):
+def _kernel(
+    x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int, impl: str
+):
     _accumulate_tile(
-        x_ref[:], wq_ref[:], ws_ref[:], out_ref, group_size=group_size, tile_groups=tile_groups
+        x_ref[:],
+        wq_ref[:],
+        ws_ref[:],
+        out_ref,
+        group_size=group_size,
+        tile_groups=tile_groups,
+        impl=impl,
     )
 
 
 # ~VMEM budget for the weight tile (int8 codes; the dequantized bf16 copy is
-# 2×, double buffering 2× more → keep codes ≤ 3 MB so the working set ≲ 12 MB).
-_TILE_BYTES_BUDGET = 1536 * 1024
+# 2×, double buffering 2× more → 3 MB of codes keeps the working set ≲ 24 MB
+# of the 128 MB VMEM).  Bigger tiles mean fewer grid blocks: the ~1-2 µs
+# per-block fixed cost is what capped shallow-grid kernels at ~60% of HBM
+# bandwidth.
+_TILE_BYTES_BUDGET = 3 * 1024 * 1024
 
 
 def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
@@ -115,22 +156,33 @@ def supports_shapes(n: int, d: int, group_size: int) -> bool:
     return _pick_tiles(n, d, group_size) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmatmul_2d(x, wq, ws, *, interpret: bool = False):
+# Default kernel implementation; see _accumulate_tile.  Overridable for
+# experiments via QWEN3_TPU_QMM_IMPL=scale_w|defer.
+def _default_impl() -> str:
+    import os
+
+    return os.environ.get("QWEN3_TPU_QMM_IMPL", "scale_w")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "impl", "tiles"))
+def _qmatmul_2d(x, wq, ws, *, interpret: bool = False, impl: str | None = None, tiles=None):
     """x [B, N] f32, wq [N, D] int8, ws [G, D] f32 → [B, D] f32."""
     b, n = x.shape
     _, d = wq.shape
     g_count = ws.shape[0]
     group_size = n // g_count
+    impl = impl or _default_impl()
 
-    tiles = _pick_tiles(n, d, group_size)
+    tiles = tiles or _pick_tiles(n, d, group_size)
     if tiles is None:
         raise ValueError(f"unsupported shapes for pallas qmatmul: {x.shape} x {wq.shape}")
     tile_n, tile_d = tiles
     tile_groups = tile_n // group_size
 
     grid = (d // tile_d, n // tile_n)
-    kernel = functools.partial(_kernel, group_size=group_size, tile_groups=tile_groups)
+    kernel = functools.partial(
+        _kernel, group_size=group_size, tile_groups=tile_groups, impl=impl
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -148,26 +200,36 @@ def _qmatmul_2d(x, wq, ws, *, interpret: bool = False):
     )(x, wq, ws)
 
 
-def qmatmul_pallas(x: jax.Array, w: QuantizedTensor, *, interpret: bool = False) -> jax.Array:
-    """x [..., N] float × w([N, D] int8 in-major, [G, D] f32) → [..., D] f32."""
+def qmatmul_pallas(
+    x: jax.Array, w: QuantizedTensor, *, interpret: bool = False, **opts
+) -> jax.Array:
+    """x [..., N] float × w([N, D] int8 in-major, [G, D] scales) → [..., D] f32."""
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.float32)
-    out = _qmatmul_2d(x2, w.q, w.scales, interpret=interpret)
+    out = _qmatmul_2d(x2, w.q, w.scales, interpret=interpret, **opts)
     return out.reshape(*batch_shape, w.q.shape[1])
 
 
 def _kernel_stacked(
-    layer_ref, x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int
+    layer_ref, x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int, impl: str
 ):
     # Same math as _kernel; the layer index only affects the index maps.
     _accumulate_tile(
-        x_ref[:], wq_ref[0], ws_ref[0], out_ref, group_size=group_size, tile_groups=tile_groups
+        x_ref[:],
+        wq_ref[0],
+        ws_ref[0],
+        out_ref,
+        group_size=group_size,
+        tile_groups=tile_groups,
+        impl=impl,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmatmul_stacked_2d(x, wq_all, ws_all, layer_idx, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "impl", "tiles"))
+def _qmatmul_stacked_2d(
+    x, wq_all, ws_all, layer_idx, *, interpret: bool = False, impl: str | None = None, tiles=None
+):
     """x [B, N] f32, wq_all [L, N, D] int8, ws_all [L, G, D] f32, layer_idx
     scalar int32 → [B, D] f32.
 
@@ -180,8 +242,9 @@ def _qmatmul_stacked_2d(x, wq_all, ws_all, layer_idx, *, interpret: bool = False
     _, _, d = wq_all.shape
     g_count = ws_all.shape[1]
     group_size = n // g_count
+    impl = impl or _default_impl()
 
-    tiles = _pick_tiles(n, d, group_size)
+    tiles = tiles or _pick_tiles(n, d, group_size)
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas qmatmul: {x.shape} x {wq_all.shape}"
@@ -207,7 +270,7 @@ def _qmatmul_stacked_2d(x, wq_all, ws_all, layer_idx, *, interpret: bool = False
         out_specs=pl.BlockSpec((b, tile_d), lambda i, k, l: (0, i), memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(
-        _kernel_stacked, group_size=group_size, tile_groups=tile_groups
+        _kernel_stacked, group_size=group_size, tile_groups=tile_groups, impl=impl
     )
     return pl.pallas_call(
         kernel,
@@ -221,11 +284,11 @@ def _qmatmul_stacked_2d(x, wq_all, ws_all, layer_idx, *, interpret: bool = False
 
 
 def qmatmul_pallas_stacked(
-    x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False
+    x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False, **opts
 ) -> jax.Array:
     """x [..., N] × stacked w([L, N, D], [L, G, D]) at ``layer_idx`` → [..., D]."""
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.float32)
-    out = _qmatmul_stacked_2d(x2, w.q, w.scales, layer_idx, interpret=interpret)
+    out = _qmatmul_stacked_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
     return out.reshape(*batch_shape, w.q.shape[-1])

@@ -86,11 +86,18 @@ class ContinuousBatchingEngine:
         sampling: str = "host",
         decode_chunk_steps: int = 8,
         seed: int = 0,
+        kv_layout: str = "dense",
+        page_size: int = 128,
+        n_pages: int | None = None,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
         assert config is not None and weights is not None
         self.config = config.validate()
+        if mode == "fast":
+            from ..models.qwen3 import cast_weight_scales
+
+            weights = cast_weight_scales(weights)
         self.weights = weights
         self.n_slots = n_slots
         self.mode = mode
@@ -105,8 +112,31 @@ class ContinuousBatchingEngine:
             b for b in prefill_buckets if b <= config.seq_len
         ) or (config.seq_len,)
 
-        self.cache: KVCache = init_kv_cache(config, n_slots, dtype=cache_dtype)
-        self._scratch_cache: KVCache = init_kv_cache(config, 1, dtype=cache_dtype)
+        # KV layout: "dense" reserves seq_len rows per slot (the reference's
+        # per-request dense cache, batched); "paged" backs all slots with a
+        # shared page pool + per-slot page tables (serving/paged_cache.py) so
+        # resident KV memory tracks actual tokens — at 8B/4k the dense slots
+        # would cost more HBM than the weights.
+        self.kv_layout = kv_layout
+        if kv_layout == "paged":
+            from .paged_cache import PageAllocator, init_paged_cache
+
+            max_pages_per_slot = -(-self.config.seq_len // page_size)
+            if n_pages is None:
+                # Default pool: half of the dense footprint, + null page.
+                n_pages = 1 + max(2, (n_slots * max_pages_per_slot) // 2)
+            self.cache = init_paged_cache(
+                self.config, n_pages, page_size, dtype=cache_dtype
+            )
+            self.allocator = PageAllocator(n_pages, n_slots, max_pages_per_slot)
+            self.page_size = page_size
+            self._scratch_cache = None
+        elif kv_layout == "dense":
+            self.cache = init_kv_cache(config, n_slots, dtype=cache_dtype)
+            self._scratch_cache: KVCache = init_kv_cache(config, 1, dtype=cache_dtype)
+            self.allocator = None
+        else:
+            raise ValueError(f"unknown kv_layout: {kv_layout!r}")
 
         # Host-side slot bookkeeping.
         self.slot_request: list[Optional[Request]] = [None] * n_slots
@@ -157,12 +187,126 @@ class ContinuousBatchingEngine:
 
             return KVCache(ins(cache.k, scratch.k), ins(cache.v, scratch.v))
 
+        # Paged variants: same step functions with the page pool as the
+        # cache and per-slot page tables as an extra input.
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _decode_paged(weights, tokens, cache, pos, active, tables):
+            return fwd(
+                weights, tokens, cache, pos, write_mask=active, page_table=tables
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(9,))
+        def _decode_chunked_paged(
+            weights, tokens, cache, pos, active, temps, topps, key, tables, n_steps
+        ):
+            from ..ops.sampling import sample_tokens_jax
+
+            def body(carry, _):
+                tokens, cache, pos, key = carry
+                logits, cache = fwd(
+                    weights, tokens, cache, pos, write_mask=active, page_table=tables
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample_tokens_jax(logits, sub, temps, topps)
+                return (nxt[:, None], cache, pos + 1, key), nxt
+
+            (_, cache, _, _), toks = jax.lax.scan(
+                body, (tokens, cache, pos, key), None, length=n_steps
+            )
+            return toks, cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill_paged(weights, tokens, cache, out_idx, tables):
+            # B=1 prefill straight into the shared pool: pos_start = 0 means
+            # the cache-prefix part is skipped; the window's rows scatter
+            # into the request's own pages (no scratch cache / insert step).
+            return fwd(
+                weights,
+                tokens,
+                cache,
+                jnp.zeros(1, jnp.int32),
+                out_idx=out_idx,
+                page_table=tables,
+            )
+
         self._decode = _decode
         self._decode_chunked = _decode_chunked
         self._prefill1 = _prefill1
         self._insert = _insert
+        self._decode_paged = _decode_paged
+        self._decode_chunked_paged = _decode_chunked_paged
+        self._prefill_paged = _prefill_paged
 
     # ------------------------------------------------------------------ api
+    def warmup(self) -> None:
+        """Compile every serving step function ahead of admission so the
+        first requests' TTFT reflects steady-state latency, not XLA compile
+        time (compiles in some deployments cost minutes).
+
+        Safe on live state: prefill only touches the scratch cache (fully
+        overwritten at each admission) and the decode warmup runs with all
+        slots inactive, so the write mask discards its cache updates.
+        """
+        paged = self.kv_layout == "paged"
+        for b in self.prefill_buckets:
+            s_pad = min(b, self.config.seq_len)
+            if paged:
+                # Zeroed page table: writes land in the reserved null page.
+                logits, self.cache = self._prefill_paged(
+                    self.weights,
+                    jnp.zeros((1, s_pad), jnp.int32),
+                    self.cache,
+                    jnp.asarray([0], jnp.int32),
+                    jnp.asarray(self.allocator.tables[0:1]),
+                )
+            else:
+                logits, self._scratch_cache = self._prefill1(
+                    self.weights,
+                    jnp.zeros((1, s_pad), jnp.int32),
+                    self._scratch_cache,
+                    jnp.asarray([0], jnp.int32),
+                )
+                # Warm the per-bucket slot insert too (slot 0's stale rows
+                # sit beyond any future request's position until
+                # overwritten).
+                self.cache = self._insert(self.cache, self._scratch_cache, s_pad, 0)
+            np.asarray(logits)
+        inactive = jnp.zeros(self.n_slots, bool)
+        if self.sampling == "device":
+            n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len))
+            args = (
+                self.weights,
+                jnp.asarray(self.slot_token[:, None]),
+                self.cache,
+                jnp.asarray(self.slot_pos),
+                inactive,
+                jnp.zeros(self.n_slots, jnp.float32),
+                jnp.ones(self.n_slots, jnp.float32),
+                jax.random.PRNGKey(0),
+            )
+            if paged:
+                toks, self.cache = self._decode_chunked_paged(
+                    *args, jnp.asarray(self.allocator.tables), n_steps
+                )
+            else:
+                toks, self.cache = self._decode_chunked(*args, n_steps)
+            np.asarray(toks)
+        else:
+            args = (
+                self.weights,
+                jnp.asarray(self.slot_token[:, None]),
+                self.cache,
+                jnp.asarray(self.slot_pos),
+                inactive,
+            )
+            if paged:
+                logits, self.cache = self._decode_paged(
+                    *args, jnp.asarray(self.allocator.tables)
+                )
+            else:
+                logits, self.cache = self._decode(*args)
+            np.asarray(logits)
+
     def submit(self, request: Request) -> None:
         request.submit_time = time.perf_counter()
         request.state = RequestState.QUEUED
@@ -208,20 +352,46 @@ class ContinuousBatchingEngine:
         slot = self._free_slot()
         if slot is None or not self.queue:
             return
-        req = self.queue.pop(0)
+        req = self.queue[0]
         prompt = req.prompt_tokens[: self.config.seq_len - 1]
         s_real = max(len(prompt), 1)
         s_pad = max(s_real, min(self._bucket(s_real), self.config.seq_len))
-        padded = np.zeros((1, s_pad), np.int32)
-        padded[0, :s_real] = prompt
 
-        logits, self._scratch_cache = self._prefill1(
-            self.weights,
-            jnp.asarray(padded),
-            self._scratch_cache,
-            jnp.asarray([s_real - 1], jnp.int32),
-        )
-        self.cache = self._insert(self.cache, self._scratch_cache, s_pad, slot)
+        if self.kv_layout == "paged":
+            # Reserve pages for the whole request up front (prompt + budget);
+            # insufficient free pages → leave queued (admission backpressure).
+            worst_rows = min(self.config.seq_len, s_pad + req.max_new_tokens + 1)
+            if not self.allocator.can_admit(worst_rows, self.page_size):
+                if self.active_count == 0:
+                    raise RuntimeError(
+                        f"request {req.request_id} needs more KV pages than the "
+                        f"pool holds ({self.allocator.n_pages}); raise n_pages "
+                        "or lower max_new_tokens"
+                    )
+                return  # wait for active requests to release pages
+            self.queue.pop(0)
+            self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
+            padded = np.zeros((1, s_pad), np.int32)
+            padded[0, :s_real] = prompt
+            logits, self.cache = self._prefill_paged(
+                self.weights,
+                jnp.asarray(padded),
+                self.cache,
+                jnp.asarray([s_real - 1], jnp.int32),
+                jnp.asarray(self.allocator.tables[slot : slot + 1]),
+            )
+        else:
+            self.queue.pop(0)
+            padded = np.zeros((1, s_pad), np.int32)
+            padded[0, :s_real] = prompt
+
+            logits, self._scratch_cache = self._prefill1(
+                self.weights,
+                jnp.asarray(padded),
+                self._scratch_cache,
+                jnp.asarray([s_real - 1], jnp.int32),
+            )
+            self.cache = self._insert(self.cache, self._scratch_cache, s_pad, slot)
 
         first = req._sampler.sample(np.asarray(logits)[0])
         req.first_token_time = time.perf_counter()
@@ -238,13 +408,23 @@ class ContinuousBatchingEngine:
             self._decode_all_chunked(emitted)
             return
         active = np.array([r is not None for r in self.slot_request])
-        logits, self.cache = self._decode(
-            self.weights,
-            jnp.asarray(self.slot_token[:, None]),
-            self.cache,
-            jnp.asarray(self.slot_pos),
-            jnp.asarray(active),
-        )
+        if self.kv_layout == "paged":
+            logits, self.cache = self._decode_paged(
+                self.weights,
+                jnp.asarray(self.slot_token[:, None]),
+                self.cache,
+                jnp.asarray(self.slot_pos),
+                jnp.asarray(active),
+                jnp.asarray(self.allocator.tables),
+            )
+        else:
+            logits, self.cache = self._decode(
+                self.weights,
+                jnp.asarray(self.slot_token[:, None]),
+                self.cache,
+                jnp.asarray(self.slot_pos),
+                jnp.asarray(active),
+            )
         logits_np = np.asarray(logits)
         self._decode_steps += 1
         for slot, req in enumerate(self.slot_request):
@@ -273,17 +453,31 @@ class ContinuousBatchingEngine:
         )
         topps = np.array([r.topp if r else 1.0 for r in self.slot_request], np.float32)
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = self._decode_chunked(
-            self.weights,
-            jnp.asarray(self.slot_token[:, None]),
-            self.cache,
-            jnp.asarray(self.slot_pos),
-            jnp.asarray(active_mask),
-            jnp.asarray(temps),
-            jnp.asarray(topps),
-            sub,
-            n_steps,
-        )
+        if self.kv_layout == "paged":
+            toks, self.cache = self._decode_chunked_paged(
+                self.weights,
+                jnp.asarray(self.slot_token[:, None]),
+                self.cache,
+                jnp.asarray(self.slot_pos),
+                jnp.asarray(active_mask),
+                jnp.asarray(temps),
+                jnp.asarray(topps),
+                sub,
+                jnp.asarray(self.allocator.tables),
+                n_steps,
+            )
+        else:
+            toks, self.cache = self._decode_chunked(
+                self.weights,
+                jnp.asarray(self.slot_token[:, None]),
+                self.cache,
+                jnp.asarray(self.slot_pos),
+                jnp.asarray(active_mask),
+                jnp.asarray(temps),
+                jnp.asarray(topps),
+                sub,
+                n_steps,
+            )
         toks_np = np.asarray(toks)  # [n_steps, B]
         self._decode_steps += n_steps
         for slot, req in enumerate(self.slot_request):
@@ -315,6 +509,8 @@ class ContinuousBatchingEngine:
         req.finish_time = time.perf_counter()
         req.finish_reason = reason
         if req.slot is not None:
+            if self.allocator is not None:
+                self.allocator.release(req.slot)
             self.slot_request[req.slot] = None
             self.slot_pos[req.slot] = 0
             self.slot_token[req.slot] = 0
@@ -334,5 +530,13 @@ class ContinuousBatchingEngine:
                 self._decode_tokens / (self._decode_steps * self.n_slots)
                 if self._decode_steps
                 else 0.0
+            ),
+            **(
+                {
+                    "kv_pages_total": self.allocator.n_pages - 1,
+                    "kv_pages_free": self.allocator.free_pages,
+                }
+                if self.allocator is not None
+                else {}
             ),
         }

@@ -106,13 +106,15 @@ def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
     return jax.jit(build)(jax.random.PRNGKey(seed))
 
 
-def weight_bytes_per_decode_token(config: ModelConfig) -> int:
+def weight_bytes_per_decode_token(config: ModelConfig, scale_bytes: int = 4) -> int:
     """HBM bytes of weights+scales streamed per decode step (roofline input).
 
     Embedding gather reads one row; the classifier reads all of lm_head.
+    ``scale_bytes``: per-group scale width actually streamed (4 = f32
+    checkpoint scales, 2 = the fast engine's bf16 cast).
     """
     c = config
-    scale_overhead = 1.0 + 4.0 / c.group_size
+    scale_overhead = 1.0 + scale_bytes / c.group_size
     per_layer = (
         c.dim * c.all_heads_dim  # wq
         + 2 * c.dim * c.kv_dim  # wk, wv

@@ -88,10 +88,18 @@ def test_pallas_interpret_matches_fast(rng):
     assert supports_shapes(n, d, gs)
     wq, (q_np, s_np) = _random_qw(rng, d, n, gs)
     x = rng.normal(0, 1, (4, n)).astype(np.float32)
-    expected = x @ dequantize_np(q_np, s_np).T
-    out = np.asarray(qmatmul_pallas(jnp.asarray(x), wq, interpret=True))
-    # Kernel dequantizes through bf16 — tolerance matches that precision.
-    np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-2)
+    # The kernel rounds activations to bf16 before the MXU dot (W8A16);
+    # compare against a reference with the same input rounding so the
+    # tolerance only has to cover dot/accumulation precision.
+    x_bf = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    expected = x_bf @ dequantize_np(q_np, s_np).T
+    # "defer" applies scales in f32 after exact int8-in-bf16 group dots —
+    # near-exact vs the rounded-input reference.  "scale_w" also rounds the
+    # dequantized weight product itself to bf16, hence the looser bound.
+    out = np.asarray(qmatmul_pallas(jnp.asarray(x), wq, interpret=True, impl="defer"))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4, err_msg="defer")
+    out = np.asarray(qmatmul_pallas(jnp.asarray(x), wq, interpret=True, impl="scale_w"))
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2, err_msg="scale_w")
 
 
 def test_pallas_supports_shapes():

@@ -165,3 +165,86 @@ def test_attention_prefill_window(rng):
             )
         )
         np.testing.assert_allclose(out[:, i : i + 1], row, rtol=1e-5, atol=1e-6)
+
+
+def test_attention_online_cache_equals_dense(rng):
+    """The position-bounded online-softmax cache path (engaged when the
+    allocated window is large) must match the dense masked computation."""
+    import qwen3_rs_tpu.ops.attention as A
+
+    assert A._pick_cache_chunk(1024) == 512
+
+    b, t, n_heads, n_kv, hd, s = 2, 1024, 4, 2, 8, 1
+    k_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
+    kn = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    vn = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+
+    for ps_vals in ([700, 3], [0, 0], [1024 - s, 512]):
+        ps = np.asarray(ps_vals, np.int32)
+        qp = ps[:, None] + np.arange(s, dtype=np.int32)[None, :]
+        args = tuple(map(jnp.asarray, (q, k_cache, v_cache, kn, vn, qp, ps)))
+        online = np.asarray(A.gqa_attention_split(*args))
+
+        # Dense baseline over the fully-updated cache.
+        k_full, v_full = k_cache.copy(), v_cache.copy()
+        for i in range(b):
+            k_full[i, :, ps[i] : ps[i] + s] = np.swapaxes(kn[i], 0, 1)
+            v_full[i, :, ps[i] : ps[i] + s] = np.swapaxes(vn[i], 0, 1)
+        dense = np.asarray(
+            gqa_attention_xla(
+                jnp.asarray(q), jnp.asarray(k_full), jnp.asarray(v_full), jnp.asarray(qp)
+            )
+        )
+        np.testing.assert_allclose(online, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_attention_online_cache_prefill_rows(rng):
+    """Online cache path with a multi-row window (prefill continuation)."""
+    import qwen3_rs_tpu.ops.attention as A
+
+    b, t, n_heads, n_kv, hd, s = 1, 512, 2, 1, 8, 16
+    assert A._pick_cache_chunk(t) == 256
+    k_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    v_cache = rng.normal(0, 1, (b, n_kv, t, hd)).astype(np.float32)
+    q = rng.normal(0, 1, (b, s, n_heads, hd)).astype(np.float32)
+    kn = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    vn = rng.normal(0, 1, (b, s, n_kv, hd)).astype(np.float32)
+    ps = np.asarray([300], np.int32)
+    qp = ps[:, None] + np.arange(s, dtype=np.int32)[None, :]
+    args = tuple(map(jnp.asarray, (q, k_cache, v_cache, kn, vn, qp, ps)))
+    online = np.asarray(A.gqa_attention_split(*args))
+
+    k_full, v_full = k_cache.copy(), v_cache.copy()
+    k_full[0, :, 300 : 300 + s] = np.swapaxes(kn[0], 0, 1)
+    v_full[0, :, 300 : 300 + s] = np.swapaxes(vn[0], 0, 1)
+    dense = np.asarray(
+        gqa_attention_xla(
+            jnp.asarray(q), jnp.asarray(k_full), jnp.asarray(v_full), jnp.asarray(qp)
+        )
+    )
+    np.testing.assert_allclose(online, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_cast_weight_scales_bf16():
+    """bf16-scale weights must stay loadable through the fast forward and
+    keep logits close to the f32-scale ones."""
+    from qwen3_rs_tpu.models.qwen3 import cast_weight_scales, init_kv_cache, qwen3_forward
+    from qwen3_rs_tpu.testing import qwen3_config, random_weights
+
+    config = qwen3_config("0.6b", seq_len=32, n_layers=2)
+    w = random_weights(config)
+    wc = cast_weight_scales(w)
+    assert wc.layers.w13.scales.dtype == jnp.bfloat16
+    assert wc.lm_head.scales.dtype == jnp.bfloat16
+    assert wc.embed.scales.dtype == jnp.float32
+
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+    la, _ = qwen3_forward(config, w, tokens, init_kv_cache(config, 1), pos, mode="fast")
+    lb, _ = qwen3_forward(config, wc, tokens, init_kv_cache(config, 1), pos, mode="fast")
+    a, bvals = np.asarray(la), np.asarray(lb)
+    # Random weights amplify the ~0.2% scale-rounding error through
+    # cancellation; bound the deviation relative to the logit scale.
+    assert np.max(np.abs(a - bvals)) / np.max(np.abs(a)) < 0.05

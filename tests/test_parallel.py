@@ -134,3 +134,47 @@ def test_entry_compiles_tiny():
         assert np.isfinite(np.asarray(logits)).all()
     finally:
         del os.environ["GRAFT_ENTRY_LAYERS"]
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_paged_sharded_matches_single_device(setup, tp):
+    """Paged-pool decode under a tp-sharded mesh (pool kv-heads on tp) must
+    match the unsharded paged forward."""
+    config, weights = setup
+    from qwen3_rs_tpu.serving.paged_cache import init_paged_cache
+
+    page, n_pages = 8, 6
+    b = 2
+    tables = jnp.asarray([[1, 2, 0], [3, 0, 0]], jnp.int32)
+    pos = jnp.asarray([12, 5], jnp.int32)
+    tokens = jnp.asarray([[7], [9]], jnp.int32)
+
+    def fill(cache):
+        k = jax.random.normal(jax.random.PRNGKey(0), cache.k.shape, cache.k.dtype)
+        v = jax.random.normal(jax.random.PRNGKey(1), cache.v.shape, cache.v.dtype)
+        return cache._replace(k=k, v=v)
+
+    base_cache = fill(init_paged_cache(config, n_pages, page))
+    base_logits, base_new = qwen3_forward(
+        config, weights, tokens, base_cache, pos, mode="fast", page_table=tables
+    )
+
+    mesh = create_mesh(tp=tp, dp=1, devices=jax.devices()[: tp])
+    w_sh = shard_weights(weights, mesh, config)
+    pool_spec = P(None, None, TP_AXIS, None, None)  # [L, P, kv, page, hd]
+    cache_sh = jax.device_put(
+        fill(init_paged_cache(config, n_pages, page)),
+        NamedSharding(mesh, pool_spec),
+    )
+    step = jax.jit(
+        functools.partial(qwen3_forward, config, mode="fast"),
+        donate_argnums=(2,),
+        static_argnames=(),
+    )
+    logits, new_cache = step(w_sh, tokens, cache_sh, pos, page_table=tables)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(base_logits), rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_cache.k), np.asarray(base_new.k), rtol=1e-4, atol=1e-4
+    )

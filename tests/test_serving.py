@@ -193,3 +193,100 @@ class TestScheduler:
             )
             outs.append(engine.run()[0].generated)
         assert outs[0] == outs[1]
+
+
+class TestWarmup:
+    def test_warmup_then_serve_matches(self, setup):
+        """warmup() must not perturb serving results."""
+        config, weights = setup
+        outs = []
+        for warm in (False, True):
+            eng = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8, 16),
+            )
+            if warm:
+                eng.warmup()
+            eng.submit(Request(request_id=0, prompt_tokens=[1, 2, 3], max_new_tokens=6))
+            eng.submit(Request(request_id=1, prompt_tokens=[4, 5], max_new_tokens=6))
+            done = eng.run()
+            outs.append({r.request_id: r.generated for r in done})
+        assert outs[0] == outs[1]
+
+    def test_warmup_device_sampling(self, setup):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), sampling="device",
+        )
+        eng.warmup()
+        eng.submit(Request(request_id=0, prompt_tokens=[1, 2, 3], max_new_tokens=4))
+        done = eng.run()
+        assert len(done[0].generated) == 4
+
+
+class TestPagedKV:
+    def _run(self, setup, kv_layout, sampling="host", n_pages=None, reqs=None):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=3, mode="fast",
+            prefill_buckets=(8, 16), kv_layout=kv_layout, page_size=8,
+            n_pages=n_pages, sampling=sampling,
+        )
+        for r in reqs or [
+            Request(request_id=0, prompt_tokens=[1, 2, 3], max_new_tokens=6),
+            Request(request_id=1, prompt_tokens=[4, 5, 6, 7, 8], max_new_tokens=5),
+            Request(request_id=2, prompt_tokens=[2], max_new_tokens=7),
+            Request(request_id=3, prompt_tokens=[9, 1], max_new_tokens=4),
+        ]:
+            eng.submit(r)
+        done = eng.run()
+        return eng, {r.request_id: list(r.generated) for r in done}
+
+    def test_paged_matches_dense_greedy(self, setup):
+        _, dense = self._run(setup, "dense")
+        _, paged = self._run(setup, "paged")
+        assert dense == paged
+
+    def test_paged_device_sampling_matches_dense(self, setup):
+        _, dense = self._run(setup, "dense", sampling="device")
+        _, paged = self._run(setup, "paged", sampling="device")
+        assert dense == paged
+
+    def test_pages_released(self, setup):
+        eng, _ = self._run(setup, "paged")
+        assert eng.allocator.free_pages == eng.allocator.n_pages - 1
+        assert (eng.allocator.tables == 0).all()
+
+    def test_backpressure_small_pool(self, setup):
+        """A pool too small for all slots at once must still finish every
+        request via admission backpressure."""
+        _, dense = self._run(setup, "dense")
+        # Each request needs ceil((pad + max_new + 1)/8) <= 3 pages; a pool
+        # of 5 usable pages forces requests to queue.
+        eng, paged = self._run(setup, "paged", n_pages=6)
+        assert dense == paged
+        assert eng.allocator.free_pages == 5
+
+    def test_pool_too_small_raises(self, setup):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8, n_pages=2,
+        )
+        eng.submit(Request(request_id=0, prompt_tokens=[1] * 7, max_new_tokens=30))
+        with pytest.raises(RuntimeError, match="pool"):
+            eng.run()
+
+    def test_paged_warmup(self, setup):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+        )
+        eng.warmup()
+        eng.submit(Request(request_id=0, prompt_tokens=[1, 2], max_new_tokens=4))
+        done = eng.run()
+        assert len(done[0].generated) == 4
+        st = eng.stats()
+        assert st["kv_pages_free"] == st["kv_pages_total"]
