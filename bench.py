@@ -67,6 +67,10 @@ def main() -> None:
         _bench_prefill(config, random_weights(config), batch, seq_len)
         return
 
+    if mode == "serve":
+        _bench_serve(model_name, seq_len)
+        return
+
     from qwen3_rs_tpu.models.qwen3 import cast_weight_scales
 
     def bench_decode(model: str) -> dict:
@@ -119,7 +123,11 @@ def main() -> None:
     except Exception as e:
         if model_name == "0.6b":
             raise
-        print(f"bench {model_name} failed ({type(e).__name__}); retrying 0.6b", file=sys.stderr)
+        msg = str(e).splitlines()[0][:300] if str(e) else ""
+        print(
+            f"bench {model_name} failed ({type(e).__name__}: {msg}); retrying 0.6b",
+            file=sys.stderr,
+        )
         # The failed attempt's weights are pinned by the exception's
         # traceback frames — drop everything before re-allocating.
         e.__traceback__ = None
@@ -129,6 +137,75 @@ def main() -> None:
         jax.clear_caches()
         result = bench_decode("0.6b")
     print(json.dumps(result))
+
+
+def _bench_serve(model_name: str, seq_len: int) -> None:
+    """Continuous-batching serving throughput (BENCH_MODE=serve).
+
+    Paged KV cache, device-chunked sampling, synthetic prompts.  Reports
+    aggregate generated tokens/sec across all requests and the p50 TTFT;
+    ``vs_baseline`` is the ratio to the *single-stream* decode roofline —
+    batched decode amortizes the weight stream, so values > 1 are expected
+    and measure exactly the batching win.
+    """
+    from qwen3_rs_tpu.models.qwen3 import cast_weight_scales
+    from qwen3_rs_tpu.serving import ContinuousBatchingEngine, Request
+    from qwen3_rs_tpu.testing import (
+        qwen3_config,
+        random_weights,
+        weight_bytes_per_decode_token,
+    )
+
+    n_requests = int(os.environ.get("BENCH_REQUESTS", "32"))
+    n_slots = int(os.environ.get("BENCH_SLOTS", "8"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "96"))
+
+    config = qwen3_config(model_name, seq_len=seq_len)
+    weights = cast_weight_scales(random_weights(config))
+    engine = ContinuousBatchingEngine(
+        config=config,
+        weights=weights,
+        n_slots=n_slots,
+        sampling="device",
+        kv_layout="paged",
+        decode_chunk_steps=16,
+        prefill_buckets=(128,),
+    )
+    engine.warmup()
+
+    rng = np.random.default_rng(0)
+    for i in range(n_requests):
+        plen = int(rng.integers(16, 128))
+        engine.submit(
+            Request(
+                request_id=i,
+                prompt_tokens=rng.integers(1, config.vocab_size, plen).tolist(),
+                max_new_tokens=max_new,
+                temperature=0.8,
+                seed=i,
+            )
+        )
+    t0 = time.perf_counter()
+    done = engine.run()
+    elapsed = time.perf_counter() - t0
+    total = sum(len(r.generated) for r in done)
+    stats = engine.stats()
+
+    device_kind = jax.devices()[0].device_kind
+    bw = HBM_BW_BY_KIND.get(device_kind, 819e9)
+    roofline_1 = bw / weight_bytes_per_decode_token(config, scale_bytes=2)
+    print(
+        json.dumps(
+            {
+                "metric": f"serve_tok_s_qwen3_{model_name}_int8g64_slots{n_slots}",
+                "value": round(total / elapsed, 2),
+                "unit": "tokens/sec",
+                "vs_baseline": round(total / elapsed / roofline_1, 4),
+                "p50_ttft_s": round(stats["p50_ttft"], 4) if stats["p50_ttft"] else None,
+                "requests": len(done),
+            }
+        )
+    )
 
 
 def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:

@@ -97,6 +97,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="KV pool size in pages (paged only; default: half the dense footprint)",
     )
 
+    # serve: HTTP front-end over the continuous-batching engine.
+    sv = sub.add_parser("serve", help="Serve a checkpoint over HTTP")
+    sv.add_argument("checkpoint")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--slots", type=int, default=8)
+    sv.add_argument(
+        "--sampling", choices=["host", "device"], default="device",
+        help="host = reference-parity xorshift; device = chunked on-TPU sampling",
+    )
+    sv.add_argument("--kv", choices=["dense", "paged"], default="paged")
+    sv.add_argument("--page-size", type=int, default=128)
+    sv.add_argument("--pages", type=int, default=None)
+    sv.add_argument("--no-warmup", action="store_true")
+
     # eval-ppl: perplexity + int8-vs-f32 delta (the BASELINE accuracy bar).
     ev = sub.add_parser("eval-ppl", help="Evaluate perplexity of a checkpoint")
     ev.add_argument("checkpoint")
@@ -204,6 +219,29 @@ def main(argv=None) -> int:
             100 * stats["slot_utilization"],
             f"{stats['p50_ttft']*1e3:.0f}ms" if stats["p50_ttft"] else "n/a",
         )
+        return 0
+
+    if args.command == "serve":
+        from .checkpoint import load_checkpoint
+        from .inference.tokenizer import Tokenizer
+        from .serving import ContinuousBatchingEngine
+        from .serving.server import ServingFrontend, serve
+
+        config, weights = load_checkpoint(args.checkpoint)
+        tokenizer = Tokenizer(args.checkpoint, config.vocab_size)
+        engine = ContinuousBatchingEngine(
+            config=config,
+            weights=weights,
+            n_slots=args.slots,
+            sampling=args.sampling,
+            kv_layout=args.kv,
+            page_size=args.page_size,
+            n_pages=args.pages,
+        )
+        if not args.no_warmup:
+            logging.info("warming up (compiling serving step functions)...")
+            engine.warmup()
+        serve(ServingFrontend(engine, tokenizer), host=args.host, port=args.port)
         return 0
 
     if args.command == "eval-ppl":

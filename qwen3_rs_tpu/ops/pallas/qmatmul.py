@@ -100,7 +100,7 @@ def _kernel(
 # of the 128 MB VMEM).  Bigger tiles mean fewer grid blocks: the ~1-2 µs
 # per-block fixed cost is what capped shallow-grid kernels at ~60% of HBM
 # bandwidth.
-_TILE_BYTES_BUDGET = 3 * 1024 * 1024
+_TILE_BYTES_BUDGET = int(__import__('os').environ.get('QWEN3_TPU_TILE_BUDGET', 3 * 1024 * 1024))
 
 
 def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:

@@ -1,0 +1,218 @@
+"""Minimal HTTP serving front-end over the continuous-batching engine.
+
+The reference is an interactive CLI only (SURVEY §2.4: no serving layer);
+the TPU framework's serving target is continuous batching of concurrent
+requests, so this module exposes it as a small dependency-free HTTP server
+(stdlib ``http.server``):
+
+* ``POST /v1/completions`` — ``{"prompt": str, "max_tokens": int,
+  "temperature": float, "top_p": float, "seed": int}`` → one JSON object
+  with the completion (or, with ``"stream": true``, newline-delimited JSON
+  chunks as tokens are emitted);
+* ``GET /v1/stats`` — scheduler counters (slot utilization, p50 TTFT,
+  page-pool usage);
+* ``GET /health``.
+
+One worker thread owns the engine (it is not thread-safe); HTTP handler
+threads communicate with it through queues.  This is deliberately a thin
+host-side shim: all batching/scheduling lives in scheduler.py and all
+device work is the same jitted step functions the batch CLI uses.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .scheduler import ContinuousBatchingEngine, Request
+
+logger = logging.getLogger(__name__)
+
+
+class _Pending:
+    def __init__(self, stream: bool):
+        self.stream = stream
+        self.tokens: "queue.Queue[Optional[int]]" = queue.Queue()
+        self.done = threading.Event()
+        self.request: Optional[Request] = None
+
+
+class ServingFrontend:
+    """Owns the engine worker thread and request plumbing."""
+
+    def __init__(self, engine: ContinuousBatchingEngine, tokenizer, poll_idle_s=0.005):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self._submissions: "queue.Queue[tuple[Request, _Pending]]" = queue.Queue()
+        self._pending: dict[int, _Pending] = {}
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._poll_idle_s = poll_idle_s
+        self._running = True
+        self._completed_seen = 0
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client api
+    def submit(
+        self,
+        prompt: str,
+        *,
+        max_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        seed: int = 0,
+        stream: bool = False,
+    ) -> _Pending:
+        with self._id_lock:
+            req_id = self._next_id
+            self._next_id += 1
+        req = Request(
+            request_id=req_id,
+            prompt_tokens=self.tokenizer.encode(prompt),
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            topp=top_p,
+            seed=seed,
+            eos_token_ids=(self.tokenizer.bos_token_id, self.tokenizer.eos_token_id),
+        )
+        pending = _Pending(stream)
+        self._submissions.put((req, pending))
+        return pending
+
+    def stats(self) -> dict:
+        return self.engine.stats()
+
+    def shutdown(self):
+        self._running = False
+        self._thread.join(timeout=10)
+
+    # ---------------------------------------------------------------- worker
+    def _worker(self):
+        while self._running:
+            admitted = False
+            while True:
+                try:
+                    req, pending = self._submissions.get_nowait()
+                except queue.Empty:
+                    break
+                self._pending[req.request_id] = pending
+                pending.request = req
+                self.engine.submit(req)
+                admitted = True
+
+            if self.engine.has_work:
+                emitted = self.engine.step()
+                for req, token in emitted:
+                    p = self._pending.get(req.request_id)
+                    if p is not None and p.stream:
+                        p.tokens.put(token)
+                # Completion notifications.
+                done = self.engine.completed
+                while self._completed_seen < len(done):
+                    req = done[self._completed_seen]
+                    self._completed_seen += 1
+                    p = self._pending.pop(req.request_id, None)
+                    if p is not None:
+                        p.request = req
+                        if p.stream:
+                            p.tokens.put(None)  # sentinel
+                        p.done.set()
+            elif not admitted:
+                time.sleep(self._poll_idle_s)
+
+
+def make_handler(frontend: ServingFrontend):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through logging
+            logger.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/stats":
+                self._json(200, frontend.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/completions":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                prompt = payload["prompt"]
+            except (json.JSONDecodeError, KeyError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+
+            pending = frontend.submit(
+                prompt,
+                max_tokens=int(payload.get("max_tokens", 128)),
+                temperature=float(payload.get("temperature", 0.0)),
+                top_p=float(payload.get("top_p", 0.9)),
+                seed=int(payload.get("seed", 0)),
+                stream=bool(payload.get("stream", False)),
+            )
+            if pending.stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                from ..inference.tokenizer import Utf8StreamDecoder
+
+                decoder = Utf8StreamDecoder()
+                while True:
+                    token = pending.tokens.get()
+                    if token is None:
+                        break
+                    piece = decoder.push(frontend.tokenizer.decode_bytes(token))
+                    chunk = json.dumps({"token": token, "text": piece}).encode() + b"\n"
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                req = pending.request
+                tail = json.dumps(
+                    {"done": True, "finish_reason": req.finish_reason,
+                     "tokens": len(req.generated)}
+                ).encode() + b"\n"
+                self.wfile.write(f"{len(tail):x}\r\n".encode() + tail + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                pending.done.wait()
+                req = pending.request
+                self._json(
+                    200,
+                    {
+                        "text": frontend.tokenizer.decode(req.generated),
+                        "tokens": len(req.generated),
+                        "finish_reason": req.finish_reason,
+                        "ttft_s": req.ttft,
+                    },
+                )
+
+    return Handler
+
+
+def serve(frontend: ServingFrontend, host: str = "127.0.0.1", port: int = 8000):
+    """Blocking server loop."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(frontend))
+    logger.info("serving on http://%s:%d", host, port)
+    try:
+        httpd.serve_forever()
+    finally:
+        frontend.shutdown()

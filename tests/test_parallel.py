@@ -178,3 +178,44 @@ def test_paged_sharded_matches_single_device(setup, tp):
     np.testing.assert_allclose(
         np.asarray(new_cache.k), np.asarray(base_new.k), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2)])
+def test_sharded_bounded_attention_window(setup, dp, tp):
+    """A cache window large enough to engage the position-bounded fori_loop
+    attention path (T >= 512) must compile and match under a (dp, tp) mesh —
+    the loop bound is a max over the dp-sharded positions."""
+    config, weights = setup
+    import dataclasses
+
+    config = dataclasses.replace(config, seq_len=512).validate()
+    mesh = create_mesh(tp=tp, dp=dp, devices=jax.devices()[: dp * tp])
+    batch = 2 * dp
+
+    tokens = jnp.arange(batch, dtype=jnp.int32)[:, None] % config.vocab_size
+    pos = jnp.asarray([130, 64, 0, 300], jnp.int32)[:batch]
+
+    base_cache = init_kv_cache(config, batch, dtype=jnp.bfloat16)
+    base_logits, _ = qwen3_forward(
+        config, weights, tokens, base_cache, pos, mode="fast"
+    )
+
+    from qwen3_rs_tpu.ops.attention import _pick_cache_chunk
+
+    assert _pick_cache_chunk(config.seq_len) is not None  # loop path engaged
+
+    w_sh = shard_weights(weights, mesh, config)
+    cache_sh = shard_cache(init_kv_cache(config, batch, dtype=jnp.bfloat16), mesh)
+    data_sh = NamedSharding(mesh, P(DP_AXIS, None))
+    step = jax.jit(
+        functools.partial(qwen3_forward, config, mode="fast"), donate_argnums=(2,)
+    )
+    logits, _ = step(
+        w_sh,
+        jax.device_put(tokens, data_sh),
+        cache_sh,
+        jax.device_put(pos, NamedSharding(mesh, P(DP_AXIS))),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(base_logits), rtol=5e-3, atol=5e-3
+    )

@@ -1,0 +1,112 @@
+"""HTTP serving front-end tests (in-process server, tiny model)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from test_model_parity import make_weights
+from utils import TINY_CONFIG
+
+from qwen3_rs_tpu.serving import ContinuousBatchingEngine, Request
+from qwen3_rs_tpu.serving.server import ServingFrontend, make_handler
+
+
+class FakeTokenizer:
+    """Token-id passthrough: 'a b c' ↔ [ord offsets]; enough for plumbing."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def encode(self, text):
+        return [3 + (ord(c) % 90) for c in text][:8] or [3]
+
+    def decode(self, tokens):
+        return " ".join(str(t) for t in tokens)
+
+    def decode_bytes(self, token):
+        return f"{token} ".encode()
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    rng = np.random.default_rng(5)
+    config = TINY_CONFIG
+    _, weights = make_weights(config, rng)
+    engine = ContinuousBatchingEngine(
+        config=config, weights=weights, n_slots=2, mode="fast",
+        prefill_buckets=(8, 16), kv_layout="paged", page_size=8,
+    )
+    fe = ServingFrontend(engine, FakeTokenizer())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(fe))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield fe, httpd.server_address[1]
+    httpd.shutdown()
+    fe.shutdown()
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_health_and_stats(frontend):
+    _, port = frontend
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+        assert json.load(r)["status"] == "ok"
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/stats", timeout=30) as r:
+        stats = json.load(r)
+    assert "slot_utilization" in stats and "kv_pages_total" in stats
+
+
+def test_completion_roundtrip(frontend):
+    _, port = frontend
+    with _post(port, {"prompt": "hello", "max_tokens": 5}) as r:
+        out = json.load(r)
+    assert out["tokens"] == 5 or out["finish_reason"] == "stop"
+    assert isinstance(out["text"], str)
+    assert out["ttft_s"] is None or out["ttft_s"] > 0
+
+
+def test_concurrent_completions_deterministic(frontend):
+    """Two identical greedy requests issued concurrently must agree."""
+    _, port = frontend
+    results = [None, None]
+
+    def go(i):
+        with _post(port, {"prompt": "same prompt", "max_tokens": 6}) as r:
+            results[i] = json.load(r)["text"]
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert results[0] is not None and results[0] == results[1]
+
+
+def test_streaming(frontend):
+    _, port = frontend
+    with _post(port, {"prompt": "stream me", "max_tokens": 4, "stream": True}) as r:
+        lines = [json.loads(l) for l in r.read().decode().strip().splitlines()]
+    assert lines[-1]["done"] is True
+    token_chunks = [l for l in lines[:-1] if "token" in l]
+    assert 1 <= len(token_chunks) <= 4
+
+
+def test_bad_request(frontend):
+    _, port = frontend
+    try:
+        _post(port, {"nope": 1})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+import urllib.error  # noqa: E402  (used in test_bad_request)
