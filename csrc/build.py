@@ -12,7 +12,7 @@ import sys
 from pathlib import Path
 
 CSRC = Path(__file__).resolve().parent
-SOURCES = [CSRC / "bpe_tokenizer.cpp"]
+SOURCES = [CSRC / "bpe_tokenizer.cpp", CSRC / "host_io.cpp"]
 OUTPUT = CSRC / "libqwen3_host.so"
 
 
@@ -28,6 +28,7 @@ def build() -> int:
         "-shared",
         "-fPIC",
         "-Wall",
+        "-pthread",
         "-o",
         str(OUTPUT),
         *[str(s) for s in SOURCES],

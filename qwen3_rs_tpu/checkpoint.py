@@ -49,7 +49,18 @@ VOCAB_PAD_MULTIPLE = 2048
 
 def _transpose_qt(q: np.ndarray, s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Row-major storage ([.., out, in] codes, [.., out, in/g] scales) →
-    in-major compute layout ([.., in, out], [.., in/g, out])."""
+    in-major compute layout ([.., in, out], [.., in/g, out]).
+
+    Goes through the C++ blocked/multithreaded transpose (csrc/host_io.cpp)
+    when available — the native counterpart of the reference's Rust loader
+    (models/qwen3.rs:199-277); numpy strided views otherwise (callers
+    materialize with ascontiguousarray)."""
+    from .utils.native import native_transpose
+
+    q_t = native_transpose(q)
+    s_t = native_transpose(s)
+    if q_t is not None and s_t is not None:
+        return q_t, s_t
     return np.swapaxes(q, -1, -2), np.swapaxes(s, -1, -2)
 
 

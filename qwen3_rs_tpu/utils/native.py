@@ -74,8 +74,53 @@ def load_library():
         ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_uint32,
     ]
+    for name in ("transpose_i8", "transpose_f32"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
     _lib = lib
     return lib
+
+
+def native_transpose(src: "np.ndarray", n_threads: int = 0):
+    """Batched last-two-axes transpose [..., R, C] -> [..., C, R] through the
+    C++ blocked/multithreaded kernel (csrc/host_io.cpp); returns None when
+    the native library or dtype is unavailable so callers can fall back to
+    numpy.  This is the loader hot path: the checkpoint stores row-major
+    [out, in] weight codes, compute wants in-major (checkpoint.py)."""
+    import numpy as np
+
+    lib = load_library()
+    if lib is None:
+        return None
+    if src.dtype == np.int8:
+        fn = lib.transpose_i8
+    elif src.dtype == np.float32:
+        fn = lib.transpose_f32
+    else:
+        return None
+    if src.ndim < 2:
+        return None
+    src = np.ascontiguousarray(src)
+    *lead, rows, cols = src.shape
+    batch = int(np.prod(lead)) if lead else 1
+    dst = np.empty((*lead, cols, rows), dtype=src.dtype)
+    fn(
+        src.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p),
+        batch,
+        rows,
+        cols,
+        n_threads,
+    )
+    return dst
 
 
 class NativeBpeEncoder:
