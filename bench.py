@@ -58,6 +58,9 @@ def main() -> None:
     model_name = os.environ.get("BENCH_MODEL", "8b")
     seq_len = int(os.environ.get("BENCH_SEQ_LEN", "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # Decode-mode start position (long-context runs: position-bounded
+    # attention streams ~pos KV rows per step, not the allocated window).
+    start_pos = int(os.environ.get("BENCH_START_POS", "0"))
     steps_long = int(os.environ.get("BENCH_STEPS", "64" if model_name == "8b" else "256"))
     steps_short = max(steps_long // 4, 1)
     mode = os.environ.get("BENCH_MODE", "decode")  # decode | prefill
@@ -94,7 +97,7 @@ def main() -> None:
             f = jax.jit(functools.partial(decode_n, n_steps=n_steps), donate_argnums=(2,))
             cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
             tok = jnp.ones((batch, 1), jnp.int32)
-            pos = jnp.zeros(batch, jnp.int32)
+            pos = jnp.full((batch,), start_pos, jnp.int32)
             toks, _ = f(weights, tok, cache, pos)
             np.asarray(toks)  # warm: compile + transfer path
             cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
@@ -111,8 +114,9 @@ def main() -> None:
         device_kind = jax.devices()[0].device_kind
         bw = HBM_BW_BY_KIND.get(device_kind, 819e9)
         roofline = bw / weight_bytes_per_decode_token(config, scale_bytes=2) * batch
+        ctx = f"_ctx{start_pos}" if start_pos else ""
         return {
-            "metric": f"decode_tok_s_qwen3_{model}_int8g64_b{batch}",
+            "metric": f"decode_tok_s_qwen3_{model}_int8g64_b{batch}{ctx}",
             "value": round(tok_per_sec, 2),
             "unit": "tokens/sec",
             "vs_baseline": round(tok_per_sec / roofline, 4),

@@ -114,10 +114,23 @@ def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
     return out
 
 
-def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
+# Scoped-VMEM ceiling the tile choice must respect (v5e compiles enforce a
+# 16 MB scoped-vmem limit; leave headroom for the scales block + slack).
+_SCOPED_VMEM_LIMIT = 15 * 1024 * 1024
+
+
+def _vmem_estimate(tn: int, td: int, b: int) -> int:
+    """Scoped-VMEM bytes for one block: int8 codes double-buffered (2×) +
+    the dequantized bf16 tile (2 B/elem) + f32 activation/output blocks
+    (double-buffered).  Calibrated against observed compile accounting."""
+    return 4 * tn * td + 4 * b * (tn + td)
+
+
+def _pick_tiles(n: int, d: int, group_size: int, b: int = 16) -> tuple[int, int] | None:
     """(tile_n, tile_d) dividing (n, d): maximize block size within the VMEM
     budget (per-block fixed costs ~1-2 µs amortize over DMA time), preferring
-    fewer blocks at equal size."""
+    fewer blocks at equal size.  ``b`` (activation rows) matters at prefill:
+    the f32 [b, tile_d] output block counts against the scoped-VMEM limit."""
     def n_ok(c: int) -> bool:
         # The scales block is [c // group_size, tile_d]; its sublane dim must
         # be a multiple of 8 (or span the full group axis).
@@ -135,9 +148,13 @@ def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
     if not n_candidates or not d_candidates:
         return None
     best = None
+    fallback = None  # min-VMEM combo, used if nothing fits the scoped limit
     for tn in n_candidates:
         for td in d_candidates:
-            if tn * td > _TILE_BYTES_BUDGET:
+            est = _vmem_estimate(tn, td, b)
+            if fallback is None or est < fallback[0]:
+                fallback = (est, tn, td)
+            if tn * td > _TILE_BYTES_BUDGET or est > _SCOPED_VMEM_LIMIT:
                 continue
             blocks = (n // tn) * (d // td)
             # ≥2 blocks keep the DMA of block k+1 overlapped with the
@@ -146,7 +163,7 @@ def _pick_tiles(n: int, d: int, group_size: int) -> tuple[int, int] | None:
             if best is None or key > best[0]:
                 best = (key, tn, td)
     if best is None:
-        return n_candidates[0], d_candidates[0]
+        return (fallback[1], fallback[2]) if fallback is not None else None
     return best[1], best[2]
 
 
@@ -173,7 +190,7 @@ def _qmatmul_2d(x, wq, ws, *, interpret: bool = False, impl: str | None = None, 
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = tiles or _pick_tiles(n, d, group_size)
+    tiles = tiles or _pick_tiles(n, d, group_size, b)
     if tiles is None:
         raise ValueError(f"unsupported shapes for pallas qmatmul: {x.shape} x {wq.shape}")
     tile_n, tile_d = tiles
@@ -244,7 +261,7 @@ def _qmatmul_stacked_2d(
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = tiles or _pick_tiles(n, d, group_size)
+    tiles = tiles or _pick_tiles(n, d, group_size, b)
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas qmatmul: {x.shape} x {wq_all.shape}"

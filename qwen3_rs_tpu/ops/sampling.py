@@ -146,18 +146,44 @@ def sample_tokens_jax(
     return jnp.where(temperature == 0.0, greedy, sampled)
 
 
+# Nucleus candidate cap for the large-vocab sampling path.  At topp < 1 the
+# nucleus of an LLM next-token distribution concentrates in the top tokens;
+# capping it at 256 candidates replaces a full-vocab sort (which dominated
+# batched decode steps at V≈152k) with the TPU-native ApproxTopK reduction.
+_NUCLEUS_TOPK = 256
+
+
 def _topp_sample(scaled: jax.Array, key: jax.Array, topp) -> jax.Array:
-    """Nucleus sampling on scaled logits [B, V]; topp scalar or [B]."""
+    """Nucleus sampling on scaled logits [B, V]; topp scalar or [B].
+
+    Small vocabularies sort exactly; large ones prefilter to the top
+    ``_NUCLEUS_TOPK`` candidates first (probabilities still normalized over
+    the FULL vocab, so the kept mass matches the exact nucleus unless the
+    nucleus itself exceeds the cap — negligible tail probability then).
+    """
     topp = jnp.asarray(topp, jnp.float32)
     if topp.ndim == 0:
         topp = topp[None]
-    probs = jax.nn.softmax(scaled, axis=-1)
-    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    # Keep the smallest prefix with cumulative > topp (inclusive boundary).
-    keep_sorted = cum - sorted_probs <= topp[:, None]
-    threshold = jnp.min(
-        jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
-    )
-    masked = jnp.where(probs >= threshold, scaled, -jnp.inf)
-    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    v = scaled.shape[-1]
+    if v <= 2 * _NUCLEUS_TOPK:
+        probs = jax.nn.softmax(scaled, axis=-1)
+        sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        # Keep the smallest prefix with cumulative > topp (inclusive boundary).
+        keep_sorted = cum - sorted_probs <= topp[:, None]
+        threshold = jnp.min(
+            jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
+        )
+        masked = jnp.where(probs >= threshold, scaled, -jnp.inf)
+        return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+    # values arrive sorted descending (aggregate_to_topk performs an exact
+    # final top-k over the approximate candidate set).
+    vals, idx = jax.lax.approx_max_k(scaled, _NUCLEUS_TOPK, recall_target=0.99)
+    lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)  # full-vocab norm
+    probs = jnp.exp(vals - lse)  # [B, K]
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs <= topp[:, None]
+    masked = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0, K)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)

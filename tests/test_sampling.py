@@ -132,3 +132,35 @@ class TestDeviceSampling:
         logits = jnp.zeros((4, 16))
         out = sample_tokens_jax(logits, jax.random.PRNGKey(0), 1.0, 0.9)
         assert out.shape == (4,)
+
+
+class TestDeviceSamplingLargeVocab:
+    """The V > 2*_NUCLEUS_TOPK path (ApproxTopK prefilter, full-vocab
+    normalization) must still confine samples to the exact nucleus."""
+
+    def test_nucleus_containment(self):
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32) * 3)
+        seen = [set(), set()]
+        for s in range(100):
+            out = np.asarray(
+                sample_tokens_jax(logits, jax.random.PRNGKey(s), 1.0, 0.9)
+            )
+            for b in range(2):
+                seen[b].add(int(out[b]))
+        sc = np.asarray(logits, np.float64)
+        for b in range(2):
+            p = np.exp(sc[b] - sc[b].max())
+            p /= p.sum()
+            order = np.argsort(-p)
+            cum = np.cumsum(p[order])
+            nucleus = set(order[: int(np.searchsorted(cum, 0.9) + 1)].tolist())
+            assert seen[b] <= nucleus
+
+    def test_greedy_large_vocab(self):
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.standard_normal((3, 2048)).astype(np.float32))
+        out = sample_tokens_jax(logits, jax.random.PRNGKey(0), 0.0, 0.9)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.argmax(np.asarray(logits), axis=-1)
+        )
