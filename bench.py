@@ -227,11 +227,17 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
     s = int(os.environ.get("BENCH_PREFILL_LEN", str(min(4096, seq_len))))
 
     def prefill_k(weights, tokens, cache, k):
+        # Each iteration's tokens depend on the previous logits — without the
+        # data dependence XLA dead-code-eliminates all but the last prefill
+        # (their logits are unused and their cache writes fully overwritten)
+        # and the slope collapses to 0.
         logits = None
-        for i in range(k):
+        for _ in range(k):
             logits, cache = qwen3_forward(
-                config, weights, tokens + i, cache, jnp.zeros(batch, jnp.int32), mode="fast"
+                config, weights, tokens, cache, jnp.zeros(batch, jnp.int32), mode="fast"
             )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [batch]
+            tokens = (tokens + nxt[:, None]) % config.vocab_size
         return logits, cache
 
     times = {}

@@ -102,6 +102,15 @@ def _kernel(
 # bandwidth.
 _TILE_BYTES_BUDGET = int(__import__('os').environ.get('QWEN3_TPU_TILE_BUDGET', 3 * 1024 * 1024))
 
+# Mosaic scoped-VMEM ceiling passed via CompilerParams.vmem_limit_bytes.
+# Default matches the compiler's own ~16 MB limit: raising it admits larger
+# tile budgets but measured SLOWER on v5e 8B decode (64 MB limit: 85.7
+# tok/s with 3 MB tiles, 81.8 with 6 MB tiles, vs 88.1 at 16 MB/3 MB —
+# Mosaic spends the allowance on scheduling that hurts the DMA pipeline).
+_VMEM_LIMIT_BYTES = int(
+    __import__('os').environ.get('QWEN3_TPU_VMEM_LIMIT', 16 * 1024 * 1024)
+)
+
 
 def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
     """Divisors of ``dim`` that are multiples of ``step``, up to ``cap``."""
@@ -114,9 +123,9 @@ def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
     return out
 
 
-# Scoped-VMEM ceiling the tile choice must respect (v5e compiles enforce a
-# 16 MB scoped-vmem limit; leave headroom for the scales block + slack).
-_SCOPED_VMEM_LIMIT = 15 * 1024 * 1024
+# Scoped-VMEM ceiling the tile choice must respect: the compile-time limit
+# we request (vmem_limit_bytes) minus headroom for the scales block + slack.
+_SCOPED_VMEM_LIMIT = _VMEM_LIMIT_BYTES - 1024 * 1024
 
 
 def _vmem_estimate(tn: int, td: int, b: int) -> int:
@@ -212,6 +221,7 @@ def _qmatmul_2d(x, wq, ws, *, interpret: bool = False, impl: str | None = None, 
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(x, wq, ws)
@@ -295,6 +305,7 @@ def _qmatmul_stacked_2d(
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, wq_all, ws_all)
