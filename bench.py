@@ -234,7 +234,8 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
         logits = None
         for _ in range(k):
             logits, cache = qwen3_forward(
-                config, weights, tokens, cache, jnp.zeros(batch, jnp.int32), mode="fast"
+                config, weights, tokens, cache, jnp.zeros(batch, jnp.int32),
+                mode="fast", fresh_prefill=True,
             )
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [batch]
             tokens = (tokens + nxt[:, None]) % config.vocab_size

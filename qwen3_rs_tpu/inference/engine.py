@@ -87,9 +87,12 @@ class Engine:
 
         fwd = functools.partial(qwen3_forward, self.config, mode=mode)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill(weights, tokens, cache, pos_start, out_idx):
-            return fwd(weights, tokens, cache, pos_start, out_idx=out_idx)
+        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(5,))
+        def _prefill(weights, tokens, cache, pos_start, out_idx, fresh):
+            return fwd(
+                weights, tokens, cache, pos_start, out_idx=out_idx,
+                fresh_prefill=fresh,
+            )
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(weights, tokens, cache, pos_start):
@@ -143,12 +146,14 @@ class Engine:
         padded = np.zeros((b, s_pad), np.int32)
         padded[:, :s_real] = prompt_tokens
         out_idx = np.full((b,), s_real - 1, np.int32)
+        pos_arr = np.asarray(pos_start, np.int32).reshape(b)
         logits, cache = self._prefill(
             self.weights,
             jnp.asarray(padded),
             cache,
-            jnp.asarray(pos_start, jnp.int32).reshape(b),
+            jnp.asarray(pos_arr),
             jnp.asarray(out_idx),
+            bool((pos_arr == 0).all()),  # static: fresh prefill → splash path
         )
         return logits, cache
 

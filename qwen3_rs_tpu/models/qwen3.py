@@ -198,6 +198,7 @@ def qwen3_forward(
     out_idx: jax.Array | None = None,  # [B] int32 — which row's logits to return
     write_mask: jax.Array | None = None,  # [B] bool — per-request cache-write gate
     page_table: jax.Array | None = None,  # [B, max_pages] int32 — paged-cache mode
+    fresh_prefill: bool = False,  # static: caller guarantees pos_start == 0
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill when S>1, decode when S==1).
 
@@ -213,6 +214,11 @@ def qwen3_forward(
     (serving/paged_cache.py: k/v ``[L, P, n_kv, page, hd]``); attention
     gathers cache chunks by page id and the step's K/V rows are scattered
     into each request's pages.
+
+    ``fresh_prefill`` is a **static** promise that every ``pos_start[b]``
+    is 0 (no cache prefix to attend over); it routes attention to the
+    splash prefill kernel (ops/pallas/prefill_attention.py) on supported
+    shapes.  Passing it with a nonzero position silently drops the prefix.
 
     Mirrors the reference forward pass (models/qwen3.rs:62-79, 131-176) over
     a batch and a token window instead of a single (token, pos).
@@ -247,6 +253,18 @@ def qwen3_forward(
         and pallas_ops.pallas_enabled()
         and decode_supported(
             config.n_heads, config.n_kv_heads, config.head_dim, cache.seq_len
+        )
+    )
+
+    from ..ops.pallas.prefill_attention import splash_prefill_supported
+
+    use_splash_prefill = (
+        fresh_prefill
+        and mode == "fast"
+        and s > 1
+        and pallas_ops.pallas_enabled()
+        and splash_prefill_supported(
+            s, config.head_dim, config.n_heads, config.n_kv_heads
         )
     )
 
@@ -285,6 +303,16 @@ def qwen3_forward(
                 k.astype(compute_dtype),
                 v.astype(compute_dtype),
                 pos_start,
+            )
+        elif use_splash_prefill:
+            from ..ops.pallas.prefill_attention import causal_prefill_attention
+
+            # Fresh prefill (pos 0): pure causal window attention, score
+            # tiles VMEM-resident, masked key blocks skipped in-kernel.
+            att = causal_prefill_attention(
+                q.astype(compute_dtype),
+                k.astype(compute_dtype),
+                v.astype(compute_dtype),
             )
         elif use_flash_decode:
             from ..ops.pallas.flash_attention import flash_gqa_decode_stacked

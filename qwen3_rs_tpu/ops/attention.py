@@ -103,13 +103,18 @@ def gqa_attention_split(
         outs = []
         for c in range(s // _QUERY_CHUNK):
             sl = slice(c * _QUERY_CHUNK, (c + 1) * _QUERY_CHUNK)
+            # Causal key slice: chunk c's queries sit at window rows
+            # < (c+1)·CHUNK, so later keys are fully masked — skip their
+            # score/value matmuls entirely (halves window-attention work
+            # across the chunk sweep: Σ c·CHUNK² vs S² score elements).
+            ksl = slice(0, (c + 1) * _QUERY_CHUNK)
             outs.append(
                 _split_attn_body(
                     q[:, sl],
                     k_cache,
                     v_cache,
-                    k_new,
-                    v_new,
+                    k_new[:, ksl],
+                    v_new[:, ksl],
                     q_pos[:, sl],
                     pos_start,
                     win_offset=c * _QUERY_CHUNK,
@@ -242,9 +247,11 @@ def gqa_attention_split_paged(
         outs = []
         for c in range(s // _QUERY_CHUNK):
             sl = slice(c * _QUERY_CHUNK, (c + 1) * _QUERY_CHUNK)
+            ksl = slice(0, (c + 1) * _QUERY_CHUNK)  # causal key slice (see dense path)
             outs.append(
                 _paged_attn_body(
-                    q[:, sl], k_pool, v_pool, page_table, k_new, v_new, pos_start,
+                    q[:, sl], k_pool, v_pool, page_table,
+                    k_new[:, ksl], v_new[:, ksl], pos_start,
                     win_offset=c * _QUERY_CHUNK,
                 )
             )

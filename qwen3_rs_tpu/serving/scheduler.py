@@ -172,7 +172,8 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _prefill1(weights, tokens, cache, out_idx):
             return fwd(
-                weights, tokens, cache, jnp.zeros(1, jnp.int32), out_idx=out_idx
+                weights, tokens, cache, jnp.zeros(1, jnp.int32), out_idx=out_idx,
+                fresh_prefill=True,
             )
 
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
@@ -227,6 +228,7 @@ class ContinuousBatchingEngine:
                 jnp.zeros(1, jnp.int32),
                 out_idx=out_idx,
                 page_table=tables,
+                fresh_prefill=True,
             )
 
         self._decode = _decode
