@@ -339,7 +339,11 @@ class ContinuousBatchingEngine:
     def step(self) -> list[tuple[Request, int]]:
         """One scheduler iteration. Returns (request, token) pairs emitted."""
         emitted: list[tuple[Request, int]] = []
-        self._admit_one(emitted)
+        # Drain the queue into every free slot before the decode chunk: under
+        # bursty arrivals, one-admission-per-chunk would add a full chunk of
+        # decode latency to each queued request's TTFT.
+        while self._admit_one(emitted):
+            pass
         if self.active_count:
             self._decode_all(emitted)
         return emitted
@@ -350,10 +354,11 @@ class ContinuousBatchingEngine:
             self.step()
         return self.completed
 
-    def _admit_one(self, emitted) -> None:
+    def _admit_one(self, emitted) -> bool:
+        """Admit at most one queued request; True if one was admitted."""
         slot = self._free_slot()
         if slot is None or not self.queue:
-            return
+            return False
         req = self.queue[0]
         prompt = req.prompt_tokens[: self.config.seq_len - 1]
         s_real = max(len(prompt), 1)
@@ -370,7 +375,7 @@ class ContinuousBatchingEngine:
                         f"pool holds ({self.allocator.n_pages}); raise n_pages "
                         "or lower max_new_tokens"
                     )
-                return  # wait for active requests to release pages
+                return False  # wait for active requests to release pages
             self.queue.pop(0)
             self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
             padded = np.zeros((1, s_pad), np.int32)
@@ -404,6 +409,7 @@ class ContinuousBatchingEngine:
         self.slot_pos[slot] = s_real
         self.slot_token[slot] = first
         self._emit(req, first, emitted)
+        return True
 
     def _decode_all(self, emitted) -> None:
         if self.sampling == "device":
