@@ -162,21 +162,22 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
     paths slice explicitly."""
     if mode == "fast":
         from ..ops import pallas as pallas_ops
-        from ..ops.pallas.qmatmul import supports_shapes
+        from ..ops.pallas.qmatmul import rows_supported, supports_shapes
 
         _, n, d = w_all.q.shape
         group_size = n // w_all.scales.shape[1]
         batch_rows = 1
         for dim in x.shape[:-1]:
             batch_rows *= dim
-        # Row cap: the kernel holds whole [rows, tile] activation/output
-        # blocks in VMEM — decode and small prefill buckets only.
-        if (
-            pallas_ops.pallas_enabled()
-            and batch_rows <= 256
-            and supports_shapes(n, d, group_size)
-        ):
-            return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
+        if pallas_ops.pallas_enabled():
+            # Decode / small prefill buckets: whole [rows, tile] activation
+            # and output blocks live in VMEM.
+            if batch_rows <= 256 and supports_shapes(n, d, group_size):
+                return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
+            # Long prefill: row-blocked kernel — dequantizes in VMEM, saving
+            # the XLA dense path's dequant round-trips (~2.1 GB/layer on 8B).
+            if batch_rows > 256 and rows_supported(n, d, group_size, batch_rows):
+                return pallas_ops.qmatmul_pallas_stacked_rows(x, w_all, idx)
     return _project(x, xq, _slice_layer(w_all, idx), mode)
 
 

@@ -39,6 +39,12 @@ def qmatmul_pallas_stacked(x, w, layer_idx):
     return _impl(x, w, layer_idx)
 
 
+def qmatmul_pallas_stacked_rows(x, w, layer_idx):
+    from .qmatmul import qmatmul_pallas_stacked_rows as _impl
+
+    return _impl(x, w, layer_idx)
+
+
 def flash_gqa_attention(q, k, v, q_pos):
     from .flash_attention import flash_gqa_attention as _impl
 

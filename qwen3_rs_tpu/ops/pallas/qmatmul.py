@@ -31,7 +31,8 @@ from ..quant import QuantizedTensor
 
 
 def _accumulate_tile(
-    x, wq, ws, out_ref, *, group_size: int, tile_groups: int, impl: str = "defer"
+    x, wq, ws, out_ref, *, group_size: int, tile_groups: int, impl: str = "defer",
+    k_axis: int = 1,
 ):
     """out_ref += x @ dequant(wq, ws) for one (in, out) tile.
 
@@ -46,7 +47,7 @@ def _accumulate_tile(
     either way: an f32 LHS makes Mosaic run the MXU in multi-pass f32 mode
     (int8 codes are exact in bf16: |q| ≤ 127 < 2^8).
     """
-    k = pl.program_id(1)
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _():
@@ -319,4 +320,147 @@ def qmatmul_pallas_stacked(
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.float32)
     out = _qmatmul_stacked_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
+    return out.reshape(*batch_shape, w.q.shape[-1])
+
+
+# ------------------------------------------------------------------- prefill
+# Row-blocked variant for many activation rows (prefill).  The XLA
+# dense-dequant path costs ~2.1 GB/layer of extra HBM traffic on an 8B model
+# (profiled: slice+convert, scale-multiply and the dot each round-trip the
+# dequantized bf16 matrix) — about half of short-prefill wall time.  This
+# kernel streams INT8 codes and dequantizes in VMEM like the decode kernel,
+# with an extra rows grid axis; weights re-stream once per row block, so the
+# caller should only use it while rows/tile_b stays small (the row block is
+# picked as large as VMEM allows).
+
+_ROW_BLOCK = 512
+
+
+def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
+    """(tile_b, tile_n, tile_d) for the row-blocked kernel; None if the
+    shapes don't tile.  VMEM budget: int8 codes double-buffered + bf16
+    dequant tile (4 B/elem combined) + bf16 x block double-buffered + f32
+    out block (resident across the k sweep)."""
+    tile_b = None
+    for c in (_ROW_BLOCK, 256, 128):
+        if b % c == 0:
+            tile_b = c
+            break
+    if tile_b is None:
+        return None
+    step_n = max(group_size, 256)
+    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if (c // group_size) % 8 == 0 or c == n]
+    d_candidates = _divisor_tiles(d, 256, 8192)
+    # Small-dim escape hatches (still Mosaic-tileable).
+    if not n_candidates:
+        n_candidates = [
+            c for c in _divisor_tiles(n, 128, 8192)
+            if c % group_size == 0 and ((c // group_size) % 8 == 0 or c == n)
+        ]
+    if not d_candidates:
+        d_candidates = _divisor_tiles(d, 128, 8192)
+    if not n_candidates or not d_candidates:
+        return None
+    best = None
+    for tn in n_candidates:
+        for td in d_candidates:
+            # Coefficients calibrated against Mosaic's scoped-vmem accounting
+            # (codes double-buffered + dequant/scale-broadcast temps + dot
+            # temp ≈ 8 B/elem on the weight tile; x/out blocks ≈ 8 B/row-elem
+            # with double buffering).
+            est = 8 * tn * td + 8 * tile_b * (tn + td)
+            if est > _SCOPED_VMEM_LIMIT:
+                continue
+            blocks = (n // tn) * (d // td)
+            key = (blocks >= 2, tn * td, -blocks)
+            if best is None or key > best[0]:
+                best = (key, tn, td)
+    if best is None:
+        return None
+    return tile_b, best[1], best[2]
+
+
+def rows_supported(n: int, d: int, group_size: int, b: int) -> bool:
+    """Whether the row-blocked prefill kernel covers this shape."""
+    return _pick_tiles_rows(n, d, group_size, b) is not None
+
+
+def _kernel_stacked_rows(
+    layer_ref, x_ref, wq_ref, ws_ref, out_ref, *, group_size: int, tile_groups: int, impl: str
+):
+    _accumulate_tile(
+        x_ref[:],
+        wq_ref[0],
+        ws_ref[0],
+        out_ref,
+        group_size=group_size,
+        tile_groups=tile_groups,
+        impl=impl,
+        k_axis=2,  # grid is (rows, out, in)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "impl"))
+def _qmatmul_stacked_rows_2d(
+    x, wq_all, ws_all, layer_idx, *, interpret: bool = False, impl: str | None = None
+):
+    """x [B, N] bf16 (B large), stacked weights at ``layer_idx`` → [B, D] f32."""
+    b, n = x.shape
+    _, _, d = wq_all.shape
+    g_count = ws_all.shape[1]
+    group_size = n // g_count
+    impl = impl or _default_impl()
+
+    tiles = _pick_tiles_rows(n, d, group_size, b)
+    if tiles is None:
+        raise ValueError(
+            f"unsupported shapes for pallas rows qmatmul: {x.shape} x {wq_all.shape}"
+        )
+    tile_b, tile_n, tile_d = tiles
+    tile_groups = tile_n // group_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # k innermost: the out block (r, i) stays VMEM-resident across the
+        # accumulation sweep; weight blocks re-stream once per row block.
+        grid=(b // tile_b, d // tile_d, n // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_b, tile_n), lambda r, i, k, l: (r, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, tile_d), lambda r, i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_groups, tile_d),
+                lambda r, i, k, l: (l[0], k, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, tile_d), lambda r, i, k, l: (r, i), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _kernel_stacked_rows, group_size=group_size, tile_groups=tile_groups, impl=impl
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, wq_all, ws_all)
+
+
+def qmatmul_pallas_stacked_rows(
+    x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False, **opts
+) -> jax.Array:
+    """Prefill counterpart of :func:`qmatmul_pallas_stacked` (rows > decode
+    cap).  Activations stream as bf16 — the dot runs in bf16 either way."""
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.bfloat16)
+    out = _qmatmul_stacked_rows_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
     return out.reshape(*batch_shape, w.q.shape[-1])

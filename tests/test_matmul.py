@@ -108,3 +108,37 @@ def test_pallas_supports_shapes():
     assert supports_shapes(1024, 2048, 64)
     assert supports_shapes(1024, 151936, 64)  # 151936 = 128 × 1187
     assert not supports_shapes(64, 64, 16)  # tiny test models → XLA fallback
+
+
+def test_pallas_rows_interpret_matches_fast(rng):
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        qmatmul_pallas_stacked_rows,
+        rows_supported,
+    )
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor
+
+    n, d, gs, b, L = 256, 256, 64, 256, 2
+    assert rows_supported(n, d, gs, b)
+    stacks = [_random_qw(rng, d, n, gs) for _ in range(L)]
+    w_all = QuantizedTensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    x = rng.normal(0, 1, (b, n)).astype(np.float32)
+    x_bf = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(np.float32))
+    for layer in range(L):
+        q_np, s_np = stacks[layer][1]
+        expected = x_bf @ dequantize_np(q_np, s_np).T
+        out = np.asarray(
+            qmatmul_pallas_stacked_rows(
+                jnp.asarray(x), w_all, layer, interpret=True, impl="scale_w"
+            )
+        )
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_rows_supported_gates():
+    from qwen3_rs_tpu.ops.pallas.qmatmul import rows_supported
+
+    assert rows_supported(4096, 24576, 64, 1024)  # 8B w13 at 1k prefill
+    assert rows_supported(12288, 4096, 64, 4096)  # 8B w2 at 4k prefill
+    assert not rows_supported(4096, 24576, 64, 100)  # ragged rows → XLA
