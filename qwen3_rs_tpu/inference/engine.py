@@ -135,18 +135,41 @@ class Engine:
             self.config, batch_size or self.batch_size, dtype=self.cache_dtype
         )
 
+    # Long prompts prefill in windows of this size: past ~4 row blocks the
+    # prefill matmul kernel's weight re-streaming stops overlapping fully
+    # with the MXU (8B measured ~99% MFU at 2048 rows, ~70% at 4096), so two
+    # 2k windows beat one 4k window; the continuation window attends over
+    # the already-written cache prefix exactly like a chat turn.
+    MAX_PREFILL_WINDOW = 2048
+
     def prefill(
         self, cache: KVCache, prompt_tokens: np.ndarray, pos_start: np.ndarray
     ) -> tuple[jax.Array, KVCache]:
         """Run a prompt window. prompt_tokens [B, S_real] is right-padded to
         a bucket; returns logits [B, V] at each row's last real token."""
         b, s_real = prompt_tokens.shape
+        w = self.MAX_PREFILL_WINDOW
+        if s_real > w:
+            pos_arr = np.asarray(pos_start, np.int32).reshape(b)
+            logits = None
+            for off in range(0, s_real, w):
+                logits, cache = self._prefill_window(
+                    cache, prompt_tokens[:, off : off + w], pos_arr + off
+                )
+            return logits, cache
+        return self._prefill_window(
+            cache, prompt_tokens, np.asarray(pos_start, np.int32).reshape(b)
+        )
+
+    def _prefill_window(
+        self, cache: KVCache, prompt_tokens: np.ndarray, pos_arr: np.ndarray
+    ) -> tuple[jax.Array, KVCache]:
+        b, s_real = prompt_tokens.shape
         # Pad to a compile bucket, but never beyond the cache window.
         s_pad = max(s_real, min(_bucket(s_real), cache.seq_len))
         padded = np.zeros((b, s_pad), np.int32)
         padded[:, :s_real] = prompt_tokens
         out_idx = np.full((b,), s_real - 1, np.int32)
-        pos_arr = np.asarray(pos_start, np.int32).reshape(b)
         logits, cache = self._prefill(
             self.weights,
             jnp.asarray(padded),

@@ -335,6 +335,13 @@ def qmatmul_pallas_stacked(
 
 _ROW_BLOCK = 512
 
+# Empirical scoped-VMEM frontier for the rows kernel, in units of the
+# `_pick_tiles_rows` estimate: on v5e, (tb=512, tn=1024, td=1536) → est
+# 22.5 MB compiles and is the fastest w13 config measured (151.9 TFLOP/s at
+# 4096 rows, vs 131.8 for (1024, 512)); every candidate with est ≥ 24 MB
+# fails to compile (scripts/rows_tile_calibrate.py).
+_ROWS_VMEM_CAP = 23 * 1024 * 1024
+
 
 def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
     """(tile_b, tile_n, tile_d) for the row-blocked kernel; None if the
@@ -369,7 +376,7 @@ def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
             # temp ≈ 8 B/elem on the weight tile; x/out blocks ≈ 8 B/row-elem
             # with double buffering).
             est = 8 * tn * td + 8 * tile_b * (tn + td)
-            if est > _SCOPED_VMEM_LIMIT:
+            if est > _ROWS_VMEM_CAP:
                 continue
             blocks = (n // tn) * (d // td)
             key = (blocks >= 2, tn * td, -blocks)
@@ -400,9 +407,10 @@ def _kernel_stacked_rows(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "impl"))
+@functools.partial(jax.jit, static_argnames=("interpret", "impl", "tiles"))
 def _qmatmul_stacked_rows_2d(
-    x, wq_all, ws_all, layer_idx, *, interpret: bool = False, impl: str | None = None
+    x, wq_all, ws_all, layer_idx, *, interpret: bool = False, impl: str | None = None,
+    tiles=None,
 ):
     """x [B, N] bf16 (B large), stacked weights at ``layer_idx`` → [B, D] f32."""
     b, n = x.shape
@@ -411,7 +419,7 @@ def _qmatmul_stacked_rows_2d(
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = _pick_tiles_rows(n, d, group_size, b)
+    tiles = tiles or _pick_tiles_rows(n, d, group_size, b)
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas rows qmatmul: {x.shape} x {wq_all.shape}"

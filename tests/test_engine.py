@@ -69,6 +69,19 @@ class TestEngine:
         )
         np.testing.assert_allclose(np.asarray(logits_d), np.asarray(logits_p), rtol=2e-4, atol=2e-4)
 
+    def test_windowed_prefill_matches_single_shot(self, engine, monkeypatch):
+        """Long prompts prefill in MAX_PREFILL_WINDOW chunks; logits must
+        equal the one-window path (continuation windows attend the cache)."""
+        rng = np.random.default_rng(0)
+        toks = rng.integers(1, engine.config.vocab_size, 11).astype(np.int32)
+        cache = engine.new_cache(1)
+        ref, _ = engine.prefill(cache, toks[None], np.zeros(1, np.int32))
+
+        monkeypatch.setattr(type(engine), "MAX_PREFILL_WINDOW", 4)
+        cache2 = engine.new_cache(1)
+        out, _ = engine.prefill(cache2, toks[None], np.zeros(1, np.int32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
 
 class TestGenerate:
     def test_greedy_deterministic(self, engine, tokenizer):
