@@ -87,6 +87,23 @@ class TestScheduler:
         assert all(len(r.generated) == 5 for r in done)
         assert all(r.finish_reason == "length" for r in done)
 
+    def test_burst_admission_fills_slots_before_decode(self, setup):
+        """A burst of queued requests must all admit (up to the slot count)
+        in the FIRST scheduler step — one-admission-per-chunk would add a
+        decode chunk to every queued request's TTFT."""
+        config, weights = setup
+        engine = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=4, mode="fast",
+            prefill_buckets=(8,),
+        )
+        for i in range(6):
+            engine.submit(Request(request_id=i, prompt_tokens=[5, i + 1], max_new_tokens=3))
+        engine.step()
+        assert engine.active_count == 4  # all slots filled in one step
+        assert len(engine.queue) == 2
+        done = engine.run()
+        assert len(done) == 6
+
     def test_interleaved_matches_solo(self, setup, engine):
         """Requests decoded concurrently must produce the same tokens as if
         run alone — slot isolation."""
