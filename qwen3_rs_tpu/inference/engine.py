@@ -165,8 +165,17 @@ class Engine:
         self, cache: KVCache, prompt_tokens: np.ndarray, pos_arr: np.ndarray
     ) -> tuple[jax.Array, KVCache]:
         b, s_real = prompt_tokens.shape
-        # Pad to a compile bucket, but never beyond the cache window.
-        s_pad = max(s_real, min(_bucket(s_real), cache.seq_len))
+        # Pad to a compile bucket, but never beyond the room left in the
+        # cache: the KV scatter's dynamic_update_slice clamps its start
+        # index, so a window wider than seq_len - pos would silently shift
+        # the writes onto earlier (real) cache rows.
+        room = cache.seq_len - int(pos_arr.max())
+        if s_real > room:
+            raise ValueError(
+                f"prompt window of {s_real} tokens does not fit the cache: "
+                f"{room} rows left of {cache.seq_len} (pos {int(pos_arr.max())})"
+            )
+        s_pad = max(s_real, min(_bucket(s_real), room))
         padded = np.zeros((b, s_pad), np.int32)
         padded[:, :s_real] = prompt_tokens
         out_idx = np.full((b,), s_real - 1, np.int32)

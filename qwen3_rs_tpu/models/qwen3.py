@@ -293,7 +293,19 @@ def qwen3_forward(
         # *read* here; the new rows are emitted from the scan and scattered
         # into the cache once afterwards — avoiding a full-cache restack per
         # layer per step.
-        if paged:
+        if use_splash_prefill:
+            from ..ops.pallas.prefill_attention import causal_prefill_attention
+
+            # Fresh prefill (pos 0): pure causal window attention, score
+            # tiles VMEM-resident, masked key blocks skipped in-kernel.
+            # Valid for the paged cache too — a fresh prefill reads no
+            # prefix, and the page scatter below is attention-independent.
+            att = causal_prefill_attention(
+                q.astype(compute_dtype),
+                k.astype(compute_dtype),
+                v.astype(compute_dtype),
+            )
+        elif paged:
             from ..ops.attention import gqa_attention_split_paged
 
             att = gqa_attention_split_paged(
@@ -304,16 +316,6 @@ def qwen3_forward(
                 k.astype(compute_dtype),
                 v.astype(compute_dtype),
                 pos_start,
-            )
-        elif use_splash_prefill:
-            from ..ops.pallas.prefill_attention import causal_prefill_attention
-
-            # Fresh prefill (pos 0): pure causal window attention, score
-            # tiles VMEM-resident, masked key blocks skipped in-kernel.
-            att = causal_prefill_attention(
-                q.astype(compute_dtype),
-                k.astype(compute_dtype),
-                v.astype(compute_dtype),
             )
         elif use_flash_decode:
             from ..ops.pallas.flash_attention import flash_gqa_decode_stacked

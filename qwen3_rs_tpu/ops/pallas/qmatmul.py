@@ -355,15 +355,17 @@ def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
             break
     if tile_b is None:
         return None
+    def n_ok(c: int) -> bool:
+        # The scales block is [c // group_size, tile_d]; its sublane dim must
+        # be a multiple of 8 (or span the full group axis).
+        return c % group_size == 0 and ((c // group_size) % 8 == 0 or c == n)
+
     step_n = max(group_size, 256)
-    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if (c // group_size) % 8 == 0 or c == n]
+    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if n_ok(c)]
     d_candidates = _divisor_tiles(d, 256, 8192)
     # Small-dim escape hatches (still Mosaic-tileable).
     if not n_candidates:
-        n_candidates = [
-            c for c in _divisor_tiles(n, 128, 8192)
-            if c % group_size == 0 and ((c // group_size) % 8 == 0 or c == n)
-        ]
+        n_candidates = [c for c in _divisor_tiles(n, 128, 8192) if n_ok(c)]
     if not d_candidates:
         d_candidates = _divisor_tiles(d, 128, 8192)
     if not n_candidates or not d_candidates:

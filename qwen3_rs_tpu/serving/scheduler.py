@@ -13,9 +13,12 @@ requests finish — request-level continuous batching:
 * sampling: per-request host samplers (reference-parity xorshift streams,
   per-request seeds) or a shared on-device sampler.
 
-Scheduling is FCFS admission; each scheduler ``step()`` admits at most one
-queued request (one prefill) and then advances every active slot by one
-decode token.
+Scheduling is FCFS admission; each scheduler ``step()`` first drains the
+queue into every free slot (bounded by ``max_admissions_per_step``), then
+advances every active slot by one decode chunk.  Draining minimizes TTFT
+under bursty arrivals; the tradeoff is that each blocking prefill delays
+in-flight streams' next token, so latency-sensitive deployments can cap
+admissions per step to bound that inter-token stall.
 """
 
 from __future__ import annotations
@@ -89,6 +92,7 @@ class ContinuousBatchingEngine:
         kv_layout: str = "dense",
         page_size: int = 128,
         n_pages: int | None = None,
+        max_admissions_per_step: int | None = None,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -107,6 +111,10 @@ class ContinuousBatchingEngine:
         # temperature/top-p as [B] arrays (throughput mode; jax PRNG).
         self.sampling = sampling
         self.decode_chunk_steps = decode_chunk_steps
+        # None = drain the queue into every free slot per step (TTFT-first);
+        # a small value bounds how long in-flight streams stall behind
+        # blocking prefills (inter-token-latency-first).
+        self.max_admissions_per_step = max_admissions_per_step
         self._key = jax.random.PRNGKey(seed)
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= config.seq_len
@@ -339,11 +347,17 @@ class ContinuousBatchingEngine:
     def step(self) -> list[tuple[Request, int]]:
         """One scheduler iteration. Returns (request, token) pairs emitted."""
         emitted: list[tuple[Request, int]] = []
-        # Drain the queue into every free slot before the decode chunk: under
+        # Drain the queue into free slots before the decode chunk: under
         # bursty arrivals, one-admission-per-chunk would add a full chunk of
-        # decode latency to each queued request's TTFT.
-        while self._admit_one(emitted):
-            pass
+        # decode latency to each queued request's TTFT.  Each admission is a
+        # blocking prefill that delays active streams' next token, so
+        # max_admissions_per_step can bound the stall.
+        admitted = 0
+        while (
+            self.max_admissions_per_step is None
+            or admitted < self.max_admissions_per_step
+        ) and self._admit_one(emitted):
+            admitted += 1
         if self.active_count:
             self._decode_all(emitted)
         return emitted

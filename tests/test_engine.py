@@ -2,6 +2,7 @@
 
 import io
 
+import jax
 import numpy as np
 import pytest
 
@@ -68,6 +69,31 @@ class TestEngine:
             cache2, np.array([toks + [nxt]], np.int32), np.zeros(1, np.int32)
         )
         np.testing.assert_allclose(np.asarray(logits_d), np.asarray(logits_p), rtol=2e-4, atol=2e-4)
+
+    def test_late_prefill_bucket_clamped_to_room(self, ckpt):
+        """A continuation prefill near the end of the window must clamp its
+        bucket to the remaining rows — a wider window would make the KV
+        scatter's clamped dynamic_update_slice overwrite earlier cache rows."""
+        e = Engine(ckpt[0], ctx_length=16, mode="exact")
+        toks = [3, 7, 11]
+        cache = e.new_cache(1)
+        logits, cache = e.prefill(cache, np.array([toks], np.int32), np.zeros(1, np.int32))
+        pos = len(toks)
+        ref_cache = jax.tree.map(lambda a: a.copy(), cache)
+        while pos < 13:
+            logits, cache = e.decode_step(cache, np.array([5]), np.array([pos]))
+            _, ref_cache = e.decode_step(ref_cache, np.array([5]), np.array([pos]))
+            pos += 1
+        # Continuation prefill of 2 tokens at pos 13 (bucket 32 > room 3).
+        out, cache = e.prefill(cache, np.array([[9, 4]], np.int32), np.array([pos]))
+        # Reference: the same two tokens fed through decode steps.
+        _, ref_cache = e.decode_step(ref_cache, np.array([9]), np.array([pos]))
+        ref, ref_cache = e.decode_step(ref_cache, np.array([4]), np.array([pos + 1]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+        # Overflow (window wider than the room) raises instead of corrupting.
+        with pytest.raises(ValueError, match="does not fit"):
+            e.prefill(cache, np.array([[1, 2, 3, 4]], np.int32), np.array([15]))
 
     def test_windowed_prefill_matches_single_shot(self, engine, monkeypatch):
         """Long prompts prefill in MAX_PREFILL_WINDOW chunks; logits must
