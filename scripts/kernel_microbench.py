@@ -50,7 +50,8 @@ def make(n, d, L):
     return w
 
 
-def bench(name, n, d, L=8, reps_hi=24, reps_lo=6):
+def bench(name, n, d, L=8, reps_hi=int(__import__('os').environ.get('MB_REPS', 24)), reps_lo=None):
+    reps_lo = reps_lo or max(reps_hi // 4, 1)
     w = make(n, d, L)
     x = jnp.ones((1, n), jnp.float32)
 
