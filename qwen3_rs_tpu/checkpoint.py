@@ -14,11 +14,13 @@ semantics (magic/version included).
       tokenizer.bin               # same binary format as legacy .tokenizer
       template[.with-*]           # same %s prompt templates as legacy
       weights/
+        _layout                      # "in_major_v2": linear layers stored
+                                     # pre-transposed (absent → v1 row-major)
         embed.q.npy [V, dim] i8      embed.s.npy [V, dim/g] f32
-        wq.q.npy [L, AH, dim] i8     wq.s.npy [L, AH, dim/g] f32
-        wk/wv.q.npy [L, KV, dim]     ...
-        wo.q.npy [L, dim, AH]        w1/w3.q.npy [L, H, dim]
-        w2.q.npy [L, dim, H]         lm_head.q/s.npy (absent when shared)
+        wq.q.npy [L, dim, AH] i8     wq.s.npy [L, dim/g, AH] f32
+        wk/wv.q.npy [L, dim, KV]     ...
+        wo.q.npy [L, AH, dim]        w1/w3.q.npy [L, dim, H]
+        w2.q.npy [L, H, dim]         lm_head.q/s.npy [V, dim] (absent when shared)
         rms_att.npy [L, dim]         rms_ffn.npy [L, dim]
         rms_final.npy [dim]          q_norm.npy [L, hd]   k_norm.npy [L, hd]
 
@@ -40,6 +42,18 @@ from .models.qwen3 import Qwen3LayerWeights, Qwen3Weights
 from .ops.quant import QuantizedTensor
 
 WEIGHTS_DIR = "weights"
+
+# Linear-layer tensors stored **pre-transposed** (in-major [L, in, out]) in
+# the native format: the compute layout the kernels want (ops/matmul.py), so
+# loading is a plain mmap → device put with no host transpose.  The export
+# pays the transpose once, offline — an 8B load-time transpose costs ~30 s
+# even through the C++ blocked path.  Embeddings/lm_head stay row-major
+# [V, dim] (gathered per token / transposed+padded at load, shapes the
+# reference also uses).  Marked by the `weights/_layout` file; checkpoints
+# without it (format v1) are row-major and transpose at load.
+IN_MAJOR_TENSORS = frozenset({"wq", "wk", "wv", "wo", "w1", "w2", "w3"})
+LAYOUT_MARKER = "_layout"
+LAYOUT_IN_MAJOR = "in_major_v2"
 
 # The classifier's vocab (out) axis is zero-padded to this multiple at load
 # time so the Pallas matmul can use large tiles (151936 = 128 × 1187 would
@@ -81,14 +95,18 @@ def _classifier_from(q_vd: np.ndarray, s_vd: np.ndarray) -> QuantizedTensor:
 class NativeCheckpointWriter:
     """Streaming writer: tensors are appended one at a time (bounded memory,
     like the reference's streaming quantizer, model_exporter.rs:235-316)
-    directly into memory-mapped .npy files."""
+    directly into memory-mapped .npy files.  Linear-layer tensors are stored
+    in-major (IN_MAJOR_TENSORS) so the loader never transposes."""
 
-    def __init__(self, path: str | Path, config: ModelConfig):
+    def __init__(self, path: str | Path, config: ModelConfig, *, in_major: bool = True):
         self.root = Path(path)
         self.wdir = self.root / WEIGHTS_DIR
         self.wdir.mkdir(parents=True, exist_ok=True)
         self.config = config
+        self.in_major = in_major
         (self.root / "config.json").write_text(config.to_native_json())
+        if in_major:
+            (self.wdir / LAYOUT_MARKER).write_text(LAYOUT_IN_MAJOR)
         self._open: dict[str, np.memmap] = {}
 
     def _memmap(self, name: str, shape, dtype) -> np.memmap:
@@ -112,6 +130,11 @@ class NativeCheckpointWriter:
         scales: np.ndarray,
         layer_idx: int | None = None,
     ):
+        if self.in_major and name in IN_MAJOR_TENSORS:
+            # Row-major [out, in] quantizer output → in-major compute layout
+            # (C++ blocked transpose when available, numpy fallback).
+            q, scales = _transpose_qt(q, scales)
+            q, scales = np.ascontiguousarray(q), np.ascontiguousarray(scales)
         if layer_idx is None:
             self._memmap(f"{name}.q", q.shape, np.int8)[...] = q
             self._memmap(f"{name}.s", scales.shape, np.float32)[...] = scales
@@ -136,8 +159,14 @@ def _load_qt(wdir: Path, name: str) -> QuantizedTensor:
     )
 
 
-def _load_qt_T(wdir: Path, name: str) -> QuantizedTensor:
-    """Load row-major [L, out, in] storage into the in-major compute layout."""
+def _load_qt_T(wdir: Path, name: str, in_major: bool) -> QuantizedTensor:
+    """Load a linear layer into the in-major compute layout: v2 checkpoints
+    store it directly (mmap → device put, no host copy); v1 row-major
+    [L, out, in] storage transposes through the native path."""
+    if in_major:
+        return QuantizedTensor(
+            jnp.asarray(_np_load(wdir, f"{name}.q")), jnp.asarray(_np_load(wdir, f"{name}.s"))
+        )
     q, s = _transpose_qt(_np_load(wdir, f"{name}.q"), _np_load(wdir, f"{name}.s"))
     return QuantizedTensor(jnp.asarray(np.ascontiguousarray(q)), jnp.asarray(np.ascontiguousarray(s)))
 
@@ -154,6 +183,8 @@ def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
     root = Path(path)
     config = ModelConfig.from_native_json((root / "config.json").read_text())
     wdir = root / WEIGHTS_DIR
+    marker = wdir / LAYOUT_MARKER
+    in_major = marker.exists() and marker.read_text().strip() == LAYOUT_IN_MAJOR
     embed = _load_qt(wdir, "embed")
     layers = Qwen3LayerWeights(
         rms_att=jnp.asarray(_np_load(wdir, "rms_att")),
@@ -161,11 +192,13 @@ def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
         q_norm=jnp.asarray(_np_load(wdir, "q_norm")),
         k_norm=jnp.asarray(_np_load(wdir, "k_norm")),
         wqkv=_fuse_out(
-            _load_qt_T(wdir, "wq"), _load_qt_T(wdir, "wk"), _load_qt_T(wdir, "wv")
+            _load_qt_T(wdir, "wq", in_major),
+            _load_qt_T(wdir, "wk", in_major),
+            _load_qt_T(wdir, "wv", in_major),
         ),
-        wo=_load_qt_T(wdir, "wo"),
-        w13=_fuse_out(_load_qt_T(wdir, "w1"), _load_qt_T(wdir, "w3")),
-        w2=_load_qt_T(wdir, "w2"),
+        wo=_load_qt_T(wdir, "wo", in_major),
+        w13=_fuse_out(_load_qt_T(wdir, "w1", in_major), _load_qt_T(wdir, "w3", in_major)),
+        w2=_load_qt_T(wdir, "w2", in_major),
     )
     if config.shared_classifier:
         lm_head = _classifier_from(_np_load(wdir, "embed.q"), _np_load(wdir, "embed.s"))

@@ -179,6 +179,35 @@ class TestExportRoundTrip:
             )
         np.testing.assert_array_equal(np.asarray(w_n.rms_final), np.asarray(w_l.rms_final))
 
+    def test_v1_row_major_checkpoints_still_load(self, exported, tmp_path):
+        """Checkpoints written before the in-major v2 layout (no _layout
+        marker, linear layers stored row-major) must load identically."""
+        import shutil
+
+        from qwen3_rs_tpu.checkpoint import IN_MAJOR_TENSORS, LAYOUT_MARKER, WEIGHTS_DIR
+
+        _, native_out, _ = exported
+        v1 = tmp_path / "v1.qtpu"
+        shutil.copytree(native_out, v1)
+        (v1 / WEIGHTS_DIR / LAYOUT_MARKER).unlink()
+        for name in IN_MAJOR_TENSORS:
+            for suffix in (".q", ".s"):
+                p = v1 / WEIGHTS_DIR / f"{name}{suffix}.npy"
+                arr = np.load(p)
+                np.save(p, np.ascontiguousarray(np.swapaxes(arr, -1, -2)))
+
+        cfg2, w2 = load_native(v1)
+        _, w_ref = load_native(native_out)
+        for field in ["wqkv", "wo", "w13", "w2"]:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(w2.layers, field).q),
+                np.asarray(getattr(w_ref.layers, field).q),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(getattr(w2.layers, field).scales),
+                np.asarray(getattr(w_ref.layers, field).scales),
+            )
+
     def test_quantization_against_source(self, exported):
         """Exported codes must reconstruct the HF tensors within g-quant error."""
         model_dir, native_out, _ = exported
