@@ -7,9 +7,17 @@ requests finish — request-level continuous batching:
 
 * decode: one jitted step over all ``n_slots`` (per-slot positions; finished/
   empty slots are masked out of cache writes and their logits ignored);
-* prefill: a new request runs through a batch-1 scratch cache (bucketed
-  prompt length) and its K/V window is inserted into the shared cache at its
-  slot with one small dynamic-slice copy — no full-batch recompute;
+* prefill (dense layout): a new request runs through a batch-1 scratch cache
+  (bucketed prompt length) and its K/V window is inserted into the shared
+  cache at its slot with one small dynamic-slice copy — no full-batch
+  recompute;
+* prefill (paged layout): queued requests sharing a prompt bucket admit as a
+  **group** — one batched prefill writes every request's K/V straight into
+  its own pages.  A b=1 prefill is weight-stream-bound (the whole INT8 model
+  streams from HBM for ~100 rows of compute), so admitting k requests
+  separately pays that stream k times plus k logits round-trips; the group
+  pays once.  The batch axis pads to a power of two to bound compiled
+  shapes;
 * sampling: per-request host samplers (reference-parity xorshift streams,
   per-request seeds) or a shared on-device sampler.
 
@@ -224,20 +232,37 @@ class ContinuousBatchingEngine:
             )
             return toks, cache
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill_paged(weights, tokens, cache, out_idx, tables):
-            # B=1 prefill straight into the shared pool: pos_start = 0 means
-            # the cache-prefix part is skipped; the window's rows scatter
-            # into the request's own pages (no scratch cache / insert step).
+        def _prefill_paged_inner(weights, tokens, cache, out_idx, tables):
+            # Batched prefill straight into the shared pool: pos_start = 0
+            # means the cache-prefix part is skipped; each row's K/V window
+            # scatters into that request's own pages (no scratch cache /
+            # insert step), so any number of admissions share one weight
+            # stream.
+            b = tokens.shape[0]
             return fwd(
                 weights,
                 tokens,
                 cache,
-                jnp.zeros(1, jnp.int32),
+                jnp.zeros(b, jnp.int32),
                 out_idx=out_idx,
                 page_table=tables,
                 fresh_prefill=True,
             )
+
+        _prefill_paged = jax.jit(_prefill_paged_inner, donate_argnums=(2,))
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill_paged_sampled(
+            weights, tokens, cache, out_idx, tables, temps, topps, key
+        ):
+            # Device-sampling mode: first tokens are drawn on device too, so
+            # an admission fetches k int32s instead of k × vocab logits.
+            from ..ops.sampling import sample_tokens_jax
+
+            logits, cache = _prefill_paged_inner(
+                weights, tokens, cache, out_idx, tables
+            )
+            return sample_tokens_jax(logits, key, temps, topps), cache
 
         self._decode = _decode
         self._decode_chunked = _decode_chunked
@@ -246,6 +271,7 @@ class ContinuousBatchingEngine:
         self._decode_paged = _decode_paged
         self._decode_chunked_paged = _decode_chunked_paged
         self._prefill_paged = _prefill_paged
+        self._prefill_paged_sampled = _prefill_paged_sampled
 
     # ------------------------------------------------------------------ api
     def warmup(self) -> None:
@@ -258,18 +284,33 @@ class ContinuousBatchingEngine:
         slots inactive, so the write mask discards its cache updates.
         """
         paged = self.kv_layout == "paged"
-        for b in self.prefill_buckets:
-            s_pad = min(b, self.config.seq_len)
-            if paged:
-                # Zeroed page table: writes land in the reserved null page.
-                logits, self.cache = self._prefill_paged(
-                    self.weights,
-                    jnp.zeros((1, s_pad), jnp.int32),
-                    self.cache,
-                    jnp.asarray([0], jnp.int32),
-                    jnp.asarray(self.allocator.tables[0:1]),
-                )
-            else:
+        if paged:
+            # Group admission compiles one shape per (bucket, padded group
+            # size); zeroed page tables route the warmup writes into the
+            # reserved null page.
+            group_sizes = sorted({self._pad_group(k) for k in range(1, self.n_slots + 1)})
+            for b in self.prefill_buckets:
+                s_pad = min(b, self.config.seq_len)
+                for k in group_sizes:
+                    tables = jnp.zeros(
+                        (k, self.allocator.max_pages_per_slot), jnp.int32
+                    )
+                    toks0 = jnp.zeros((k, s_pad), jnp.int32)
+                    idx0 = jnp.zeros(k, jnp.int32)
+                    if self.sampling == "device":
+                        out, self.cache = self._prefill_paged_sampled(
+                            self.weights, toks0, self.cache, idx0, tables,
+                            jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
+                            jax.random.PRNGKey(0),
+                        )
+                    else:
+                        out, self.cache = self._prefill_paged(
+                            self.weights, toks0, self.cache, idx0, tables
+                        )
+                    np.asarray(out)
+        else:
+            for b in self.prefill_buckets:
+                s_pad = min(b, self.config.seq_len)
                 logits, self._scratch_cache = self._prefill1(
                     self.weights,
                     jnp.zeros((1, s_pad), jnp.int32),
@@ -280,7 +321,7 @@ class ContinuousBatchingEngine:
                 # sit beyond any future request's position until
                 # overwritten).
                 self.cache = self._insert(self.cache, self._scratch_cache, s_pad, 0)
-            np.asarray(logits)
+                np.asarray(logits)
         inactive = jnp.zeros(self.n_slots, bool)
         if self.sampling == "device":
             n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len))
@@ -353,11 +394,21 @@ class ContinuousBatchingEngine:
         # blocking prefill that delays active streams' next token, so
         # max_admissions_per_step can bound the stall.
         admitted = 0
-        while (
-            self.max_admissions_per_step is None
-            or admitted < self.max_admissions_per_step
-        ) and self._admit_one(emitted):
-            admitted += 1
+        while True:
+            budget = (
+                None
+                if self.max_admissions_per_step is None
+                else self.max_admissions_per_step - admitted
+            )
+            if budget is not None and budget <= 0:
+                break
+            if self.kv_layout == "paged":
+                k = self._admit_group(emitted, budget)
+            else:
+                k = 1 if self._admit_one(emitted) else 0
+            if k == 0:
+                break
+            admitted += k
         if self.active_count:
             self._decode_all(emitted)
         return emitted
@@ -369,52 +420,137 @@ class ContinuousBatchingEngine:
         return self.completed
 
     def _admit_one(self, emitted) -> bool:
-        """Admit at most one queued request; True if one was admitted."""
+        """Admit at most one queued request (dense layout; the paged layout
+        admits in groups, see ``_admit_group``).  True if one was admitted."""
         slot = self._free_slot()
         if slot is None or not self.queue:
             return False
-        req = self.queue[0]
+        req = self.queue.pop(0)
         prompt = req.prompt_tokens[: self.config.seq_len - 1]
         s_real = max(len(prompt), 1)
         s_pad = max(s_real, min(self._bucket(s_real), self.config.seq_len))
+        padded = np.zeros((1, s_pad), np.int32)
+        padded[0, :s_real] = prompt
 
-        if self.kv_layout == "paged":
-            # Reserve pages for the whole request up front (prompt + budget);
-            # insufficient free pages → leave queued (admission backpressure).
-            worst_rows = min(self.config.seq_len, s_pad + req.max_new_tokens + 1)
-            if not self.allocator.can_admit(worst_rows, self.page_size):
-                if self.active_count == 0:
-                    raise RuntimeError(
-                        f"request {req.request_id} needs more KV pages than the "
-                        f"pool holds ({self.allocator.n_pages}); raise n_pages "
-                        "or lower max_new_tokens"
-                    )
-                return False  # wait for active requests to release pages
-            self.queue.pop(0)
-            self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
-            padded = np.zeros((1, s_pad), np.int32)
-            padded[0, :s_real] = prompt
-            logits, self.cache = self._prefill_paged(
-                self.weights,
-                jnp.asarray(padded),
-                self.cache,
-                jnp.asarray([s_real - 1], jnp.int32),
-                jnp.asarray(self.allocator.tables[slot : slot + 1]),
-            )
-        else:
-            self.queue.pop(0)
-            padded = np.zeros((1, s_pad), np.int32)
-            padded[0, :s_real] = prompt
-
-            logits, self._scratch_cache = self._prefill1(
-                self.weights,
-                jnp.asarray(padded),
-                self._scratch_cache,
-                jnp.asarray([s_real - 1], jnp.int32),
-            )
-            self.cache = self._insert(self.cache, self._scratch_cache, s_pad, slot)
+        logits, self._scratch_cache = self._prefill1(
+            self.weights,
+            jnp.asarray(padded),
+            self._scratch_cache,
+            jnp.asarray([s_real - 1], jnp.int32),
+        )
+        self.cache = self._insert(self.cache, self._scratch_cache, s_pad, slot)
 
         first = req._sampler.sample(np.asarray(logits)[0])
+        self._activate(req, slot, s_real, first, emitted)
+        return True
+
+    def _pad_group(self, k: int) -> int:
+        """Pad a group size to a power of two (capped at n_slots) so batched
+        prefills compile for O(log n_slots) batch shapes, not n_slots."""
+        p = 1
+        while p < k:
+            p *= 2
+        return min(p, self.n_slots)
+
+    def _admit_group(self, emitted, budget: int | None) -> int:
+        """Admit a group of queued requests with ONE batched prefill (paged
+        layout).  The group is the longest FCFS prefix that shares a prompt
+        bucket, fits in free slots/pages, and respects ``budget``; a
+        bucket change just ends the group — the step() loop immediately
+        admits the next group.  Returns the number of requests admitted."""
+        free = [i for i, r in enumerate(self.slot_request) if r is None]
+        if not free or not self.queue:
+            return 0
+        limit = len(free) if budget is None else min(len(free), budget)
+        picks: list[tuple[Request, int]] = []  # (request, s_real)
+        bucket = 0
+        avail = self.allocator.free_pages
+        for req in self.queue:
+            if len(picks) == limit:
+                break
+            prompt_len = min(
+                max(len(req.prompt_tokens), 1), self.config.seq_len - 1
+            )
+            s_pad = max(prompt_len, min(self._bucket(prompt_len), self.config.seq_len))
+            if not picks:
+                bucket = s_pad
+            elif s_pad != bucket:
+                break
+            # Reserve pages for the whole request up front (prompt + budget);
+            # insufficient free pages → leave queued (admission backpressure,
+            # FCFS: never skip past a request that doesn't fit).
+            worst_rows = min(self.config.seq_len, s_pad + req.max_new_tokens + 1)
+            need = -(-worst_rows // self.page_size)
+            if need > avail:
+                break
+            avail -= need
+            picks.append((req, prompt_len))
+        if not picks:
+            if self.active_count == 0:
+                head = self.queue[0]
+                raise RuntimeError(
+                    f"request {head.request_id} needs more KV pages than the "
+                    f"pool holds ({self.allocator.n_pages}); raise n_pages "
+                    "or lower max_new_tokens"
+                )
+            return 0  # wait for active requests to release pages
+
+        k = len(picks)
+        k_pad = self._pad_group(k)
+        del self.queue[:k]
+        tokens = np.zeros((k_pad, bucket), np.int32)
+        out_idx = np.zeros(k_pad, np.int32)
+        tables = np.zeros((k_pad, self.allocator.max_pages_per_slot), np.int32)
+        slots: list[int] = []
+        for i, (req, s_real) in enumerate(picks):
+            slot = free[i]
+            worst_rows = min(self.config.seq_len, bucket + req.max_new_tokens + 1)
+            self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
+            tokens[i, :s_real] = req.prompt_tokens[:s_real]
+            out_idx[i] = s_real - 1
+            tables[i] = self.allocator.tables[slot]
+            slots.append(slot)
+        # Padding rows (i >= k) keep zero tokens and all-null page tables:
+        # their K/V lands in the reserved null page, which no request's
+        # position bound ever reads.
+
+        if self.sampling == "device":
+            temps = np.zeros(k_pad, np.float32)
+            topps = np.ones(k_pad, np.float32)
+            for i, (req, _) in enumerate(picks):
+                temps[i] = req.temperature
+                topps[i] = req.topp
+            self._key, sub = jax.random.split(self._key)
+            toks, self.cache = self._prefill_paged_sampled(
+                self.weights,
+                jnp.asarray(tokens),
+                self.cache,
+                jnp.asarray(out_idx),
+                jnp.asarray(tables),
+                jnp.asarray(temps),
+                jnp.asarray(topps),
+                sub,
+            )
+            firsts = np.asarray(toks)
+            for i, (req, s_real) in enumerate(picks):
+                self._activate(req, slots[i], s_real, int(firsts[i]), emitted)
+        else:
+            logits, self.cache = self._prefill_paged(
+                self.weights,
+                jnp.asarray(tokens),
+                self.cache,
+                jnp.asarray(out_idx),
+                jnp.asarray(tables),
+            )
+            logits_np = np.asarray(logits)
+            for i, (req, s_real) in enumerate(picks):
+                first = req._sampler.sample(logits_np[i])
+                self._activate(req, slots[i], s_real, first, emitted)
+        return k
+
+    def _activate(
+        self, req: Request, slot: int, s_real: int, first: int, emitted
+    ) -> None:
         req.first_token_time = time.perf_counter()
         req.state = RequestState.ACTIVE
         req.slot = slot
@@ -423,7 +559,6 @@ class ContinuousBatchingEngine:
         self.slot_pos[slot] = s_real
         self.slot_token[slot] = first
         self._emit(req, first, emitted)
-        return True
 
     def _decode_all(self, emitted) -> None:
         if self.sampling == "device":

@@ -295,6 +295,78 @@ class TestPagedKV:
         with pytest.raises(RuntimeError, match="pool"):
             eng.run()
 
+    def test_group_admission_single_prefill(self, setup):
+        """A same-bucket burst must admit with ONE batched prefill call, not
+        one per request (the weight stream amortizes over the group)."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=4, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+        )
+        calls = []
+        orig = eng._prefill_paged
+        eng._prefill_paged = lambda *a: calls.append(a[1].shape) or orig(*a)
+        for i in range(4):
+            eng.submit(Request(request_id=i, prompt_tokens=[5, i + 1], max_new_tokens=3))
+        eng.step()
+        assert eng.active_count == 4
+        assert calls == [(4, 8)]  # one batched prefill for the whole wave
+
+    def test_group_admission_mixed_buckets_same_step(self, setup):
+        """Requests in different prompt buckets admit as separate groups but
+        still all within the first scheduler step."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=4, mode="fast",
+            prefill_buckets=(4, 16), kv_layout="paged", page_size=8,
+        )
+        calls = []
+        orig = eng._prefill_paged
+        eng._prefill_paged = lambda *a: calls.append(a[1].shape) or orig(*a)
+        eng.submit(Request(request_id=0, prompt_tokens=[1, 2], max_new_tokens=3))
+        eng.submit(Request(request_id=1, prompt_tokens=[3, 4], max_new_tokens=3))
+        eng.submit(Request(request_id=2, prompt_tokens=list(range(1, 11)), max_new_tokens=3))
+        eng.step()
+        assert eng.active_count == 3
+        assert calls == [(2, 4), (1, 16)]
+        done = eng.run()
+        assert len(done) == 3
+        for r in done:
+            expected = _greedy_single(config, weights, r.prompt_tokens, 3)
+            assert r.generated == expected, f"request {r.request_id}"
+
+    def test_group_admission_respects_admission_cap(self, setup):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=4, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+            max_admissions_per_step=2,
+        )
+        for i in range(4):
+            eng.submit(Request(request_id=i, prompt_tokens=[5, i + 1], max_new_tokens=3))
+        eng.step()
+        assert eng.active_count == 2
+        assert len(eng.queue) == 2
+        assert len(eng.run()) == 4
+
+    def test_group_admission_device_sampling_greedy_matches(self, setup):
+        """Device-mode first tokens are sampled on device; greedy requests
+        must still match the host path exactly."""
+        config, weights = setup
+        results = {}
+        for sampling in ("host", "device"):
+            eng = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=3, mode="fast",
+                prefill_buckets=(8,), kv_layout="paged", page_size=8,
+                sampling=sampling,
+            )
+            for i in range(3):
+                eng.submit(
+                    Request(request_id=i, prompt_tokens=[3, 7 + i, 2], max_new_tokens=4)
+                )
+            results[sampling] = {r.request_id: r.generated for r in eng.run()}
+        assert results["host"] == results["device"]
+
     def test_paged_warmup(self, setup):
         config, weights = setup
         eng = ContinuousBatchingEngine(
