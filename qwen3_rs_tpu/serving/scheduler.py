@@ -162,6 +162,12 @@ class ContinuousBatchingEngine:
         self.completed: list[Request] = []
         self._decode_steps = 0
         self._decode_tokens = 0
+        # Device-sampling mode pipelines decode chunks: the next chunk is
+        # dispatched BEFORE the previous chunk's tokens are fetched, so the
+        # device→host round-trip hides behind the next chunk's compute.
+        # Holds {toks, n_steps, pos0, active, reqs} for the one chunk whose
+        # results are still on device.
+        self._inflight: Optional[dict] = None
 
         fwd = functools.partial(qwen3_forward, self.config, mode=mode)
 
@@ -169,9 +175,18 @@ class ContinuousBatchingEngine:
         def _decode(weights, tokens, cache, pos, active):
             return fwd(weights, tokens, cache, pos, write_mask=active)
 
-        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(8,))
-        def _decode_chunked(weights, tokens, cache, pos, active, temps, topps, key, n_steps):
+        @functools.partial(jax.jit, donate_argnums=(3,), static_argnums=(9,))
+        def _decode_chunked(
+            weights, prev_last, fresh, cache, pos, active, temps, topps, key, n_steps
+        ):
             from ..ops.sampling import sample_tokens_jax
+
+            # Starting tokens: slots freshly (re)admitted since the last
+            # chunk take the host-provided token (fresh >= 0); continuing
+            # slots take the previous chunk's last sampled token, which
+            # stays device-resident — the pipelined dispatch never waits for
+            # the previous chunk's results to reach the host.
+            tokens = jnp.where(fresh >= 0, fresh, prev_last)[:, None]
 
             def body(carry, _):
                 tokens, cache, pos, key = carry
@@ -180,10 +195,13 @@ class ContinuousBatchingEngine:
                 nxt = sample_tokens_jax(logits, sub, temps, topps)
                 return (nxt[:, None], cache, pos + 1, key), nxt
 
-            (_, cache, _, _), toks = jax.lax.scan(
+            (last, cache, _, _), toks = jax.lax.scan(
                 body, (tokens, cache, pos, key), None, length=n_steps
             )
-            return toks, cache
+            # ``last`` ( == toks[-1]) is returned separately so the next
+            # pipelined dispatch can chain it WITHOUT a host-side slice op —
+            # an eager op on a pending array blocks until the chunk lands.
+            return toks, last[:, 0], cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _prefill1(weights, tokens, cache, out_idx):
@@ -212,11 +230,14 @@ class ContinuousBatchingEngine:
                 weights, tokens, cache, pos, write_mask=active, page_table=tables
             )
 
-        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(9,))
+        @functools.partial(jax.jit, donate_argnums=(3,), static_argnums=(10,))
         def _decode_chunked_paged(
-            weights, tokens, cache, pos, active, temps, topps, key, tables, n_steps
+            weights, prev_last, fresh, cache, pos, active, temps, topps, key,
+            tables, n_steps,
         ):
             from ..ops.sampling import sample_tokens_jax
+
+            tokens = jnp.where(fresh >= 0, fresh, prev_last)[:, None]
 
             def body(carry, _):
                 tokens, cache, pos, key = carry
@@ -227,10 +248,13 @@ class ContinuousBatchingEngine:
                 nxt = sample_tokens_jax(logits, sub, temps, topps)
                 return (nxt[:, None], cache, pos + 1, key), nxt
 
-            (_, cache, _, _), toks = jax.lax.scan(
+            (last, cache, _, _), toks = jax.lax.scan(
                 body, (tokens, cache, pos, key), None, length=n_steps
             )
-            return toks, cache
+            # ``last`` ( == toks[-1]) is returned separately so the next
+            # pipelined dispatch can chain it WITHOUT a host-side slice op —
+            # an eager op on a pending array blocks until the chunk lands.
+            return toks, last[:, 0], cache
 
         def _prefill_paged_inner(weights, tokens, cache, out_idx, tables):
             # Batched prefill straight into the shared pool: pos_start = 0
@@ -327,7 +351,8 @@ class ContinuousBatchingEngine:
             n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len))
             args = (
                 self.weights,
-                jnp.asarray(self.slot_token[:, None]),
+                jnp.zeros(self.n_slots, jnp.int32),
+                jnp.zeros(self.n_slots, jnp.int32),
                 self.cache,
                 jnp.asarray(self.slot_pos),
                 inactive,
@@ -336,11 +361,11 @@ class ContinuousBatchingEngine:
                 jax.random.PRNGKey(0),
             )
             if paged:
-                toks, self.cache = self._decode_chunked_paged(
+                toks, _, self.cache = self._decode_chunked_paged(
                     *args, jnp.asarray(self.allocator.tables), n_steps
                 )
             else:
-                toks, self.cache = self._decode_chunked(*args, n_steps)
+                toks, _, self.cache = self._decode_chunked(*args, n_steps)
             np.asarray(toks)
         else:
             args = (
@@ -370,7 +395,11 @@ class ContinuousBatchingEngine:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.queue) or self.active_count > 0
+        return (
+            bool(self.queue)
+            or self.active_count > 0
+            or self._inflight is not None
+        )
 
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:
@@ -409,7 +438,19 @@ class ContinuousBatchingEngine:
             if k == 0:
                 break
             admitted += k
-        if self.active_count:
+        if self.sampling == "device":
+            # Pipelined chunks: dispatch the next chunk first, then fetch +
+            # process the previous one while the new chunk computes.  When
+            # every live slot deterministically finishes inside the in-flight
+            # chunk (length limits are exact; EOS can only finish *earlier*),
+            # the next chunk would be all zombies — skip it and let the next
+            # step admit into the freed slots instead.
+            prev, self._inflight = self._inflight, None
+            if self.active_count and not self._all_live_finish_within(prev):
+                self._inflight = self._dispatch_chunk(prev)
+            if prev is not None:
+                self._process_chunk(prev, emitted)
+        elif self.active_count:
             self._decode_all(emitted)
         return emitted
 
@@ -561,9 +602,6 @@ class ContinuousBatchingEngine:
         self._emit(req, first, emitted)
 
     def _decode_all(self, emitted) -> None:
-        if self.sampling == "device":
-            self._decode_all_chunked(emitted)
-            return
         active = np.array([r is not None for r in self.slot_request])
         if self.kv_layout == "paged":
             logits, self.cache = self._decode_paged(
@@ -596,54 +634,115 @@ class ContinuousBatchingEngine:
             self.slot_token[slot] = token
             self._emit(req, token, emitted)
 
-    def _decode_all_chunked(self, emitted) -> None:
-        """Device-side chunk: n_steps of forward+per-request sampling in one
-        dispatch; EOS/length handled on the host afterwards (a slot's cache
-        rows past its stopping point are never attended — see scatter
-        semantics in models/qwen3.py)."""
-        active_mask = np.array([r is not None for r in self.slot_request])
-        active_pos = self.slot_pos[active_mask]
+    def _all_live_finish_within(self, prev: Optional[dict]) -> bool:
+        """True iff every live slot is certain to finish inside the
+        still-unprocessed ``prev`` chunk: its request reaches max_new_tokens
+        (generated so far + prev's pending steps) or the context end.  EOS
+        can only finish a request earlier, so this is exact — skipping the
+        next dispatch never idles a slot that still has work."""
+        if prev is None:
+            return False
+        any_live = False
+        for slot, r in enumerate(self.slot_request):
+            if r is None:
+                continue
+            any_live = True
+            contrib = (
+                prev["n_steps"]
+                if prev["active"][slot] and prev["reqs"][slot] is r
+                else 0
+            )
+            if (
+                len(r.generated) + contrib < r.max_new_tokens
+                and self.slot_pos[slot] < self.config.seq_len
+            ):
+                return False
+        return any_live
+
+    def _dispatch_chunk(self, prev: Optional[dict]) -> dict:
+        """Dispatch one device-sampled decode chunk WITHOUT waiting for the
+        previous chunk's results.  Continuing slots' input tokens are the
+        previous chunk's last samples, which stay device-resident; slots
+        (re)admitted since the previous dispatch start from their host-known
+        first token.
+
+        Safety of pipelining past an unprocessed chunk: a request that
+        turns out to have finished inside ``prev`` keeps decoding here as a
+        zombie — its tokens are discarded at processing (the request is
+        already DONE) and its cache writes touch only its own dead rows or
+        the null page.  Page reuse is ordered: device programs execute in
+        dispatch order, so a later admission's prefill overwrites any
+        zombie writes to reallocated pages.
+        """
+        active = np.array([r is not None for r in self.slot_request])
+        reqs = list(self.slot_request)
+        if prev is None:
+            fresh = np.where(active, self.slot_token, 0).astype(np.int32)
+            prev_last = jnp.zeros(self.n_slots, jnp.int32)
+        else:
+            cont = prev["active"] & np.array(
+                [r is not None and r is prev["reqs"][i] for i, r in enumerate(reqs)]
+            )
+            fresh = np.where(
+                cont, -1, np.where(active, self.slot_token, 0)
+            ).astype(np.int32)
+            # The chunk jits return their last sampled row separately —
+            # slicing prev["toks"] here would be an eager op on a pending
+            # array, which blocks until the in-flight chunk completes.
+            prev_last = prev["last"]
+        pos0 = self.slot_pos.copy()
+        active_pos = pos0[active]
         max_pos = int(active_pos.max()) if active_pos.size else 0
         n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len - max_pos))
         temps = np.array(
-            [r.temperature if r else 0.0 for r in self.slot_request], np.float32
+            [r.temperature if r else 0.0 for r in reqs], np.float32
         )
-        topps = np.array([r.topp if r else 1.0 for r in self.slot_request], np.float32)
+        topps = np.array([r.topp if r else 1.0 for r in reqs], np.float32)
         self._key, sub = jax.random.split(self._key)
+        args = (
+            self.weights,
+            prev_last,
+            jnp.asarray(fresh),
+            self.cache,
+            jnp.asarray(pos0),
+            jnp.asarray(active),
+            jnp.asarray(temps),
+            jnp.asarray(topps),
+            sub,
+        )
         if self.kv_layout == "paged":
-            toks, self.cache = self._decode_chunked_paged(
-                self.weights,
-                jnp.asarray(self.slot_token[:, None]),
-                self.cache,
-                jnp.asarray(self.slot_pos),
-                jnp.asarray(active_mask),
-                jnp.asarray(temps),
-                jnp.asarray(topps),
-                sub,
-                jnp.asarray(self.allocator.tables),
-                n_steps,
+            toks, last, self.cache = self._decode_chunked_paged(
+                *args, jnp.asarray(self.allocator.tables), n_steps
             )
         else:
-            toks, self.cache = self._decode_chunked(
-                self.weights,
-                jnp.asarray(self.slot_token[:, None]),
-                self.cache,
-                jnp.asarray(self.slot_pos),
-                jnp.asarray(active_mask),
-                jnp.asarray(temps),
-                jnp.asarray(topps),
-                sub,
-                n_steps,
-            )
-        toks_np = np.asarray(toks)  # [n_steps, B]
+            toks, last, self.cache = self._decode_chunked(*args, n_steps)
+        # Advance dispatch-time positions; host-visible request state catches
+        # up when the chunk is processed.
+        self.slot_pos[active] += n_steps
+        return {
+            "toks": toks,
+            "last": last,
+            "n_steps": n_steps,
+            "pos0": pos0,
+            "active": active,
+            "reqs": reqs,
+        }
+
+    def _process_chunk(self, chunk: dict, emitted) -> None:
+        """Fetch + process one chunk's results: EOS/length handled on the
+        host (a slot's cache rows past its stopping point are never
+        attended — see scatter semantics in models/qwen3.py)."""
+        toks_np = np.asarray(chunk["toks"])  # [n_steps, B]
+        n_steps = chunk["n_steps"]
         self._decode_steps += n_steps
-        for slot, req in enumerate(self.slot_request):
-            if req is None:
-                continue
+        for slot, req in enumerate(chunk["reqs"]):
+            if req is None or req.state is not RequestState.ACTIVE:
+                continue  # empty at dispatch, or finished in an earlier chunk
+            pos = int(chunk["pos0"][slot])
             for i in range(n_steps):
                 self._decode_tokens += 1
-                self.slot_pos[slot] += 1
-                if self.slot_pos[slot] >= self.config.seq_len:
+                pos += 1
+                if pos >= self.config.seq_len:
                     self._finish(req, "length")
                     break
                 token = int(toks_np[i, slot])

@@ -190,6 +190,38 @@ class TestScheduler:
         expected = _greedy_single(config, weights, [5, 9], 3)
         assert done[1].generated == expected
 
+    def test_pipelined_chunks_zombie_slot_isolation(self, setup):
+        """Device mode pipelines chunks: a request that hits EOS mid-chunk
+        keeps decoding as a zombie in the already-dispatched next chunk.
+        Its tokens must be discarded and concurrent slots unaffected."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), sampling="device", decode_chunk_steps=2,
+            kv_layout="paged", page_size=8,
+        )
+        solo_a = _greedy_single(config, weights, [3, 17], 3)
+        # A stops at its 3rd token (mid-chunk); B runs much longer.  The
+        # greedy stream may repeat tokens, so the expected output is the
+        # prefix before the FIRST occurrence of the chosen EOS.
+        eos_a = solo_a[2]
+        expected_a = solo_a[: solo_a.index(eos_a)]
+        eng.submit(Request(request_id=0, prompt_tokens=[3, 17], max_new_tokens=50,
+                           eos_token_ids=(eos_a,)))
+        eng.submit(Request(request_id=1, prompt_tokens=[5, 9, 4], max_new_tokens=9))
+        stepped = 0
+        while eng.has_work:
+            eng.step()
+            if eng._inflight is not None:
+                stepped += 1
+        assert stepped > 0, "pipelining never engaged"
+        done = {r.request_id: r for r in eng.completed}
+        assert done[0].finish_reason == "stop"
+        assert done[0].generated == expected_a
+        assert done[1].generated == _greedy_single(config, weights, [5, 9, 4], 9)
+        # Zombie writes must not leak pages.
+        assert eng.allocator.free_pages == eng.allocator.n_pages - 1
+
     def test_seeded_sampling_reproducible(self, setup):
         config, weights = setup
         outs = []
