@@ -277,16 +277,24 @@ class ContinuousBatchingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _prefill_paged_sampled(
-            weights, tokens, cache, out_idx, tables, temps, topps, key
+            weights, tokens, cache, out_idx, tables, temps, topps, key,
+            slots, fresh_in,
         ):
             # Device-sampling mode: first tokens are drawn on device too, so
             # an admission fetches k int32s instead of k × vocab logits.
+            # The sampled tokens are additionally scattered into the [B]
+            # ``fresh`` vector (slot-indexed; padding rows carry slot ==
+            # n_slots and drop) so the NEXT decode chunk can chain them
+            # entirely device-side — the scheduler never waits for the
+            # prefill before dispatching the chunk behind it.
             from ..ops.sampling import sample_tokens_jax
 
             logits, cache = _prefill_paged_inner(
                 weights, tokens, cache, out_idx, tables
             )
-            return sample_tokens_jax(logits, key, temps, topps), cache
+            toks = sample_tokens_jax(logits, key, temps, topps)
+            fresh_out = fresh_in.at[slots].set(toks, mode="drop")
+            return toks, fresh_out, cache
 
         self._decode = _decode
         self._decode_chunked = _decode_chunked
@@ -322,10 +330,12 @@ class ContinuousBatchingEngine:
                     toks0 = jnp.zeros((k, s_pad), jnp.int32)
                     idx0 = jnp.zeros(k, jnp.int32)
                     if self.sampling == "device":
-                        out, self.cache = self._prefill_paged_sampled(
+                        out, _, self.cache = self._prefill_paged_sampled(
                             self.weights, toks0, self.cache, idx0, tables,
                             jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
                             jax.random.PRNGKey(0),
+                            jnp.full(k, self.n_slots, jnp.int32),  # all dropped
+                            jnp.full(self.n_slots, -1, jnp.int32),
                         )
                     else:
                         out, self.cache = self._prefill_paged(
@@ -422,6 +432,12 @@ class ContinuousBatchingEngine:
         # decode latency to each queued request's TTFT.  Each admission is a
         # blocking prefill that delays active streams' next token, so
         # max_admissions_per_step can bound the stall.
+        deferred = self.sampling == "device" and self.kv_layout == "paged"
+        prev = self._inflight
+        # Token vector feeding the next chunk's (re)admitted slots; admission
+        # prefills chain their sampled first tokens into it device-side.
+        fresh = self._fresh_base(prev) if deferred else None
+        pending: list[dict] = []
         admitted = 0
         while True:
             budget = (
@@ -432,7 +448,9 @@ class ContinuousBatchingEngine:
             if budget is not None and budget <= 0:
                 break
             if self.kv_layout == "paged":
-                k = self._admit_group(emitted, budget)
+                k, fresh = self._admit_group(
+                    emitted, budget, fresh=fresh, pending=pending if deferred else None
+                )
             else:
                 k = 1 if self._admit_one(emitted) else 0
             if k == 0:
@@ -445,9 +463,11 @@ class ContinuousBatchingEngine:
             # chunk (length limits are exact; EOS can only finish *earlier*),
             # the next chunk would be all zombies — skip it and let the next
             # step admit into the freed slots instead.
-            prev, self._inflight = self._inflight, None
+            self._inflight = None
             if self.active_count and not self._all_live_finish_within(prev):
-                self._inflight = self._dispatch_chunk(prev)
+                self._inflight = self._dispatch_chunk(prev, fresh)
+            for p in pending:
+                self._process_admits(p, emitted)
             if prev is not None:
                 self._process_chunk(prev, emitted)
         elif self.active_count:
@@ -493,15 +513,24 @@ class ContinuousBatchingEngine:
             p *= 2
         return min(p, self.n_slots)
 
-    def _admit_group(self, emitted, budget: int | None) -> int:
+    def _admit_group(
+        self, emitted, budget: int | None, *, fresh=None, pending=None
+    ) -> tuple[int, object]:
         """Admit a group of queued requests with ONE batched prefill (paged
         layout).  The group is the longest FCFS prefix that shares a prompt
         bucket, fits in free slots/pages, and respects ``budget``; a
         bucket change just ends the group — the step() loop immediately
-        admits the next group.  Returns the number of requests admitted."""
+        admits the next group.  Returns (number admitted, fresh-token
+        vector).
+
+        With ``pending`` (device-sampling mode), the admission is fully
+        deferred: the prefill's sampled first tokens stay on device, chained
+        into ``fresh`` for the next chunk dispatch, and the host fetches them
+        only after that dispatch (``_process_admits``) — an admission never
+        blocks the pipeline on a device→host round-trip."""
         free = [i for i, r in enumerate(self.slot_request) if r is None]
         if not free or not self.queue:
-            return 0
+            return 0, fresh
         limit = len(free) if budget is None else min(len(free), budget)
         picks: list[tuple[Request, int]] = []  # (request, s_real)
         bucket = 0
@@ -527,14 +556,14 @@ class ContinuousBatchingEngine:
             avail -= need
             picks.append((req, prompt_len))
         if not picks:
-            if self.active_count == 0:
+            if self.active_count == 0 and self._inflight is None:
                 head = self.queue[0]
                 raise RuntimeError(
                     f"request {head.request_id} needs more KV pages than the "
                     f"pool holds ({self.allocator.n_pages}); raise n_pages "
                     "or lower max_new_tokens"
                 )
-            return 0  # wait for active requests to release pages
+            return 0, fresh  # wait for active requests to release pages
 
         k = len(picks)
         k_pad = self._pad_group(k)
@@ -561,8 +590,12 @@ class ContinuousBatchingEngine:
             for i, (req, _) in enumerate(picks):
                 temps[i] = req.temperature
                 topps[i] = req.topp
+            slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
+            slots_arr[:k] = slots
+            if fresh is None:
+                fresh = np.full(self.n_slots, -1, np.int32)
             self._key, sub = jax.random.split(self._key)
-            toks, self.cache = self._prefill_paged_sampled(
+            toks, fresh, self.cache = self._prefill_paged_sampled(
                 self.weights,
                 jnp.asarray(tokens),
                 self.cache,
@@ -571,10 +604,16 @@ class ContinuousBatchingEngine:
                 jnp.asarray(temps),
                 jnp.asarray(topps),
                 sub,
+                jnp.asarray(slots_arr),
+                jnp.asarray(fresh),
             )
-            firsts = np.asarray(toks)
             for i, (req, s_real) in enumerate(picks):
-                self._activate(req, slots[i], s_real, int(firsts[i]), emitted)
+                self._occupy(req, slots[i], s_real)
+            entry = {"toks": toks, "picks": picks}
+            if pending is not None:
+                pending.append(entry)
+            else:
+                self._process_admits(entry, emitted)
         else:
             logits, self.cache = self._prefill_paged(
                 self.weights,
@@ -585,21 +624,55 @@ class ContinuousBatchingEngine:
             )
             logits_np = np.asarray(logits)
             for i, (req, s_real) in enumerate(picks):
-                first = req._sampler.sample(logits_np[i])
-                self._activate(req, slots[i], s_real, first, emitted)
-        return k
+                self._occupy(req, slots[i], s_real)
+                self._first_token(req, req._sampler.sample(logits_np[i]), emitted)
+        return k, fresh
 
-    def _activate(
-        self, req: Request, slot: int, s_real: int, first: int, emitted
-    ) -> None:
-        req.first_token_time = time.perf_counter()
+    def _occupy(self, req: Request, slot: int, s_real: int) -> None:
+        """Bind an admitted request to its slot (its first token may still be
+        on device — see ``_process_admits``)."""
         req.state = RequestState.ACTIVE
         req.slot = slot
         req._next_pos = s_real
         self.slot_request[slot] = req
         self.slot_pos[slot] = s_real
-        self.slot_token[slot] = first
+
+    def _first_token(self, req: Request, first: int, emitted) -> None:
+        req.first_token_time = time.perf_counter()
+        if req.slot is not None:
+            self.slot_token[req.slot] = first
         self._emit(req, first, emitted)
+
+    def _activate(
+        self, req: Request, slot: int, s_real: int, first: int, emitted
+    ) -> None:
+        self._occupy(req, slot, s_real)
+        self._first_token(req, first, emitted)
+
+    def _process_admits(self, entry: dict, emitted) -> None:
+        """Fetch a deferred admission group's first tokens (the decode chunk
+        consuming them was already dispatched) and emit them."""
+        firsts = np.asarray(entry["toks"])
+        for i, (req, _) in enumerate(entry["picks"]):
+            self._first_token(req, int(firsts[i]), emitted)
+
+    def _fresh_base(self, prev: Optional[dict]) -> np.ndarray:
+        """Host-known starting tokens for the next chunk: -1 for slots that
+        chain device-side from ``prev`` (same request still active there) or
+        are empty; the last processed token otherwise (e.g., after a
+        pipeline break)."""
+        fresh = np.full(self.n_slots, -1, np.int32)
+        for slot, r in enumerate(self.slot_request):
+            if r is None:
+                continue
+            covered = (
+                prev is not None
+                and prev["active"][slot]
+                and prev["reqs"][slot] is r
+            )
+            if not covered:
+                fresh[slot] = self.slot_token[slot]
+        return fresh
 
     def _decode_all(self, emitted) -> None:
         active = np.array([r is not None for r in self.slot_request])
@@ -659,7 +732,7 @@ class ContinuousBatchingEngine:
                 return False
         return any_live
 
-    def _dispatch_chunk(self, prev: Optional[dict]) -> dict:
+    def _dispatch_chunk(self, prev: Optional[dict], fresh=None) -> dict:
         """Dispatch one device-sampled decode chunk WITHOUT waiting for the
         previous chunk's results.  Continuing slots' input tokens are the
         previous chunk's last samples, which stay device-resident; slots
@@ -676,20 +749,16 @@ class ContinuousBatchingEngine:
         """
         active = np.array([r is not None for r in self.slot_request])
         reqs = list(self.slot_request)
-        if prev is None:
-            fresh = np.where(active, self.slot_token, 0).astype(np.int32)
-            prev_last = jnp.zeros(self.n_slots, jnp.int32)
-        else:
-            cont = prev["active"] & np.array(
-                [r is not None and r is prev["reqs"][i] for i, r in enumerate(reqs)]
-            )
-            fresh = np.where(
-                cont, -1, np.where(active, self.slot_token, 0)
-            ).astype(np.int32)
-            # The chunk jits return their last sampled row separately —
-            # slicing prev["toks"] here would be an eager op on a pending
-            # array, which blocks until the in-flight chunk completes.
-            prev_last = prev["last"]
+        if fresh is None:
+            # Dense layout: admissions are synchronous, so every starting
+            # token is host-known (``_fresh_base`` semantics inline).
+            fresh = self._fresh_base(prev)
+        # The chunk jits return their last sampled row separately — slicing
+        # prev["toks"] here would be an eager op on a pending array, which
+        # blocks until the in-flight chunk completes.
+        prev_last = (
+            jnp.zeros(self.n_slots, jnp.int32) if prev is None else prev["last"]
+        )
         pos0 = self.slot_pos.copy()
         active_pos = pos0[active]
         max_pos = int(active_pos.max()) if active_pos.size else 0
