@@ -399,6 +399,44 @@ class TestPagedKV:
             results[sampling] = {r.request_id: r.generated for r in eng.run()}
         assert results["host"] == results["device"]
 
+    def test_paged_device_sampling_reproducible(self, setup):
+        """Same engine seed + same request stream → identical sampled
+        outputs (jax PRNG path, incl. on-device first tokens)."""
+        config, weights = setup
+        outs = []
+        for _ in range(2):
+            eng = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8,), kv_layout="paged", page_size=8,
+                sampling="device", seed=7,
+            )
+            for i in range(3):
+                eng.submit(Request(request_id=i, prompt_tokens=[3, 5 + i],
+                                   max_new_tokens=5, temperature=0.9, topp=0.85))
+            outs.append({r.request_id: r.generated for r in eng.run()})
+        assert outs[0] == outs[1]
+
+    def test_group_admission_mixed_sampling_params(self, setup):
+        """A group admission carries per-request temperature/top-p: a greedy
+        request in the same wave as sampled ones must match its solo greedy
+        output exactly."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=3, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+            sampling="device",
+        )
+        eng.submit(Request(request_id=0, prompt_tokens=[3, 17, 4], max_new_tokens=5,
+                           temperature=0.0))
+        eng.submit(Request(request_id=1, prompt_tokens=[9, 2], max_new_tokens=5,
+                           temperature=1.3, topp=0.7))
+        eng.submit(Request(request_id=2, prompt_tokens=[5, 5], max_new_tokens=5,
+                           temperature=0.0))
+        done = {r.request_id: r for r in eng.run()}
+        for rid in (0, 2):
+            expected = _greedy_single(config, weights, done[rid].prompt_tokens, 5)
+            assert done[rid].generated == expected, f"request {rid}"
+
     def test_paged_warmup(self, setup):
         config, weights = setup
         eng = ContinuousBatchingEngine(
