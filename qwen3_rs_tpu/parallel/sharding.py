@@ -98,6 +98,16 @@ def shard_weights(weights: Qwen3Weights, mesh: Mesh, config: ModelConfig) -> Qwe
     """Place a host/single-device weight pytree onto the mesh."""
     validate_tp(config, mesh.shape[TP_AXIS])
     specs = weight_pspecs(config)
+    # Re-key the spec tree onto the weights' exact structure: linear layers
+    # may be QuantizedTensor (int8) or Q4Tensor (nibble-packed int4) — both
+    # flatten to (codes, scales) leaves in the same order, and the specs
+    # apply unchanged.  In-axis (row-parallel) sharding stays consistent for
+    # packed codes because packing is group-local and shard boundaries fall
+    # on group boundaries (validate_tp guarantees tp divides the group
+    # count).
+    specs = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(weights), jax.tree_util.tree_leaves(specs)
+    )
     return jax.tree.map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), weights, specs
     )

@@ -19,7 +19,15 @@ requests finish — request-level continuous batching:
   pays once.  The batch axis pads to a power of two to bound compiled
   shapes;
 * sampling: per-request host samplers (reference-parity xorshift streams,
-  per-request seeds) or a shared on-device sampler.
+  per-request seeds) or a shared on-device sampler;
+* pipelining (device sampling): decode chunk N+1 dispatches BEFORE chunk
+  N's tokens are fetched — continuing slots chain their input token
+  device-side and admissions scatter their device-sampled first tokens
+  into the next chunk's input, so in steady state the device never waits
+  for a host round-trip.  Requests that finish mid-chunk keep decoding as
+  zombies in the already-dispatched chunk (tokens discarded at
+  processing; cache writes touch only dead rows / the null page; page
+  reuse is ordered by device dispatch order).  See docs/serving.md.
 
 Scheduling is FCFS admission; each scheduler ``step()`` first drains the
 queue into every free slot (bounded by ``max_admissions_per_step``), then
@@ -101,6 +109,7 @@ class ContinuousBatchingEngine:
         page_size: int = 128,
         n_pages: int | None = None,
         max_admissions_per_step: int | None = None,
+        mesh=None,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -110,6 +119,21 @@ class ContinuousBatchingEngine:
             from ..models.qwen3 import cast_weight_scales
 
             weights = cast_weight_scales(weights)
+        # Tensor-parallel serving: weights + KV shard over the mesh's tp
+        # axis and GSPMD propagates through every step function.  Data
+        # parallelism is request-level — run one engine per dp replica
+        # (COMPONENTS.md §2.4) — so the mesh here must be tp-only.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import DP_AXIS
+            from ..parallel.sharding import shard_weights
+
+            if dict(mesh.shape).get(DP_AXIS, 1) != 1:
+                raise ValueError(
+                    "serving engine shards tensor-parallel only; run one "
+                    "engine per dp replica for data parallelism"
+                )
+            weights = shard_weights(weights, mesh, self.config)
         self.weights = weights
         self.n_slots = n_slots
         self.mode = mode
@@ -144,12 +168,29 @@ class ContinuousBatchingEngine:
             self.cache = init_paged_cache(
                 self.config, n_pages, page_size, dtype=cache_dtype
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import TP_AXIS
+
+                # Pool [L, P, n_kv, page, hd]: kv heads on tp, like the
+                # dense cache (GQA keeps attention tp-local).
+                self.cache = jax.device_put(
+                    self.cache,
+                    NamedSharding(mesh, P(None, None, TP_AXIS, None, None)),
+                )
             self.allocator = PageAllocator(n_pages, n_slots, max_pages_per_slot)
             self.page_size = page_size
             self._scratch_cache = None
         elif kv_layout == "dense":
             self.cache = init_kv_cache(config, n_slots, dtype=cache_dtype)
             self._scratch_cache: KVCache = init_kv_cache(config, 1, dtype=cache_dtype)
+            if mesh is not None:
+                from ..parallel.sharding import shard_cache
+
+                self.cache = shard_cache(self.cache, mesh)
+                self._scratch_cache = shard_cache(self._scratch_cache, mesh)
             self.allocator = None
         else:
             raise ValueError(f"unknown kv_layout: {kv_layout!r}")
@@ -590,10 +631,9 @@ class ContinuousBatchingEngine:
             for i, (req, _) in enumerate(picks):
                 temps[i] = req.temperature
                 topps[i] = req.topp
+            assert pending is not None and fresh is not None  # step() invariant
             slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
             slots_arr[:k] = slots
-            if fresh is None:
-                fresh = np.full(self.n_slots, -1, np.int32)
             self._key, sub = jax.random.split(self._key)
             toks, fresh, self.cache = self._prefill_paged_sampled(
                 self.weights,
@@ -609,11 +649,7 @@ class ContinuousBatchingEngine:
             )
             for i, (req, s_real) in enumerate(picks):
                 self._occupy(req, slots[i], s_real)
-            entry = {"toks": toks, "picks": picks}
-            if pending is not None:
-                pending.append(entry)
-            else:
-                self._process_admits(entry, emitted)
+            pending.append({"toks": toks, "picks": picks})
         else:
             logits, self.cache = self._prefill_paged(
                 self.weights,
@@ -622,7 +658,9 @@ class ContinuousBatchingEngine:
                 jnp.asarray(out_idx),
                 jnp.asarray(tables),
             )
-            logits_np = np.asarray(logits)
+            # Slice off the power-of-two padding rows before the fetch —
+            # k_pad - k vocab-wide logit rows never leave the device.
+            logits_np = np.asarray(logits[:k])
             for i, (req, s_real) in enumerate(picks):
                 self._occupy(req, slots[i], s_real)
                 self._first_token(req, req._sampler.sample(logits_np[i]), emitted)
@@ -707,30 +745,30 @@ class ContinuousBatchingEngine:
             self.slot_token[slot] = token
             self._emit(req, token, emitted)
 
+    def _provably_done(self, r: Request, slot: int) -> bool:
+        """True iff the request is certain to be finished by the tokens
+        already dispatched (processed + in flight): it reaches
+        max_new_tokens or the context end.  ``slot_pos`` is the dispatch-time
+        position, so ``slot_pos - (prompt_end + processed)`` counts the
+        still-unfetched tokens (a pending admission's device-side first token
+        included).  EOS can only finish a request *earlier*, so a True here
+        is exact — such a slot never has more work."""
+        pending = int(self.slot_pos[slot]) - (r._next_pos + len(r.generated) - 1)
+        return (
+            len(r.generated) + pending >= r.max_new_tokens
+            or int(self.slot_pos[slot]) >= self.config.seq_len
+        )
+
     def _all_live_finish_within(self, prev: Optional[dict]) -> bool:
         """True iff every live slot is certain to finish inside the
-        still-unprocessed ``prev`` chunk: its request reaches max_new_tokens
-        (generated so far + prev's pending steps) or the context end.  EOS
-        can only finish a request earlier, so this is exact — skipping the
-        next dispatch never idles a slot that still has work."""
+        still-unprocessed ``prev`` chunk — the next chunk would be all
+        zombies, so the caller skips it."""
         if prev is None:
             return False
-        any_live = False
-        for slot, r in enumerate(self.slot_request):
-            if r is None:
-                continue
-            any_live = True
-            contrib = (
-                prev["n_steps"]
-                if prev["active"][slot] and prev["reqs"][slot] is r
-                else 0
-            )
-            if (
-                len(r.generated) + contrib < r.max_new_tokens
-                and self.slot_pos[slot] < self.config.seq_len
-            ):
-                return False
-        return any_live
+        live = [
+            (slot, r) for slot, r in enumerate(self.slot_request) if r is not None
+        ]
+        return bool(live) and all(self._provably_done(r, s) for s, r in live)
 
     def _dispatch_chunk(self, prev: Optional[dict], fresh=None) -> dict:
         """Dispatch one device-sampled decode chunk WITHOUT waiting for the
@@ -747,7 +785,16 @@ class ContinuousBatchingEngine:
         dispatch order, so a later admission's prefill overwrites any
         zombie writes to reallocated pages.
         """
-        active = np.array([r is not None for r in self.slot_request])
+        # Slots whose request provably finished inside still-unprocessed
+        # chunks are masked out: they'd otherwise throttle n_steps for the
+        # whole batch once one stream hits the context end (max_pos ==
+        # seq_len → n_steps 1) and dispatch cache writes at pos >= seq_len.
+        active = np.array(
+            [
+                r is not None and not self._provably_done(r, slot)
+                for slot, r in enumerate(self.slot_request)
+            ]
+        )
         reqs = list(self.slot_request)
         if fresh is None:
             # Dense layout: admissions are synchronous, so every starting

@@ -9,6 +9,13 @@ requests, so this module exposes it as a small dependency-free HTTP server
   "temperature": float, "top_p": float, "seed": int}`` → one JSON object
   with the completion (or, with ``"stream": true``, newline-delimited JSON
   chunks as tokens are emitted);
+* ``POST /v1/chat/completions`` — ``{"messages": [{"role": "system"|
+  "user"|"assistant", "content": str}, ...], ...}`` → the conversation is
+  rendered through the checkpoint's ``%s`` prompt templates with the exact
+  semantics of the interactive chat loop (generation.rs:188-195: the
+  system template only on the first user turn; assistant turns appended
+  verbatim — their EOS never entered the reference's KV cache either);
+  response carries ``{"message": {"role": "assistant", "content": ...}}``;
 * ``GET /v1/stats`` — scheduler counters (slot utilization, p50 TTFT,
   page-pool usage);
 * ``GET /health``.
@@ -40,6 +47,38 @@ class _Pending:
         self.tokens: "queue.Queue[Optional[int]]" = queue.Queue()
         self.done = threading.Event()
         self.request: Optional[Request] = None
+
+
+def render_chat(messages: list[dict], tokenizer) -> str:
+    """Render an OpenAI-style message list through the checkpoint's ``%s``
+    templates with interactive-chat parity (inference/generation.py
+    ``render_prompt``): the first user turn carries the system prompt (if
+    any), later user turns use the plain template, and assistant turns are
+    appended verbatim — in the live chat loop the assistant's EOS token is
+    detected and never forwarded, so the stateless context omits it too."""
+    from ..inference.generation import render_prompt
+
+    system: Optional[str] = None
+    parts: list[str] = []
+    first_user = True
+    for m in messages:
+        role, content = m["role"], m["content"]
+        if role == "system":
+            system = content
+        elif role == "user":
+            parts.append(
+                render_prompt(0 if first_user else 1,
+                              system if first_user else None,
+                              content, tokenizer)
+            )
+            first_user = False
+        elif role == "assistant":
+            parts.append(content)
+        else:
+            raise ValueError(f"unknown role: {role!r}")
+    if first_user:
+        raise ValueError("messages must contain at least one user turn")
+    return "".join(parts)
 
 
 class ServingFrontend:
@@ -151,14 +190,18 @@ def make_handler(frontend: ServingFrontend):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/completions":
+            chat = self.path == "/v1/chat/completions"
+            if self.path != "/v1/completions" and not chat:
                 self._json(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                prompt = payload["prompt"]
-            except (json.JSONDecodeError, KeyError) as e:
+                if chat:
+                    prompt = render_chat(payload["messages"], frontend.tokenizer)
+                else:
+                    prompt = payload["prompt"]
+            except (json.JSONDecodeError, KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
@@ -195,15 +238,17 @@ def make_handler(frontend: ServingFrontend):
             else:
                 pending.done.wait()
                 req = pending.request
-                self._json(
-                    200,
-                    {
-                        "text": frontend.tokenizer.decode(req.generated),
-                        "tokens": len(req.generated),
-                        "finish_reason": req.finish_reason,
-                        "ttft_s": req.ttft,
-                    },
-                )
+                text = frontend.tokenizer.decode(req.generated)
+                body = {
+                    "tokens": len(req.generated),
+                    "finish_reason": req.finish_reason,
+                    "ttft_s": req.ttft,
+                }
+                if chat:
+                    body["message"] = {"role": "assistant", "content": text}
+                else:
+                    body["text"] = text
+                self._json(200, body)
 
     return Handler
 

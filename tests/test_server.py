@@ -20,6 +20,8 @@ class FakeTokenizer:
 
     bos_token_id = 1
     eos_token_id = 2
+    prompt_template = "<u>%s</u><a>"
+    system_prompt_template = "<sys>%s</sys><a>"
 
     def encode(self, text):
         return [3 + (ord(c) % 90) for c in text][:8] or [3]
@@ -107,6 +109,55 @@ def test_bad_request(frontend):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def _post_chat(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_chat_completion_matches_rendered_prompt(frontend):
+    """/v1/chat/completions == /v1/completions on the template-rendered
+    prompt (greedy)."""
+    fe, port = frontend
+    messages = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+    ]
+    from qwen3_rs_tpu.serving.server import render_chat
+
+    rendered = render_chat(messages, fe.tokenizer)
+    assert rendered == "<sys>be brief\nhi</sys><a>"
+    with _post_chat(port, {"messages": messages, "max_tokens": 5}) as r:
+        chat_out = json.load(r)
+    with _post(port, {"prompt": rendered, "max_tokens": 5}) as r:
+        plain_out = json.load(r)
+    assert chat_out["message"]["role"] == "assistant"
+    assert chat_out["message"]["content"] == plain_out["text"]
+
+
+def test_chat_multi_turn_rendering():
+    from qwen3_rs_tpu.serving.server import render_chat
+
+    tok = FakeTokenizer()
+    msgs = [
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ]
+    # First user turn has no system → plain template; later turns plain;
+    # assistant content verbatim (its EOS never entered the live KV cache).
+    assert render_chat(msgs, tok) == "<u>q1</u><a>a1<u>q2</u><a>"
+    import pytest
+
+    with pytest.raises(ValueError, match="user turn"):
+        render_chat([{"role": "system", "content": "s"}], tok)
+    with pytest.raises(ValueError, match="unknown role"):
+        render_chat([{"role": "tool", "content": "x"}], tok)
 
 
 import urllib.error  # noqa: E402  (used in test_bad_request)

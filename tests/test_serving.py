@@ -399,6 +399,45 @@ class TestPagedKV:
             results[sampling] = {r.request_id: r.generated for r in eng.run()}
         assert results["host"] == results["device"]
 
+    def test_context_exhausted_slot_does_not_throttle_chunks(self, setup):
+        """A stream that hits the context end mid-pipeline must be masked
+        out of subsequent dispatches — otherwise max_pos == seq_len would
+        clamp every other stream to 1-token chunks."""
+        config, weights = setup  # seq_len = 64
+
+        def make(n_slots):
+            return ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=n_slots, mode="fast",
+                prefill_buckets=(8, 32), kv_layout="paged", page_size=8,
+                n_pages=24, sampling="device", decode_chunk_steps=4,
+            )
+
+        # Solo baseline for B through the same engine path (the raw-model
+        # greedy baseline drifts over 40 near-tie tokens at bf16).
+        solo = make(1)
+        solo.submit(Request(request_id=1, prompt_tokens=[5, 9, 4, 2],
+                            max_new_tokens=40))
+        solo_b = solo.run()[0].generated
+
+        eng = make(2)
+        n_steps_seen = []
+        orig = eng._decode_chunked_paged
+        def spy(*a):
+            n_steps_seen.append(a[-1])
+            return orig(*a)
+        eng._decode_chunked_paged = spy
+        # A runs to the context boundary (length-capped by seq_len).
+        eng.submit(Request(request_id=0, prompt_tokens=list(range(1, 31)),
+                           max_new_tokens=60))
+        # B finishes by max_new well before the boundary.
+        eng.submit(Request(request_id=1, prompt_tokens=[5, 9, 4, 2],
+                           max_new_tokens=40))
+        done = {r.request_id: r for r in eng.run()}
+        assert done[0].finish_reason == "length"
+        assert done[1].generated == solo_b
+        # The exhausted slot must not pin later chunks at n_steps == 1.
+        assert n_steps_seen.count(1) == 0, n_steps_seen
+
     def test_paged_device_sampling_reproducible(self, setup):
         """Same engine seed + same request stream → identical sampled
         outputs (jax PRNG path, incl. on-device first tokens)."""
@@ -436,6 +475,46 @@ class TestPagedKV:
         for rid in (0, 2):
             expected = _greedy_single(config, weights, done[rid].prompt_tokens, 5)
             assert done[rid].generated == expected, f"request {rid}"
+
+    def test_tp_sharded_engine_matches_unsharded(self, setup):
+        """Serving on a tp=2 mesh (weights + page pool sharded on kv/out
+        axes) must produce the same greedy tokens as the single-device
+        engine."""
+        import jax
+
+        from qwen3_rs_tpu.parallel.mesh import create_mesh
+
+        config, weights = setup
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = create_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+        outs = {}
+        for name, m in (("plain", None), ("tp2", mesh)):
+            eng = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8,), kv_layout="paged", page_size=8,
+                sampling="device", mesh=m,
+            )
+            for i in range(3):
+                eng.submit(Request(request_id=i, prompt_tokens=[3, 7 + i],
+                                   max_new_tokens=5))
+            outs[name] = {r.request_id: r.generated for r in eng.run()}
+        assert outs["plain"] == outs["tp2"]
+
+    def test_tp_sharded_engine_rejects_dp(self, setup):
+        import jax
+
+        from qwen3_rs_tpu.parallel.mesh import create_mesh
+
+        config, weights = setup
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = create_mesh(tp=1, dp=2, devices=jax.devices()[:2])
+        with pytest.raises(ValueError, match="dp replica"):
+            ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                kv_layout="paged", page_size=8, mesh=mesh,
+            )
 
     def test_paged_warmup(self, setup):
         config, weights = setup
