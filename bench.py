@@ -64,6 +64,9 @@ def main() -> None:
     steps_long = int(os.environ.get("BENCH_STEPS", "64" if model_name == "8b" else "256"))
     steps_short = max(steps_long // 4, 1)
     mode = os.environ.get("BENCH_MODE", "decode")  # decode | prefill
+    # Linear-layer code width: 8 (Q8_0 flagship) or 4 (INT4 extension —
+    # halves the decode weight stream; see docs/quantization.md).
+    bits = int(os.environ.get("BENCH_BITS", "8"))
 
     if mode == "prefill":
         config = qwen3_config(model_name, seq_len=seq_len)
@@ -79,7 +82,7 @@ def main() -> None:
     def bench_decode(model: str) -> dict:
         config = qwen3_config(model, seq_len=seq_len)
         # bf16 scales: what the fast engine streams (testing.py/engine.py).
-        weights = cast_weight_scales(random_weights(config))
+        weights = cast_weight_scales(random_weights(config, bits=bits))
 
         def decode_n(weights, token, cache, pos, n_steps):
             def body(carry, _):
@@ -113,10 +116,12 @@ def main() -> None:
 
         device_kind = jax.devices()[0].device_kind
         bw = HBM_BW_BY_KIND.get(device_kind, 819e9)
-        roofline = bw / weight_bytes_per_decode_token(config, scale_bytes=2) * batch
+        roofline = (
+            bw / weight_bytes_per_decode_token(config, scale_bytes=2, bits=bits) * batch
+        )
         ctx = f"_ctx{start_pos}" if start_pos else ""
         return {
-            "metric": f"decode_tok_s_qwen3_{model}_int8g64_b{batch}{ctx}",
+            "metric": f"decode_tok_s_qwen3_{model}_int{bits}g64_b{batch}{ctx}",
             "value": round(tok_per_sec, 2),
             "unit": "tokens/sec",
             "vs_baseline": round(tok_per_sec / roofline, 4),

@@ -39,7 +39,7 @@ import numpy as np
 
 from .configuration import HEADER_SIZE, ModelConfig, read_config
 from .models.qwen3 import Qwen3LayerWeights, Qwen3Weights
-from .ops.quant import QuantizedTensor
+from .ops.quant import Q4Tensor, QuantizedTensor
 
 WEIGHTS_DIR = "weights"
 
@@ -99,6 +99,8 @@ class NativeCheckpointWriter:
     in-major (IN_MAJOR_TENSORS) so the loader never transposes."""
 
     def __init__(self, path: str | Path, config: ModelConfig, *, in_major: bool = True):
+        if config.weight_bits == 4 and not in_major:
+            raise ValueError("INT4 checkpoints require the in-major (v2) layout")
         self.root = Path(path)
         self.wdir = self.root / WEIGHTS_DIR
         self.wdir.mkdir(parents=True, exist_ok=True)
@@ -130,17 +132,25 @@ class NativeCheckpointWriter:
         scales: np.ndarray,
         layer_idx: int | None = None,
     ):
+        q_dtype = np.int8
         if self.in_major and name in IN_MAJOR_TENSORS:
             # Row-major [out, in] quantizer output → in-major compute layout
             # (C++ blocked transpose when available, numpy fallback).
             q, scales = _transpose_qt(q, scales)
             q, scales = np.ascontiguousarray(q), np.ascontiguousarray(scales)
+            if self.config.weight_bits == 4:
+                # Nibble-pack along the in axis (group split-half,
+                # ops/quant.py): the loader mmaps packed codes directly.
+                from .ops.quant import pack_q4_np
+
+                q = pack_q4_np(q, self.config.group_size)
+                q_dtype = np.uint8
         if layer_idx is None:
-            self._memmap(f"{name}.q", q.shape, np.int8)[...] = q
+            self._memmap(f"{name}.q", q.shape, q_dtype)[...] = q
             self._memmap(f"{name}.s", scales.shape, np.float32)[...] = scales
         else:
             l = self.config.n_layers
-            self._memmap(f"{name}.q", (l, *q.shape), np.int8)[layer_idx] = q
+            self._memmap(f"{name}.q", (l, *q.shape), q_dtype)[layer_idx] = q
             self._memmap(f"{name}.s", (l, *scales.shape), np.float32)[layer_idx] = scales
 
     def close(self):
@@ -159,10 +169,17 @@ def _load_qt(wdir: Path, name: str) -> QuantizedTensor:
     )
 
 
-def _load_qt_T(wdir: Path, name: str, in_major: bool) -> QuantizedTensor:
+def _load_qt_T(wdir: Path, name: str, in_major: bool, bits: int = 8):
     """Load a linear layer into the in-major compute layout: v2 checkpoints
     store it directly (mmap → device put, no host copy); v1 row-major
-    [L, out, in] storage transposes through the native path."""
+    [L, out, in] storage transposes through the native path.  INT4
+    checkpoints mmap nibble-packed codes into a Q4Tensor."""
+    if bits == 4:
+        if not in_major:
+            raise ValueError("INT4 checkpoints require the in-major (v2) layout")
+        return Q4Tensor(
+            jnp.asarray(_np_load(wdir, f"{name}.q")), jnp.asarray(_np_load(wdir, f"{name}.s"))
+        )
     if in_major:
         return QuantizedTensor(
             jnp.asarray(_np_load(wdir, f"{name}.q")), jnp.asarray(_np_load(wdir, f"{name}.s"))
@@ -171,9 +188,10 @@ def _load_qt_T(wdir: Path, name: str, in_major: bool) -> QuantizedTensor:
     return QuantizedTensor(jnp.asarray(np.ascontiguousarray(q)), jnp.asarray(np.ascontiguousarray(s)))
 
 
-def _fuse_out(*tensors: QuantizedTensor) -> QuantizedTensor:
-    """Concatenate in-major tensors along the out axis (fused projections)."""
-    return QuantizedTensor(
+def _fuse_out(*tensors):
+    """Concatenate in-major tensors along the out axis (fused projections);
+    preserves the tensor kind (packed codes concatenate the same way)."""
+    return type(tensors[0])(
         jnp.concatenate([t.q for t in tensors], axis=-1),
         jnp.concatenate([t.scales for t in tensors], axis=-1),
     )
@@ -192,13 +210,16 @@ def load_native(path: str | Path) -> tuple[ModelConfig, Qwen3Weights]:
         q_norm=jnp.asarray(_np_load(wdir, "q_norm")),
         k_norm=jnp.asarray(_np_load(wdir, "k_norm")),
         wqkv=_fuse_out(
-            _load_qt_T(wdir, "wq", in_major),
-            _load_qt_T(wdir, "wk", in_major),
-            _load_qt_T(wdir, "wv", in_major),
+            _load_qt_T(wdir, "wq", in_major, config.weight_bits),
+            _load_qt_T(wdir, "wk", in_major, config.weight_bits),
+            _load_qt_T(wdir, "wv", in_major, config.weight_bits),
         ),
-        wo=_load_qt_T(wdir, "wo", in_major),
-        w13=_fuse_out(_load_qt_T(wdir, "w1", in_major), _load_qt_T(wdir, "w3", in_major)),
-        w2=_load_qt_T(wdir, "w2", in_major),
+        wo=_load_qt_T(wdir, "wo", in_major, config.weight_bits),
+        w13=_fuse_out(
+            _load_qt_T(wdir, "w1", in_major, config.weight_bits),
+            _load_qt_T(wdir, "w3", in_major, config.weight_bits),
+        ),
+        w2=_load_qt_T(wdir, "w2", in_major, config.weight_bits),
     )
     if config.shared_classifier:
         lm_head = _classifier_from(_np_load(wdir, "embed.q"), _np_load(wdir, "embed.s"))

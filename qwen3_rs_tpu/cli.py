@@ -35,6 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
         default="native",
         help="native = TPU checkpoint directory (default); legacy = reference .bin",
     )
+    exp.add_argument(
+        "--bits",
+        type=int,
+        choices=[8, 4],
+        default=8,
+        help="linear-layer code width: 8 = Q8_0 (reference scheme, default); "
+        "4 = nibble-packed INT4 (native format only — halves the decode "
+        "weight stream; embeddings/classifier stay INT8)",
+    )
 
     # inference checkpoint -t -p -s -c -m -i -y -r (main.rs:36-93)
     inf = sub.add_parser("inference", help="Run inference on a checkpoint")
@@ -154,7 +163,10 @@ def main(argv=None) -> int:
         from .export import export_model
 
         validate_export_dir(Path(args.model_path))
-        export_model(args.model_path, args.output_path, args.group_size, fmt=args.format)
+        export_model(
+            args.model_path, args.output_path, args.group_size,
+            fmt=args.format, weight_bits=args.bits,
+        )
         return 0
 
     if args.command == "batch":

@@ -70,6 +70,11 @@ class ModelConfig:
     # Llama does not.  (The reference declares LlamaForCausalLM but leaves it
     # `todo!`, models/mod.rs:94 — here it is implemented.)
     use_qk_norm: bool = True
+    # Linear-layer code width: 8 = Q8_0 (reference scheme), 4 = nibble-packed
+    # INT4 (TPU-first extension, native format only — decode is bound on the
+    # weight stream, so 4-bit codes nearly double the b=1 roofline).
+    # Embeddings and the classifier stay INT8 either way.
+    weight_bits: int = 8
 
     @property
     def all_heads_dim(self) -> int:
@@ -107,6 +112,10 @@ class ModelConfig:
             raise ValueError(
                 f"n_heads ({self.n_heads}) must be divisible by n_kv_heads ({self.n_kv_heads})"
             )
+        if self.weight_bits not in (8, 4):
+            raise ValueError(f"weight_bits must be 8 or 4, got {self.weight_bits}")
+        if self.weight_bits == 4 and self.group_size % 2:
+            raise ValueError("INT4 packing needs an even group_size")
         return self
 
     def with_seq_len(self, ctx_length: Optional[int]) -> "ModelConfig":
@@ -126,6 +135,11 @@ class ModelConfig:
     def to_legacy_header(self) -> bytes:
         """Serialize the 256-byte legacy header
         (write side: qwen3-export/src/model_exporter.rs:164-191)."""
+        if self.weight_bits != 8:
+            raise ValueError(
+                "the legacy .bin format is Q8_0-only (reference-compatible); "
+                "export INT4 checkpoints in the native format"
+            )
         packed = struct.pack(
             "<13i",
             CHECKPOINT_MAGIC,

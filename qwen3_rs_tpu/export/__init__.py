@@ -34,6 +34,7 @@ def export_model(
     output_path: str | Path,
     group_size: int = 64,
     fmt: str = "native",
+    weight_bits: int = 8,
 ) -> None:
     """Full export: weights + tokenizer + chat templates
     (qwen3-export/src/lib.rs:50-83).
@@ -48,7 +49,7 @@ def export_model(
     logger.info("Starting model export from %s", model_path)
     model_info = load_model_info(model_path)
 
-    exporter = BinaryModelExporter(model_info, group_size)
+    exporter = BinaryModelExporter(model_info, group_size, weight_bits)
     config = exporter.export(model_path, output_path, fmt=fmt)
 
     if fmt == "native":

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..checkpoint import NativeCheckpointWriter
 from ..configuration import ModelConfig
-from ..ops.quant import quantize_weights_np
+from ..ops.quant import quantize_weights_np, quantize_weights_q4_np
 from ..utils.progress import ProgressTracker
 from .architectures import Qwen3Architecture, create_architecture
 from .config_loader import ExportModelInfo
@@ -52,7 +52,7 @@ def find_optimal_group_size(hidden_dim: int, requested: int) -> int:
 class BinaryModelExporter:
     """Streams, quantizes and writes model weights."""
 
-    def __init__(self, model_info: ExportModelInfo, group_size: int):
+    def __init__(self, model_info: ExportModelInfo, group_size: int, weight_bits: int = 8):
         config = model_info.config
         optimal = find_optimal_group_size(config.dim, group_size)
         if optimal != group_size:
@@ -64,6 +64,7 @@ class BinaryModelExporter:
             )
         self.model_info = model_info
         self.group_size = optimal
+        self.weight_bits = weight_bits
 
     # ------------------------------------------------------------------ api
     def export(self, model_path: Path, output_path: Path, fmt: str = "native") -> ModelConfig:
@@ -72,7 +73,11 @@ class BinaryModelExporter:
         tensor_reader = TensorReader(model_path)
         import dataclasses
 
-        config = dataclasses.replace(self.model_info.config, group_size=self.group_size)
+        config = dataclasses.replace(
+            self.model_info.config,
+            group_size=self.group_size,
+            weight_bits=self.weight_bits,
+        ).validate()
         arch = create_architecture(config, tensor_reader)
         shared_classifier = arch.detect_shared_classifier()
         config = dataclasses.replace(config, shared_classifier=shared_classifier)
@@ -140,19 +145,28 @@ class BinaryModelExporter:
         for native_name, layer_idx, data in self._norm_entries(config, arch, tensor_reader):
             writer.write_norm(native_name, data, layer_idx)
 
+        from ..checkpoint import IN_MAJOR_TENSORS
+
         tensors = list(self._iter_weight_tensors(config, arch))
         progress = ProgressTracker(len(tensors), "Quantizing")
         max_error = 0.0
         for i, (name, component, layer_idx, native_name) in enumerate(tensors):
             progress.set_current(i + 1, name)
             weight = self._load_merged(tensor_reader, lora_merger, name, component, layer_idx)
-            q, s, err = quantize_weights_np(weight, self.group_size)
+            # INT4 (weight_bits=4) applies to the linear layers only —
+            # embeddings/classifier keep Q8_0 (gathered per token / most
+            # accuracy-sensitive, and a small share of the decode stream).
+            if config.weight_bits == 4 and native_name in IN_MAJOR_TENSORS:
+                q, s, err = quantize_weights_q4_np(weight, self.group_size)
+            else:
+                q, s, err = quantize_weights_np(weight, self.group_size)
             max_error = max(max_error, err)
             writer.write_quantized(native_name, q, s, layer_idx)
         writer.close()
         progress.finish()
         logger.info(
-            "Quantized %d weight tensors to Q8_0 with max error: %.8f", len(tensors), max_error
+            "Quantized %d weight tensors to Q%d_0 with max error: %.8f",
+            len(tensors), config.weight_bits, max_error,
         )
         logger.info("Written model checkpoint to %s", output_path)
 

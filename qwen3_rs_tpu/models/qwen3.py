@@ -35,7 +35,7 @@ from ..configuration import ModelConfig
 from ..ops.attention import gqa_attention_split
 from ..ops.matmul import qmatmul, qmatmul_exact
 from ..ops.norms import rms_norm
-from ..ops.quant import QuantizedTensor, dequantize, quantize_activations
+from ..ops.quant import Q4Tensor, QuantizedTensor, dequantize, quantize_activations
 from ..ops.rope import apply_rope, rope_table
 
 
@@ -98,8 +98,8 @@ def cast_weight_scales(weights: Qwen3Weights, dtype=jnp.bfloat16) -> Qwen3Weight
     traffic) and feed the residual stream directly.
     """
 
-    def cast_qt(qt: QuantizedTensor) -> QuantizedTensor:
-        return QuantizedTensor(qt.q, qt.scales.astype(dtype))
+    def cast_qt(qt):
+        return type(qt)(qt.q, qt.scales.astype(dtype))
 
     lw = weights.layers
     return weights._replace(
@@ -131,6 +131,24 @@ def _project(x, xq, w, mode: str):
     ``f32`` (dequantized weights, full-f32 matmul — the "fp32 reference"
     side of the perplexity-delta accuracy bar).
     """
+    if isinstance(w, Q4Tensor):
+        # INT4 is a TPU-first extension (no reference W8A8 counterpart):
+        # fast mode runs the Pallas unpack+dequant kernels (via
+        # _project_layer) or this XLA dense fallback; f32 mode dequantizes
+        # for the accuracy-bar comparison.
+        if mode == "exact":
+            raise ValueError("INT4 weights have no reference-exact (W8A8) mode")
+        from ..ops.quant import dequantize_q4_inmajor
+
+        dtype = jnp.float32 if mode == "f32" else jnp.bfloat16
+        wf = dequantize_q4_inmajor(w, dtype)
+        return jax.lax.dot_general(
+            x.astype(dtype),
+            wf,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if mode == "f32" else None,
+        )
     if mode == "exact":
         return qmatmul_exact(xq, w)
     if mode == "f32":
@@ -147,8 +165,10 @@ def _project(x, xq, w, mode: str):
     return qmatmul(x, w)
 
 
-def _slice_layer(w_all: QuantizedTensor, idx) -> QuantizedTensor:
-    return QuantizedTensor(
+def _slice_layer(w_all, idx):
+    """Slice layer ``idx`` from stacked weights, preserving the tensor kind
+    (QuantizedTensor or Q4Tensor — both (codes, scales) NamedTuples)."""
+    return type(w_all)(
         jax.lax.dynamic_index_in_dim(w_all.q, idx, 0, keepdims=False),
         jax.lax.dynamic_index_in_dim(w_all.scales, idx, 0, keepdims=False),
     )
@@ -165,6 +185,8 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
         from ..ops.pallas.qmatmul import rows_supported, supports_shapes
 
         _, n, d = w_all.q.shape
+        if isinstance(w_all, Q4Tensor):
+            n *= 2  # codes are nibble-packed on the in axis
         group_size = n // w_all.scales.shape[1]
         batch_rows = 1
         for dim in x.shape[:-1]:

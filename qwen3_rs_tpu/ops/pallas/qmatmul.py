@@ -27,10 +27,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant import QuantizedTensor
+from ..quant import Q4Tensor, QuantizedTensor
+
+
+def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
+    """Nibble-packed uint8 tile [tile_n/2, tile_d] → dequantized bf16
+    [tile_n, tile_d].  Packing is group split-half on the sublane axis
+    (ops/quant.py): unpack is two full-width nibble extractions concatenated
+    on sublanes — no lane/sublane interleave."""
+    h = group_size // 2
+    tile_n2, tile_d = wq4.shape
+    gi = wq4.reshape(tile_groups, h, tile_d).astype(jnp.int32)
+    lo = gi & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = gi >> 4
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    codes = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # [tg, g, td]
+    wf = codes * ws[:, None, :].astype(jnp.bfloat16)
+    return wf.reshape(2 * tile_n2, tile_d)
 
 
 def _accumulate_tile(
+    x, wq, ws, out_ref, *, group_size: int, tile_groups: int, impl: str = "defer",
+    k_axis: int = 1,
+):
+    """See below; INT4 tiles route through ``_dequant_tile_q4`` first."""
+    if wq.dtype == jnp.uint8:
+        k = pl.program_id(k_axis)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        wf = _dequant_tile_q4(wq, ws, group_size=group_size, tile_groups=tile_groups)
+        out_ref[:] += jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return
+    _accumulate_tile_i8(
+        x, wq, ws, out_ref, group_size=group_size, tile_groups=tile_groups,
+        impl=impl, k_axis=k_axis,
+    )
+
+
+def _accumulate_tile_i8(
     x, wq, ws, out_ref, *, group_size: int, tile_groups: int, impl: str = "defer",
     k_axis: int = 1,
 ):
@@ -205,6 +248,8 @@ def _qmatmul_2d(x, wq, ws, *, interpret: bool = False, impl: str | None = None, 
         raise ValueError(f"unsupported shapes for pallas qmatmul: {x.shape} x {wq.shape}")
     tile_n, tile_d = tiles
     tile_groups = tile_n // group_size
+    # INT4: the weight array is nibble-packed on the row axis — blocks halve.
+    w_rows = tile_n // 2 if wq.dtype == jnp.uint8 else tile_n
 
     grid = (d // tile_d, n // tile_n)
     kernel = functools.partial(
@@ -215,7 +260,7 @@ def _qmatmul_2d(x, wq, ws, *, interpret: bool = False, impl: str | None = None, 
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, tile_n), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tile_d), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rows, tile_d), lambda i, k: (k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_groups, tile_d), lambda i, k: (k, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, tile_d), lambda i, k: (0, i), memory_space=pltpu.VMEM),
@@ -279,6 +324,7 @@ def _qmatmul_stacked_2d(
         )
     tile_n, tile_d = tiles
     tile_groups = tile_n // group_size
+    w_rows = tile_n // 2 if wq_all.dtype == jnp.uint8 else tile_n
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -287,7 +333,7 @@ def _qmatmul_stacked_2d(
         in_specs=[
             pl.BlockSpec((b, tile_n), lambda i, k, l: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, tile_n, tile_d), lambda i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
+                (1, w_rows, tile_d), lambda i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, tile_groups, tile_d),
@@ -428,6 +474,7 @@ def _qmatmul_stacked_rows_2d(
         )
     tile_b, tile_n, tile_d = tiles
     tile_groups = tile_n // group_size
+    w_rows = tile_n // 2 if wq_all.dtype == jnp.uint8 else tile_n
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -437,7 +484,7 @@ def _qmatmul_stacked_rows_2d(
         in_specs=[
             pl.BlockSpec((tile_b, tile_n), lambda r, i, k, l: (r, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, tile_n, tile_d), lambda r, i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
+                (1, w_rows, tile_d), lambda r, i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, tile_groups, tile_d),

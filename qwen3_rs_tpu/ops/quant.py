@@ -108,6 +108,110 @@ def quantize_weights(w: jax.Array, group_size: int) -> QuantizedTensor:
     return QuantizedTensor(q.reshape(orig_shape), scale)
 
 
+# ------------------------------------------------------------------ INT4
+# Q4_0-style 4-bit weights — a TPU-first extension beyond the reference's
+# Q8_0 (decode throughput is HBM-bound on the weight stream, so halving the
+# code bytes nearly doubles the single-stream roofline).  Same group-wise
+# symmetric scheme with Q_MAX = 7.
+#
+# Packing: two codes per byte, **split-half within each group along the
+# in (sublane) axis**: for a group of g in-rows, packed byte-row j holds
+# in-row j in its low nibble and in-row j + g/2 in its high nibble
+# (j < g/2).  Unpacking is then two full-width nibble extractions
+# concatenated on the sublane axis — no lane/sublane interleave, which
+# Mosaic cannot lower cheaply.  Packed codes: uint8 ``[..., N/2, D]``
+# against scales ``[..., N/g, D]`` in the in-major weight layout.
+
+Q4_MAX = 7.0
+
+
+class Q4Tensor(NamedTuple):
+    """Pytree of nibble-packed int4 codes + per-group scales (in-major
+    weight layout only: groups subdivide axis -2)."""
+
+    q: jax.Array  # uint8 packed, shape [..., N // 2, D]
+    scales: jax.Array  # f32/bf16, shape [..., N // group_size, D]
+
+    @property
+    def group_size(self) -> int:
+        return 2 * self.q.shape[-2] // self.scales.shape[-2]
+
+    @property
+    def shape(self):
+        # Logical (unpacked) shape.
+        return (*self.q.shape[:-2], 2 * self.q.shape[-2], self.q.shape[-1])
+
+
+def pack_q4_np(q: np.ndarray, group_size: int) -> np.ndarray:
+    """int8 codes [..., N, D] in [-7, 7] → packed uint8 [..., N/2, D]
+    (group split-half along axis -2)."""
+    n = q.shape[-2]
+    assert n % group_size == 0 and group_size % 2 == 0, (q.shape, group_size)
+    h = group_size // 2
+    g = q.reshape(*q.shape[:-2], n // group_size, group_size, q.shape[-1])
+    lo = g[..., :h, :].astype(np.uint8) & 0xF
+    hi = (g[..., h:, :].astype(np.uint8) & 0xF) << 4
+    return (lo | hi).reshape(*q.shape[:-2], n // 2, q.shape[-1])
+
+
+def unpack_q4_np(packed: np.ndarray, group_size: int) -> np.ndarray:
+    """Packed uint8 [..., N/2, D] → int8 codes [..., N, D]."""
+    h = group_size // 2
+    n2 = packed.shape[-2]
+    g = packed.reshape(*packed.shape[:-2], n2 // h, h, packed.shape[-1])
+    lo = (g & 0xF).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo)
+    hi = (g >> 4).astype(np.int8)
+    hi = np.where(hi >= 8, hi - 16, hi)
+    out = np.concatenate([lo, hi], axis=-2)
+    return out.reshape(*packed.shape[:-2], 2 * n2, packed.shape[-1])
+
+
+def unpack_q4(packed: jax.Array, group_size: int, dtype=jnp.bfloat16) -> jax.Array:
+    """jnp unpack (XLA fallback path): packed [..., N/2, D] → codes [..., N, D]."""
+    h = group_size // 2
+    n2 = packed.shape[-2]
+    g = packed.reshape(*packed.shape[:-2], n2 // h, h, packed.shape[-1]).astype(jnp.int32)
+    lo = g & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = g >> 4  # uint8 origin → already non-negative before sign fix
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    out = jnp.concatenate([lo, hi], axis=-2)
+    return out.reshape(*packed.shape[:-2], 2 * n2, packed.shape[-1]).astype(dtype)
+
+
+def quantize_weights_q4_np(
+    w: np.ndarray, group_size: int
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Host-side Q4_0 weight quantization (row-major [..., N] like
+    quantize_weights_np; groups subdivide the LAST axis).  Returns unpacked
+    int8 codes in [-7, 7] — packing happens at the in-major layout stage
+    (pack_q4_np) where the group axis is -2."""
+    orig_shape = w.shape
+    if w.size % group_size != 0:
+        raise ValueError("Weight length is not a multiple of group_size")
+    g = np.ascontiguousarray(w, dtype=np.float32).reshape(-1, group_size)
+    amax = np.max(np.abs(g), axis=-1)
+    scale = np.where(amax > 0.0, amax / Q4_MAX, 1.0).astype(np.float32)
+    q = np.clip(np.round(g / scale[:, None]), -Q4_MAX, Q4_MAX).astype(np.int8)
+    recon = q.astype(np.float32) * scale[:, None]
+    max_error = float(np.max(np.abs(recon - g))) if g.size else 0.0
+    q = q.reshape(orig_shape)
+    scale = scale.reshape(*orig_shape[:-1], orig_shape[-1] // group_size)
+    return q, scale, max_error
+
+
+def dequantize_q4_inmajor(qt: Q4Tensor, dtype=jnp.float32) -> jax.Array:
+    """Unpack + per-group dequant for an in-major Q4Tensor
+    ([..., N/2, D] packed, scales [..., G, D]) → [..., N, D]."""
+    g = qt.group_size
+    codes = unpack_q4(qt.q, g, dtype=jnp.float32)  # [..., N, D]
+    n, d = codes.shape[-2], codes.shape[-1]
+    grp = codes.reshape(*codes.shape[:-2], n // g, g, d)
+    out = grp * qt.scales[..., :, None, :].astype(jnp.float32)
+    return out.reshape(*codes.shape[:-2], n, d).astype(dtype)
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     """q * per-group scale (qwen3-inference/src/tensor.rs:72-80)."""
     group_size = qt.group_size

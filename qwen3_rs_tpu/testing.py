@@ -8,7 +8,7 @@ import numpy as np
 
 from .configuration import ARCHITECTURE_QWEN3, ModelConfig
 from .models.qwen3 import Qwen3LayerWeights, Qwen3Weights
-from .ops.quant import QuantizedTensor
+from .ops.quant import Q4Tensor, QuantizedTensor
 
 # Real Qwen3 family shapes (HF configs).
 QWEN3_CONFIGS = {
@@ -37,7 +37,7 @@ def qwen3_config(name: str = "0.6b", seq_len: int = 4096, group_size: int = 64,
     ).validate()
 
 
-def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
+def random_weights(config: ModelConfig, seed: int = 0, bits: int = 8) -> Qwen3Weights:
     """Random INT8-quantized weights with plausible scales — exercises the
     real memory traffic and kernels without needing checkpoint files.
 
@@ -69,10 +69,16 @@ def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
             return jnp.where(bits == jnp.int8(-128), jnp.int8(0), bits)
 
         def stack(in_dim, out_dim):
-            q = int8_codes((c.n_layers, in_dim, out_dim))
             s = jax.random.uniform(
                 next(keys), (c.n_layers, in_dim // g, out_dim), jnp.float32, 0.0, 0.02
             )
+            if bits == 4:
+                # Nibble-packed codes: random bytes ARE two packed codes.
+                packed = jax.random.bits(
+                    next(keys), (c.n_layers, in_dim // 2, out_dim), jnp.uint8
+                )
+                return Q4Tensor(packed, s)
+            q = int8_codes((c.n_layers, in_dim, out_dim))
             return QuantizedTensor(q, s)
 
         def norm(*shape):
@@ -106,20 +112,26 @@ def random_weights(config: ModelConfig, seed: int = 0) -> Qwen3Weights:
     return jax.jit(build)(jax.random.PRNGKey(seed))
 
 
-def weight_bytes_per_decode_token(config: ModelConfig, scale_bytes: int = 4) -> int:
+def weight_bytes_per_decode_token(
+    config: ModelConfig, scale_bytes: int = 4, bits: int = 8
+) -> int:
     """HBM bytes of weights+scales streamed per decode step (roofline input).
 
     Embedding gather reads one row; the classifier reads all of lm_head.
     ``scale_bytes``: per-group scale width actually streamed (4 = f32
-    checkpoint scales, 2 = the fast engine's bf16 cast).
+    checkpoint scales, 2 = the fast engine's bf16 cast).  ``bits``: linear
+    layer code width (4 = nibble-packed INT4; lm_head stays INT8).
     """
     c = config
-    scale_overhead = 1.0 + scale_bytes / c.group_size
+    code_bytes = bits / 8.0
+    scale_per_param = scale_bytes / c.group_size
     per_layer = (
         c.dim * c.all_heads_dim  # wq
         + 2 * c.dim * c.kv_dim  # wk, wv
         + c.all_heads_dim * c.dim  # wo
         + 3 * c.dim * c.hidden_dim  # w1, w2, w3
     )
-    total = c.n_layers * per_layer + c.vocab_size * c.dim  # + lm_head
-    return int(total * scale_overhead)
+    linear = c.n_layers * per_layer
+    head = c.vocab_size * c.dim  # lm_head (always int8)
+    total = linear * (code_bytes + scale_per_param) + head * (1.0 + scale_per_param)
+    return int(total)

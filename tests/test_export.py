@@ -307,3 +307,55 @@ class TestLoRAExport:
         s1 = np.asarray(w.layers.wqkv.scales)[1][:, :ah].T
         got1 = dequantize_np(q1, s1)
         assert np.all(np.abs(got1 - base1) <= np.repeat(s1, 16, axis=-1) / 2 + 1e-7)
+
+
+class TestInt4Export:
+    def test_int4_roundtrip_and_accuracy(self, tmp_path):
+        """--bits 4 export: loader yields Q4Tensors whose dequantized values
+        reconstruct the HF tensors within the INT4 group-quant bound, and
+        the model generates."""
+        import jax.numpy as jnp
+
+        from qwen3_rs_tpu.ops.quant import Q4Tensor, dequantize_q4_inmajor
+
+        rng = np.random.default_rng(21)
+        model_dir = make_hf_model_dir(tmp_path, rng=rng)
+        out = tmp_path / "m4.qtpu"
+        export_model(model_dir, out, group_size=16, weight_bits=4)
+
+        config, weights = load_native(out)
+        assert config.weight_bits == 4
+        for field in ("wqkv", "wo", "w13", "w2"):
+            assert isinstance(getattr(weights.layers, field), Q4Tensor), field
+        # Embeddings / classifier stay INT8.
+        assert weights.embed.q.dtype == jnp.int8
+        assert weights.lm_head.q.dtype == jnp.int8
+
+        # Reconstruction accuracy: dequantized wo tracks the HF source
+        # within half an int4 step per group.
+        from qwen3_rs_tpu.export.tensor_reader import TensorReader
+
+        src = TensorReader(model_dir).load_tensor(
+            "model.layers.0.self_attn.o_proj.weight"
+        )  # [dim, AH]
+        deq = np.asarray(dequantize_q4_inmajor(weights.layers.wo))[0]  # [AH, dim]
+        step = np.abs(src.reshape(-1, 16)).max(axis=1) / 7.0
+        err = np.abs(deq.T - src).reshape(-1, 16)
+        assert (err <= step[:, None] / 2 + 1e-6).all()
+
+        # End-to-end: fast-mode forward produces finite logits.
+        from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
+
+        cache = init_kv_cache(config, 1)
+        logits, _ = qwen3_forward(
+            config, weights, jnp.asarray([[1, 2, 3]], jnp.int32), cache,
+            jnp.zeros(1, jnp.int32), mode="fast",
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_int4_legacy_rejected(self, tmp_path):
+        rng = np.random.default_rng(22)
+        model_dir = make_hf_model_dir(tmp_path, rng=rng)
+        with pytest.raises(ValueError, match="legacy"):
+            export_model(model_dir, tmp_path / "m.bin", group_size=16,
+                         fmt="legacy", weight_bits=4)

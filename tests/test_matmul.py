@@ -142,3 +142,107 @@ def test_rows_supported_gates():
     assert rows_supported(4096, 24576, 64, 1024)  # 8B w13 at 1k prefill
     assert rows_supported(12288, 4096, 64, 4096)  # 8B w2 at 4k prefill
     assert not rows_supported(4096, 24576, 64, 100)  # ragged rows → XLA
+
+
+# ---------------------------------------------------------------------- INT4
+def _random_q4(rng, d, n, gs):
+    """In-major Q4Tensor (packed) plus canonical row-major (q, s) arrays."""
+    from qwen3_rs_tpu.ops.quant import Q4Tensor, pack_q4_np, quantize_weights_q4_np
+
+    w = rng.normal(0, 0.3, (d, n)).astype(np.float32)
+    q, s, _ = quantize_weights_q4_np(w, gs)  # [D, N] codes in [-7, 7]
+    packed = pack_q4_np(np.ascontiguousarray(q.T), gs)  # [N/2, D]
+    return Q4Tensor(jnp.asarray(packed), jnp.asarray(s.T.copy())), (q, s)
+
+
+def test_q4_pack_roundtrip(rng):
+    from qwen3_rs_tpu.ops.quant import pack_q4_np, unpack_q4, unpack_q4_np
+
+    codes = rng.integers(-7, 8, (3, 64, 16)).astype(np.int8)
+    packed = pack_q4_np(codes, 16)
+    assert packed.shape == (3, 32, 16) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(unpack_q4_np(packed, 16), codes)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_q4(jnp.asarray(packed), 16, dtype=jnp.int32)), codes
+    )
+
+
+def test_q4_quantize_error_bound(rng):
+    from qwen3_rs_tpu.ops.quant import quantize_weights_q4_np
+
+    w = rng.normal(0, 0.5, (8, 128)).astype(np.float32)
+    q, s, err = quantize_weights_q4_np(w, 32)
+    assert q.min() >= -7 and q.max() <= 7
+    # Per-group error bounded by half a quantization step.
+    g = w.reshape(-1, 32)
+    step = np.abs(g).max(axis=1) / 7.0
+    assert err <= step.max() / 2 + 1e-6
+
+
+def test_q4_dequant_project_matches_reference(rng):
+    """XLA fallback path (_project with a Q4Tensor) vs numpy dequant."""
+    from qwen3_rs_tpu.ops.quant import dequantize_q4_inmajor
+
+    n, d, gs = 128, 64, 32
+    w4, (q_np, s_np) = _random_q4(rng, d, n, gs)
+    dense = np.asarray(dequantize_q4_inmajor(w4, jnp.float32))
+    expected = dequantize_np(q_np, s_np).T
+    np.testing.assert_allclose(dense, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_q4_pallas_interpret_matches_dense(rng):
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas, supports_shapes
+
+    n, d, gs = 256, 128, 64
+    assert supports_shapes(n, d, gs)
+    w4, (q_np, s_np) = _random_q4(rng, d, n, gs)
+    x = rng.normal(0, 1, (4, n)).astype(np.float32)
+    x_bf = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    expected = x_bf @ dequantize_np(q_np, s_np).T
+    out = np.asarray(qmatmul_pallas(jnp.asarray(x), w4, interpret=True))
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_q4_pallas_stacked_interpret(rng):
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas_stacked
+
+    n, d, gs, L = 256, 128, 64, 2
+    stacks = [_random_q4(rng, d, n, gs) for _ in range(L)]
+    from qwen3_rs_tpu.ops.quant import Q4Tensor
+
+    w_all = Q4Tensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    x = rng.normal(0, 1, (4, n)).astype(np.float32)
+    x_bf = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(np.float32))
+    for layer in range(L):
+        q_np, s_np = stacks[layer][1]
+        expected = x_bf @ dequantize_np(q_np, s_np).T
+        out = np.asarray(
+            qmatmul_pallas_stacked(jnp.asarray(x), w_all, layer, interpret=True)
+        )
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_q4_pallas_rows_interpret(rng):
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        qmatmul_pallas_stacked_rows,
+        rows_supported,
+    )
+    from qwen3_rs_tpu.ops.quant import Q4Tensor
+
+    n, d, gs, b, L = 256, 256, 64, 256, 2
+    assert rows_supported(n, d, gs, b)
+    stacks = [_random_q4(rng, d, n, gs) for _ in range(L)]
+    w_all = Q4Tensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    x = rng.normal(0, 1, (b, n)).astype(np.float32)
+    x_bf = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(np.float32))
+    for layer in range(L):
+        q_np, s_np = stacks[layer][1]
+        expected = x_bf @ dequantize_np(q_np, s_np).T
+        out = np.asarray(
+            qmatmul_pallas_stacked_rows(jnp.asarray(x), w_all, layer, interpret=True)
+        )
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)

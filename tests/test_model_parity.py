@@ -234,3 +234,47 @@ def test_out_idx_selects_row(parity_setup):
     np.testing.assert_allclose(
         np.asarray(logits_a), np.asarray(logits_b), rtol=1e-5, atol=1e-5
     )
+
+
+def test_int4_forward_fast_tracks_f32(parity_setup):
+    """Full model forward with INT4 linear layers (XLA fallback path on
+    tiny shapes): fast mode must track the f32-dequant reference of the
+    SAME int4 weights within bf16 tolerance."""
+    config, _, weights = parity_setup
+    from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
+    from qwen3_rs_tpu.ops.quant import Q4Tensor, pack_q4_np, quantize_weights_q4_np
+
+    rng = np.random.default_rng(7)
+    g = config.group_size
+
+    def q4_stack(in_dim, out_dim):
+        w = rng.normal(0, 0.08, (config.n_layers, out_dim, in_dim)).astype(np.float32)
+        q, s, _ = quantize_weights_q4_np(w, g)  # [L, out, in]
+        qT = np.ascontiguousarray(np.swapaxes(q, 1, 2))  # [L, in, out]
+        sT = np.ascontiguousarray(np.swapaxes(s, 1, 2))
+        return Q4Tensor(jnp.asarray(pack_q4_np(qT, g)), jnp.asarray(sT))
+
+    c = config
+    layers = weights.layers._replace(
+        wqkv=q4_stack(c.dim, c.all_heads_dim + 2 * c.kv_dim),
+        wo=q4_stack(c.all_heads_dim, c.dim),
+        w13=q4_stack(c.dim, 2 * c.hidden_dim),
+        w2=q4_stack(c.hidden_dim, c.dim),
+    )
+    w4 = weights._replace(layers=layers)
+
+    tokens = jnp.asarray([[3, 17, 42, 5]], jnp.int32)
+    outs = {}
+    for mode in ("fast", "f32"):
+        cache = init_kv_cache(config, 1, dtype=jnp.float32)
+        logits, _ = qwen3_forward(
+            config, w4, tokens, cache, jnp.zeros(1, jnp.int32), mode=mode
+        )
+        outs[mode] = np.asarray(logits)
+    np.testing.assert_allclose(outs["fast"], outs["f32"], rtol=0.1, atol=0.15)
+    # And exact mode must refuse int4.
+    import pytest
+
+    cache = init_kv_cache(config, 1, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="INT4"):
+        qwen3_forward(config, w4, tokens, cache, jnp.zeros(1, jnp.int32), mode="exact")
