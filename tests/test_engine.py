@@ -210,3 +210,32 @@ class TestRunInference:
             run_inference(
                 InferenceConfig(checkpoint_path=str(ckpt[0]), mode="nope", seed=1)
             )
+
+
+class TestInt4Engine:
+    def test_int4_checkpoint_generates(self, ckpt, tokenizer, tmp_path_factory):
+        """End-to-end: an INT4-exported checkpoint loads through the Engine
+        and generates deterministically in fast mode."""
+        tmp = tmp_path_factory.mktemp("engine_q4")
+        model_dir = make_hf_model_dir(tmp, rng=np.random.default_rng(9))
+        out = tmp / "m4.qtpu"
+        from qwen3_rs_tpu.export import export_model
+
+        export_model(model_dir, out, group_size=16, fmt="native", weight_bits=4)
+        e = Engine(out, mode="fast")
+        assert e.config.weight_bits == 4
+        g1 = generate(e, tokenizer, TokenSampler(0.0, 0.9, 1), "hello", out=io.StringIO())
+        g2 = generate(e, tokenizer, TokenSampler(0.0, 0.9, 1), "hello", out=io.StringIO())
+        assert g1 == g2 and len(g1) > 0
+
+    def test_int4_exact_mode_rejected(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("engine_q4x")
+        model_dir = make_hf_model_dir(tmp, rng=np.random.default_rng(10))
+        out = tmp / "m4.qtpu"
+        from qwen3_rs_tpu.export import export_model
+
+        export_model(model_dir, out, group_size=16, fmt="native", weight_bits=4)
+        with pytest.raises(ValueError, match="INT4"):
+            e = Engine(out, mode="exact")
+            cache = e.new_cache(1)
+            e.prefill(cache, np.array([[3, 7]], np.int32), np.zeros(1, np.int32))
