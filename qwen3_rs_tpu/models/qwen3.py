@@ -185,7 +185,8 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
         from ..ops.pallas.qmatmul import rows_supported, supports_shapes
 
         _, n, d = w_all.q.shape
-        if isinstance(w_all, Q4Tensor):
+        q4 = isinstance(w_all, Q4Tensor)
+        if q4:
             n *= 2  # codes are nibble-packed on the in axis
         group_size = n // w_all.scales.shape[1]
         batch_rows = 1
@@ -194,11 +195,11 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
         if pallas_ops.pallas_enabled():
             # Decode / small prefill buckets: whole [rows, tile] activation
             # and output blocks live in VMEM.
-            if batch_rows <= 256 and supports_shapes(n, d, group_size):
+            if batch_rows <= 256 and supports_shapes(n, d, group_size, q4=q4):
                 return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
             # Long prefill: row-blocked kernel — dequantizes in VMEM, saving
             # the XLA dense path's dequant round-trips (~2.1 GB/layer on 8B).
-            if batch_rows > 256 and rows_supported(n, d, group_size, batch_rows):
+            if batch_rows > 256 and rows_supported(n, d, group_size, batch_rows, q4=q4):
                 return pallas_ops.qmatmul_pallas_stacked_rows(x, w_all, idx)
     return _project(x, xq, _slice_layer(w_all, idx), mode)
 

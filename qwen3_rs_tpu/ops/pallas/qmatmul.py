@@ -172,14 +172,21 @@ def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
 _SCOPED_VMEM_LIMIT = _VMEM_LIMIT_BYTES - 1024 * 1024
 
 
-def _vmem_estimate(tn: int, td: int, b: int) -> int:
+def _vmem_estimate(tn: int, td: int, b: int, q4: bool = False) -> int:
     """Scoped-VMEM bytes for one block: int8 codes double-buffered (2×) +
     the dequantized bf16 tile (2 B/elem) + f32 activation/output blocks
-    (double-buffered).  Calibrated against observed compile accounting."""
-    return 4 * tn * td + 4 * b * (tn + td)
+    (double-buffered).  Calibrated against observed compile accounting.
+
+    INT4 blocks stream half the code bytes but spend more on unpack temps
+    (int32 nibble extraction + sublane concat before the scale multiply);
+    the 6 B/elem coefficient is a conservative pre-calibration estimate."""
+    codes = 6 * tn * td if q4 else 4 * tn * td
+    return codes + 4 * b * (tn + td)
 
 
-def _pick_tiles(n: int, d: int, group_size: int, b: int = 16) -> tuple[int, int] | None:
+def _pick_tiles(
+    n: int, d: int, group_size: int, b: int = 16, q4: bool = False
+) -> tuple[int, int] | None:
     """(tile_n, tile_d) dividing (n, d): maximize block size within the VMEM
     budget (per-block fixed costs ~1-2 µs amortize over DMA time), preferring
     fewer blocks at equal size.  ``b`` (activation rows) matters at prefill:
@@ -204,7 +211,7 @@ def _pick_tiles(n: int, d: int, group_size: int, b: int = 16) -> tuple[int, int]
     fallback = None  # min-VMEM combo, used if nothing fits the scoped limit
     for tn in n_candidates:
         for td in d_candidates:
-            est = _vmem_estimate(tn, td, b)
+            est = _vmem_estimate(tn, td, b, q4)
             if fallback is None or est < fallback[0]:
                 fallback = (est, tn, td)
             if tn * td > _TILE_BYTES_BUDGET or est > _SCOPED_VMEM_LIMIT:
@@ -220,10 +227,13 @@ def _pick_tiles(n: int, d: int, group_size: int, b: int = 16) -> tuple[int, int]
     return best[1], best[2]
 
 
-def supports_shapes(n: int, d: int, group_size: int) -> bool:
+def supports_shapes(n: int, d: int, group_size: int, q4: bool = False) -> bool:
     """Whether the kernel's tiling constraints cover this (in, out) shape —
-    callers fall back to the XLA path otherwise (e.g. tiny test models)."""
-    return _pick_tiles(n, d, group_size) is not None
+    callers fall back to the XLA path otherwise (e.g. tiny test models).
+    INT4 additionally needs an even group split (group_size % 2 == 0)."""
+    if q4 and group_size % 2:
+        return False
+    return _pick_tiles(n, d, group_size, q4=q4) is not None
 
 
 # Default kernel implementation; see _accumulate_tile.  Overridable for
@@ -243,7 +253,7 @@ def _qmatmul_2d(x, wq, ws, *, interpret: bool = False, impl: str | None = None, 
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = tiles or _pick_tiles(n, d, group_size, b)
+    tiles = tiles or _pick_tiles(n, d, group_size, b, q4=wq.dtype == jnp.uint8)
     if tiles is None:
         raise ValueError(f"unsupported shapes for pallas qmatmul: {x.shape} x {wq.shape}")
     tile_n, tile_d = tiles
@@ -317,7 +327,7 @@ def _qmatmul_stacked_2d(
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = tiles or _pick_tiles(n, d, group_size, b)
+    tiles = tiles or _pick_tiles(n, d, group_size, b, q4=wq_all.dtype == jnp.uint8)
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas qmatmul: {x.shape} x {wq_all.shape}"
@@ -389,7 +399,7 @@ _ROW_BLOCK = 512
 _ROWS_VMEM_CAP = 23 * 1024 * 1024
 
 
-def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
+def _pick_tiles_rows(n: int, d: int, group_size: int, b: int, q4: bool = False):
     """(tile_b, tile_n, tile_d) for the row-blocked kernel; None if the
     shapes don't tile.  VMEM budget: int8 codes double-buffered + bf16
     dequant tile (4 B/elem combined) + bf16 x block double-buffered + f32
@@ -423,7 +433,7 @@ def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
             # (codes double-buffered + dequant/scale-broadcast temps + dot
             # temp ≈ 8 B/elem on the weight tile; x/out blocks ≈ 8 B/row-elem
             # with double buffering).
-            est = 8 * tn * td + 8 * tile_b * (tn + td)
+            est = (10 if q4 else 8) * tn * td + 8 * tile_b * (tn + td)
             if est > _ROWS_VMEM_CAP:
                 continue
             blocks = (n // tn) * (d // td)
@@ -435,9 +445,11 @@ def _pick_tiles_rows(n: int, d: int, group_size: int, b: int):
     return tile_b, best[1], best[2]
 
 
-def rows_supported(n: int, d: int, group_size: int, b: int) -> bool:
+def rows_supported(n: int, d: int, group_size: int, b: int, q4: bool = False) -> bool:
     """Whether the row-blocked prefill kernel covers this shape."""
-    return _pick_tiles_rows(n, d, group_size, b) is not None
+    if q4 and group_size % 2:
+        return False
+    return _pick_tiles_rows(n, d, group_size, b, q4=q4) is not None
 
 
 def _kernel_stacked_rows(
@@ -467,7 +479,7 @@ def _qmatmul_stacked_rows_2d(
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = tiles or _pick_tiles_rows(n, d, group_size, b)
+    tiles = tiles or _pick_tiles_rows(n, d, group_size, b, q4=wq_all.dtype == jnp.uint8)
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas rows qmatmul: {x.shape} x {wq_all.shape}"
