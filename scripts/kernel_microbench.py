@@ -20,11 +20,14 @@ from qwen3_rs_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas_stacked
-from qwen3_rs_tpu.ops.quant import QuantizedTensor
+from qwen3_rs_tpu.ops.quant import Q4Tensor, QuantizedTensor
 from qwen3_rs_tpu.testing import qwen3_config
 
 model = sys.argv[1] if len(sys.argv) > 1 else "8b"
 scale_dtype = jnp.dtype(sys.argv[2]) if len(sys.argv) > 2 else jnp.float32
+# MB_BITS=4 benches the nibble-packed INT4 kernel (bytes halve; the GB/s
+# figure is effective bandwidth on the PACKED stream).
+bits = int(__import__('os').environ.get('MB_BITS', 8))
 c = qwen3_config(model, seq_len=1024)
 g = c.group_size
 
@@ -41,8 +44,10 @@ def make(n, d, L):
 
     @jax.jit
     def build():
-        q = jax.random.bits(key, (L, n, d), jnp.uint8).astype(jnp.int8)
         s = jnp.full((L, n // g, d), 0.01, scale_dtype)
+        if bits == 4:
+            return Q4Tensor(jax.random.bits(key, (L, n // 2, d), jnp.uint8), s)
+        q = jax.random.bits(key, (L, n, d), jnp.uint8).astype(jnp.int8)
         return QuantizedTensor(q, s)
 
     w = build()
@@ -77,13 +82,14 @@ def bench(name, n, d, L=8, reps_hi=int(__import__('os').environ.get('MB_REPS', 2
         np.asarray(f())
         times[r] = time.perf_counter() - t0
     per_sweep = (times[reps_hi] - times[reps_lo]) / (reps_hi - reps_lo)
-    bytes_per_sweep = L * (n * d + (n // g) * d * jnp.dtype(scale_dtype).itemsize)
+    code_bytes = n * d // 2 if bits == 4 else n * d
+    bytes_per_sweep = L * (code_bytes + (n // g) * d * jnp.dtype(scale_dtype).itemsize)
     gbs = bytes_per_sweep / per_sweep / 1e9
     print(f"{name:5s} [{n:6d},{d:6d}] x{L}: {per_sweep*1e3:7.3f} ms/sweep  {gbs:6.1f} GB/s")
     return gbs
 
 
-print(f"model={model} scales={scale_dtype}", flush=True)
+print(f"model={model} scales={scale_dtype} bits={bits}", flush=True)
 only = sys.argv[3] if len(sys.argv) > 3 else None
 for name, (n, d) in MATS.items():
     if only and name != only:
