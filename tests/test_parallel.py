@@ -219,3 +219,46 @@ def test_sharded_bounded_attention_window(setup, dp, tp):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(base_logits), rtol=5e-3, atol=5e-3
     )
+
+
+@pytest.mark.parametrize("tp", [2])
+def test_int4_sharded_matches_single_device(setup, tp):
+    """INT4 (nibble-packed) weights shard over tp with the same pspecs: the
+    packed in axis stays group-aligned at shard boundaries."""
+    config, weights = setup
+    from qwen3_rs_tpu.ops.quant import Q4Tensor, pack_q4_np, quantize_weights_q4_np
+
+    rng = np.random.default_rng(5)
+    g = config.group_size
+
+    def q4_stack(in_dim, out_dim):
+        w = rng.normal(0, 0.08, (config.n_layers, out_dim, in_dim)).astype(np.float32)
+        q, s, _ = quantize_weights_q4_np(w, g)
+        qT = np.ascontiguousarray(np.swapaxes(q, 1, 2))
+        sT = np.ascontiguousarray(np.swapaxes(s, 1, 2))
+        return Q4Tensor(jnp.asarray(pack_q4_np(qT, g)), jnp.asarray(sT))
+
+    c = config
+    w4 = weights._replace(
+        layers=weights.layers._replace(
+            wqkv=q4_stack(c.dim, c.all_heads_dim + 2 * c.kv_dim),
+            wo=q4_stack(c.all_heads_dim, c.dim),
+            w13=q4_stack(c.dim, 2 * c.hidden_dim),
+            w2=q4_stack(c.hidden_dim, c.dim),
+        )
+    )
+
+    tokens = jnp.asarray([[3, 7, 1, 9], [2, 8, 4, 6]], jnp.int32)
+    pos0 = jnp.zeros(2, jnp.int32)
+    cache0 = init_kv_cache(config, 2)
+    base_logits, _ = _run(config, w4, cache0, tokens, pos0)
+
+    mesh = create_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    w_sharded = shard_weights(w4, mesh, config)
+    cache = shard_cache(init_kv_cache(config, 2), mesh)
+    logits, _ = jax.jit(functools.partial(qwen3_forward, config, mode="fast"))(
+        w_sharded, tokens, cache, pos0
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(base_logits), rtol=5e-3, atol=5e-3
+    )
