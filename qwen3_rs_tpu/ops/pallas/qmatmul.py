@@ -178,9 +178,11 @@ def _vmem_estimate(tn: int, td: int, b: int, q4: bool = False) -> int:
     (double-buffered).  Calibrated against observed compile accounting.
 
     INT4 blocks stream half the code bytes but spend more on unpack temps
-    (int32 nibble extraction + sublane concat before the scale multiply);
-    the 6 B/elem coefficient is a conservative pre-calibration estimate."""
-    codes = 6 * tn * td if q4 else 4 * tn * td
+    (gi/lo/hi int32 on the packed tile ≈ 6 B per unpacked elem, + bf16
+    concat and scaled tiles); 8 B/elem is a conservative pre-calibration
+    estimate — smaller tiles always compile, calibration can only raise
+    it."""
+    codes = 8 * tn * td if q4 else 4 * tn * td
     return codes + 4 * b * (tn + td)
 
 
@@ -191,6 +193,8 @@ def _pick_tiles(
     budget (per-block fixed costs ~1-2 µs amortize over DMA time), preferring
     fewer blocks at equal size.  ``b`` (activation rows) matters at prefill:
     the f32 [b, tile_d] output block counts against the scoped-VMEM limit."""
+    if q4 and group_size % 2:
+        return None  # nibble packing needs an even group split
     def n_ok(c: int) -> bool:
         # The scales block is [c // group_size, tile_d]; its sublane dim must
         # be a multiple of 8 (or span the full group axis).
@@ -214,7 +218,11 @@ def _pick_tiles(
             est = _vmem_estimate(tn, td, b, q4)
             if fallback is None or est < fallback[0]:
                 fallback = (est, tn, td)
-            if tn * td > _TILE_BYTES_BUDGET or est > _SCOPED_VMEM_LIMIT:
+            # The budget caps streamed CODE BYTES per block (the quantity the
+            # ~1-2 µs/block fixed cost amortizes against): packed INT4 tiles
+            # carry twice the elements per byte.
+            code_bytes = tn * td // 2 if q4 else tn * td
+            if code_bytes > _TILE_BYTES_BUDGET or est > _SCOPED_VMEM_LIMIT:
                 continue
             blocks = (n // tn) * (d // td)
             # ≥2 blocks keep the DMA of block k+1 overlapped with the
@@ -229,10 +237,7 @@ def _pick_tiles(
 
 def supports_shapes(n: int, d: int, group_size: int, q4: bool = False) -> bool:
     """Whether the kernel's tiling constraints cover this (in, out) shape —
-    callers fall back to the XLA path otherwise (e.g. tiny test models).
-    INT4 additionally needs an even group split (group_size % 2 == 0)."""
-    if q4 and group_size % 2:
-        return False
+    callers fall back to the XLA path otherwise (e.g. tiny test models)."""
     return _pick_tiles(n, d, group_size, q4=q4) is not None
 
 
@@ -401,9 +406,11 @@ _ROWS_VMEM_CAP = 23 * 1024 * 1024
 
 def _pick_tiles_rows(n: int, d: int, group_size: int, b: int, q4: bool = False):
     """(tile_b, tile_n, tile_d) for the row-blocked kernel; None if the
-    shapes don't tile.  VMEM budget: int8 codes double-buffered + bf16
+    shapes don't tile (incl. q4 with an odd group split).  VMEM budget: int8 codes double-buffered + bf16
     dequant tile (4 B/elem combined) + bf16 x block double-buffered + f32
     out block (resident across the k sweep)."""
+    if q4 and group_size % 2:
+        return None  # nibble packing needs an even group split
     tile_b = None
     for c in (_ROW_BLOCK, 256, 128):
         if b % c == 0:
@@ -433,7 +440,7 @@ def _pick_tiles_rows(n: int, d: int, group_size: int, b: int, q4: bool = False):
             # (codes double-buffered + dequant/scale-broadcast temps + dot
             # temp ≈ 8 B/elem on the weight tile; x/out blocks ≈ 8 B/row-elem
             # with double buffering).
-            est = (10 if q4 else 8) * tn * td + 8 * tile_b * (tn + td)
+            est = (12 if q4 else 8) * tn * td + 8 * tile_b * (tn + td)
             if est > _ROWS_VMEM_CAP:
                 continue
             blocks = (n // tn) * (d // td)
@@ -447,8 +454,6 @@ def _pick_tiles_rows(n: int, d: int, group_size: int, b: int, q4: bool = False):
 
 def rows_supported(n: int, d: int, group_size: int, b: int, q4: bool = False) -> bool:
     """Whether the row-blocked prefill kernel covers this shape."""
-    if q4 and group_size % 2:
-        return False
     return _pick_tiles_rows(n, d, group_size, b, q4=q4) is not None
 
 
