@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="host = reference-parity xorshift; device = chunked on-TPU sampling",
     )
     sv.add_argument("--kv", choices=["dense", "paged"], default="paged")
+    sv.add_argument(
+        "--kv-int8", action="store_true",
+        help="INT8 page pool (per-row scales): halves KV HBM traffic and "
+        "doubles pool capacity; paged layout only",
+    )
     sv.add_argument("--page-size", type=int, default=128)
     sv.add_argument("--pages", type=int, default=None)
     sv.add_argument("--no-warmup", action="store_true")
@@ -241,6 +246,9 @@ def main(argv=None) -> int:
 
         config, weights = load_checkpoint(args.checkpoint)
         tokenizer = Tokenizer(args.checkpoint, config.vocab_size)
+        engine_kwargs = {}
+        if args.kv_int8:
+            engine_kwargs["cache_dtype"] = "int8"
         engine = ContinuousBatchingEngine(
             config=config,
             weights=weights,
@@ -249,6 +257,7 @@ def main(argv=None) -> int:
             kv_layout=args.kv,
             page_size=args.page_size,
             n_pages=args.pages,
+            **engine_kwargs,
         )
         if not args.no_warmup:
             logging.info("warming up (compiling serving step functions)...")

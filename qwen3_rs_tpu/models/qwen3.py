@@ -293,7 +293,8 @@ def qwen3_forward(
     )
 
     def layer_step(x, scanned):
-        idx, rms_att_l, rms_ffn_l, q_norm_l, k_norm_l, k_layer, v_layer = scanned
+        idx, rms_att_l, rms_ffn_l, q_norm_l, k_norm_l, cache_layer = scanned
+        k_layer, v_layer = cache_layer.k, cache_layer.v
 
         # --- Attention block (models/qwen3.rs:131-156) ---
         xn = rms_norm(x, rms_att_l, config.norm_eps)
@@ -339,6 +340,8 @@ def qwen3_forward(
                 k.astype(compute_dtype),
                 v.astype(compute_dtype),
                 pos_start,
+                k_scale_pool=getattr(cache_layer, "k_scale", None),
+                v_scale_pool=getattr(cache_layer, "v_scale", None),
             )
         elif use_flash_decode:
             from ..ops.pallas.flash_attention import flash_gqa_decode_stacked
@@ -381,6 +384,8 @@ def qwen3_forward(
 
         return x, (k, v)
 
+    # The cache pytree scans directly: every leaf (codes, and scales for the
+    # quantized pool) carries the leading [n_layers] axis.
     x, (new_k, new_v) = jax.lax.scan(
         layer_step,
         x,
@@ -390,8 +395,7 @@ def qwen3_forward(
             lw_all.rms_ffn,
             lw_all.q_norm,
             lw_all.k_norm,
-            cache.k,
-            cache.v,
+            cache,
         ),
     )
 
@@ -413,9 +417,33 @@ def qwen3_forward(
             vals = jnp.transpose(new_rows, (1, 2, 0, 3, 4)).astype(pool.dtype)
             return pool.at[:, pids, :, rows, :].set(vals, mode="drop")
 
-        new_cache = cache._replace(
-            k=scatter_paged(cache.k, new_k), v=scatter_paged(cache.v, new_v)
-        )
+        if hasattr(cache, "k_scale"):
+            # INT8 pool: quantize each new row symmetrically per
+            # (position, head) and scatter codes + scales.
+            def quant_rows(new_rows):  # [L, B, S, kv, hd] f32/bf16
+                xf = new_rows.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(xf), axis=-1)
+                sc = amax / 127.0
+                safe = jnp.where(sc == 0.0, 1.0, sc)
+                codes = jnp.round(xf / safe[..., None]).astype(jnp.int8)
+                return codes, sc
+
+            def scatter_scale(pool_s, sc):  # pool_s [L,P,kv,page]; sc [L,B,S,kv]
+                vals = jnp.transpose(sc, (1, 2, 0, 3)).astype(pool_s.dtype)
+                return pool_s.at[:, pids, :, rows].set(vals, mode="drop")
+
+            k_codes, k_sc = quant_rows(new_k)
+            v_codes, v_sc = quant_rows(new_v)
+            new_cache = cache._replace(
+                k=scatter_paged(cache.k, k_codes),
+                v=scatter_paged(cache.v, v_codes),
+                k_scale=scatter_scale(cache.k_scale, k_sc),
+                v_scale=scatter_scale(cache.v_scale, v_sc),
+            )
+        else:
+            new_cache = cache._replace(
+                k=scatter_paged(cache.k, new_k), v=scatter_paged(cache.v, new_v)
+            )
     else:
         # Scatter the window's K/V rows ([L, B, S, kv, hd] → cache's
         # head-major [L, B, kv, T, hd]) at per-request offsets — the only

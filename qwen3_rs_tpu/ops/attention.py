@@ -229,6 +229,9 @@ def gqa_attention_split_paged(
     k_new: jax.Array,
     v_new: jax.Array,
     pos_start: jax.Array,
+    *,
+    k_scale_pool: jax.Array | None = None,
+    v_scale_pool: jax.Array | None = None,
 ) -> jax.Array:
     """Causal GQA attention over a paged cache prefix plus the current window.
 
@@ -236,6 +239,9 @@ def gqa_attention_split_paged(
     k/v_pool:   [P, n_kv, page, hd] — one layer's page pool
     page_table: [B, max_pages] int32 — page ids covering rows < pos_start
     k/v_new:    [B, S, n_kv, hd]
+    k/v_scale_pool: [P, n_kv, page] — per-row scales when the pool stores
+    INT8 codes (serving/paged_cache.py QuantizedPagedKVCache); gathered
+    chunks are dequantized right after the gather.
 
     Same math as :func:`gqa_attention_split`, with each cache chunk gathered
     from the pool by page id (serving/paged_cache.py).  Only
@@ -253,16 +259,19 @@ def gqa_attention_split_paged(
                     q[:, sl], k_pool, v_pool, page_table,
                     k_new[:, ksl], v_new[:, ksl], pos_start,
                     win_offset=c * _QUERY_CHUNK,
+                    k_scale_pool=k_scale_pool, v_scale_pool=v_scale_pool,
                 )
             )
         return jnp.concatenate(outs, axis=1)
     return _paged_attn_body(
-        q, k_pool, v_pool, page_table, k_new, v_new, pos_start, win_offset=0
+        q, k_pool, v_pool, page_table, k_new, v_new, pos_start, win_offset=0,
+        k_scale_pool=k_scale_pool, v_scale_pool=v_scale_pool,
     )
 
 
 def _paged_attn_body(
-    q, k_pool, v_pool, page_table, k_new, v_new, pos_start, *, win_offset: int
+    q, k_pool, v_pool, page_table, k_new, v_new, pos_start, *, win_offset: int,
+    k_scale_pool=None, v_scale_pool=None,
 ) -> jax.Array:
     b, s, n_heads, head_dim = q.shape
     n_kv, page = k_pool.shape[1], k_pool.shape[2]
@@ -274,6 +283,9 @@ def _paged_attn_body(
         pids = jax.lax.dynamic_index_in_dim(page_table, c, 1, keepdims=False)  # [B]
         k_c = k_pool[pids].astype(jnp.float32)  # [B, kv, page, hd]
         v_c = v_pool[pids].astype(jnp.float32)
+        if k_scale_pool is not None:
+            k_c = k_c * k_scale_pool[pids][..., None]
+            v_c = v_c * v_scale_pool[pids][..., None]
         return k_c, v_c
 
     m_c, l_c, acc_c = _cache_attn_online(

@@ -52,13 +52,45 @@ class PagedKVCache(NamedTuple):
         return self.k.shape[3]
 
 
+class QuantizedPagedKVCache(NamedTuple):
+    """INT8 page pool: codes + one symmetric scale per cached row per head.
+
+    Halves KV HBM traffic and doubles pool capacity vs the bf16 pool (the
+    KV-cache-quantization line of work, e.g. arXiv:2409.16997 /
+    2601.04719); attention dequantizes gathered pages in registers.  Rows
+    are quantized at write time with per-(position, head) scales — no
+    calibration pass."""
+
+    k: jax.Array  # int8 [L, P, n_kv, page, hd]
+    v: jax.Array  # int8 [L, P, n_kv, page, hd]
+    k_scale: jax.Array  # f32 [L, P, n_kv, page]
+    v_scale: jax.Array  # f32 [L, P, n_kv, page]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+
 def init_paged_cache(
     config: ModelConfig,
     n_pages: int,
     page_size: int = 128,
     dtype=jnp.bfloat16,
-) -> PagedKVCache:
+) -> PagedKVCache | QuantizedPagedKVCache:
+    """``dtype="int8"`` (or jnp.int8) builds the quantized pool."""
     shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, config.head_dim)
+    if dtype == "int8" or dtype == jnp.int8:
+        sshape = shape[:-1]
+        return QuantizedPagedKVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(sshape, jnp.float32),
+        )
     return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 

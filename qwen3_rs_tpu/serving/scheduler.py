@@ -175,15 +175,30 @@ class ContinuousBatchingEngine:
                 from ..parallel.mesh import TP_AXIS
 
                 # Pool [L, P, n_kv, page, hd]: kv heads on tp, like the
-                # dense cache (GQA keeps attention tp-local).
-                self.cache = jax.device_put(
+                # dense cache (GQA keeps attention tp-local).  The INT8
+                # pool's per-row scales [L, P, n_kv, page] shard the same
+                # kv axis.
+                self.cache = jax.tree.map(
+                    lambda leaf: jax.device_put(
+                        leaf,
+                        NamedSharding(
+                            mesh,
+                            P(None, None, TP_AXIS, None, None)
+                            if leaf.ndim == 5
+                            else P(None, None, TP_AXIS, None),
+                        ),
+                    ),
                     self.cache,
-                    NamedSharding(mesh, P(None, None, TP_AXIS, None, None)),
                 )
             self.allocator = PageAllocator(n_pages, n_slots, max_pages_per_slot)
             self.page_size = page_size
             self._scratch_cache = None
         elif kv_layout == "dense":
+            if cache_dtype == "int8" or cache_dtype == jnp.int8:
+                raise ValueError(
+                    'INT8 KV cache requires kv_layout="paged" (the dense '
+                    "layout has no per-row scale storage)"
+                )
             self.cache = init_kv_cache(config, n_slots, dtype=cache_dtype)
             self._scratch_cache: KVCache = init_kv_cache(config, 1, dtype=cache_dtype)
             if mesh is not None:

@@ -516,6 +516,35 @@ class TestPagedKV:
                 kv_layout="paged", page_size=8, mesh=mesh,
             )
 
+    def test_int8_kv_pool_matches_bf16_greedy(self, setup):
+        """The INT8 page pool (per-row scales, dequant after gather) must
+        reproduce the bf16 pool's greedy tokens on short contexts — the
+        per-row symmetric error is far below typical logit margins."""
+        config, weights = setup
+        outs = {}
+        for dtype in ("bf16", "int8"):
+            import jax.numpy as jnp
+
+            eng = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8,), kv_layout="paged", page_size=8,
+                sampling="device",
+                cache_dtype="int8" if dtype == "int8" else jnp.bfloat16,
+            )
+            for i in range(3):
+                eng.submit(Request(request_id=i, prompt_tokens=[3, 7 + i, 2],
+                                   max_new_tokens=6))
+            outs[dtype] = {r.request_id: r.generated for r in eng.run()}
+        assert outs["bf16"] == outs["int8"]
+
+    def test_int8_kv_dense_rejected(self, setup):
+        config, weights = setup
+        with pytest.raises(ValueError, match="paged"):
+            ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                kv_layout="dense", cache_dtype="int8",
+            )
+
     def test_paged_warmup(self, setup):
         config, weights = setup
         eng = ContinuousBatchingEngine(
