@@ -40,6 +40,7 @@ class InferenceConfig:
     # TPU-native extensions (no reference counterpart):
     engine_mode: str = "fast"  # "fast" (W8A16 + Pallas) | "exact" (reference W8A8)
     device_sampling: bool = False  # sample on device instead of host xorshift
+    kv_int8: bool = False  # INT8 KV cache (per-row scales; halves KV reads)
 
     def __post_init__(self):
         if self.seed is None:
@@ -50,7 +51,10 @@ def run_inference(config: InferenceConfig) -> None:
     """Wire transformer + tokenizer + sampler and dispatch on mode
     (qwen3-inference/src/lib.rs:109-138)."""
     engine = Engine(
-        config.checkpoint_path, ctx_length=config.ctx_length, mode=config.engine_mode
+        config.checkpoint_path,
+        ctx_length=config.ctx_length,
+        mode=config.engine_mode,
+        **({"cache_dtype": "int8"} if config.kv_int8 else {}),
     )
     tokenizer = Tokenizer(
         config.checkpoint_path, engine.config.vocab_size, config.enable_thinking

@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="sample on the TPU instead of the host xorshift sampler",
     )
+    inf.add_argument(
+        "--kv-int8",
+        action="store_true",
+        help="INT8 KV cache with per-row scales: halves cache reads "
+        "(long-context decode is KV-bound)",
+    )
 
     # batch: continuous-batching throughput runner (serving surface).
     bt = sub.add_parser("batch", help="Serve a batch of prompts with continuous batching")
@@ -303,6 +309,7 @@ def main(argv=None) -> int:
             seed=args.seed,
             engine_mode=args.engine_mode,
             device_sampling=args.device_sampling,
+            kv_int8=args.kv_int8,
         )
         run_inference(config)
         return 0

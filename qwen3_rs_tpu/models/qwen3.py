@@ -87,6 +87,28 @@ class KVCache(NamedTuple):
         return self.k.shape[3]
 
 
+class QuantizedKVCache(NamedTuple):
+    """Dense INT8 KV cache: codes + one symmetric scale per row per head.
+
+    Halves cache HBM traffic — the dominant stream for long-context decode
+    (at 16k the KV read is ~2.2 GB/token vs ~8.9 GB of weights at 8B).
+    Rows quantize at write time; attention dequantizes each position-bounded
+    key chunk as it is read (ops/attention.py)."""
+
+    k: jax.Array  # int8 [L, B, n_kv_heads, T, head_dim]
+    v: jax.Array  # int8 [L, B, n_kv_heads, T, head_dim]
+    k_scale: jax.Array  # f32 [L, B, n_kv_heads, T]
+    v_scale: jax.Array  # f32 [L, B, n_kv_heads, T]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def seq_len(self) -> int:
+        return self.k.shape[3]
+
+
 def cast_weight_scales(weights: Qwen3Weights, dtype=jnp.bfloat16) -> Qwen3Weights:
     """Cast the linear-layer weight scales to ``dtype`` for the fast path.
 
@@ -115,12 +137,20 @@ def cast_weight_scales(weights: Qwen3Weights, dtype=jnp.bfloat16) -> Qwen3Weight
 
 def init_kv_cache(
     config: ModelConfig, batch: int, dtype=jnp.float32, seq_len: Optional[int] = None
-) -> KVCache:
+) -> KVCache | QuantizedKVCache:
     """Preallocate the dense KV cache (reference: models/qwen3.rs:439-440,
     but batched and head-major: each head's [T, head_dim] slab is contiguous
-    so attention reads stream in long bursts)."""
+    so attention reads stream in long bursts).  ``dtype="int8"`` builds the
+    quantized cache (QuantizedKVCache)."""
     t = seq_len or config.seq_len
     shape = (config.n_layers, batch, config.n_kv_heads, t, config.head_dim)
+    if dtype == "int8" or dtype == jnp.int8:
+        return QuantizedKVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape[:-1], jnp.float32),
+            jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -272,6 +302,7 @@ def qwen3_forward(
 
     use_flash_decode = (
         not paged
+        and not hasattr(cache, "k_scale")  # int8 cache: XLA path dequantizes
         and mode == "fast"
         and s == 1
         and pallas_ops.pallas_enabled()
@@ -367,6 +398,8 @@ def qwen3_forward(
                 v.astype(compute_dtype),
                 q_pos,
                 pos_start,
+                k_scale_cache=getattr(cache_layer, "k_scale", None),
+                v_scale_cache=getattr(cache_layer, "v_scale", None),
             )
         att = att.reshape(b, s, config.all_heads_dim)
         att_q = _maybe_quant(att, g, mode)
@@ -463,7 +496,42 @@ def qwen3_forward(
 
             return jax.vmap(upd_l)(cache_full, new_rows)
 
-        new_cache = cache._replace(k=scatter(cache.k, new_k), v=scatter(cache.v, new_v))
+        def scatter_scale(cache_full, sc):  # [L,B,kv,T], [L,B,S,kv]
+            def upd_b(cache_lb, new_lb, p):  # [kv,T], [kv,S]
+                return jax.lax.dynamic_update_slice(
+                    cache_lb, new_lb.astype(cache_lb.dtype), (0, p)
+                )
+
+            def upd_l(cache_l, new_l):  # [B,kv,T], [B,S,kv]
+                new_l = jnp.swapaxes(new_l, 1, 2)  # → [B,kv,S]
+                updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
+                if write_mask is None:
+                    return updated
+                return jnp.where(write_mask[:, None, None], updated, cache_l)
+
+            return jax.vmap(upd_l)(cache_full, sc)
+
+        if hasattr(cache, "k_scale"):
+            def quant_rows(new_rows):  # [L, B, S, kv, hd]
+                xf = new_rows.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(xf), axis=-1)
+                sc = amax / 127.0
+                safe = jnp.where(sc == 0.0, 1.0, sc)
+                codes = jnp.round(xf / safe[..., None]).astype(jnp.int8)
+                return codes, sc
+
+            k_codes, k_sc = quant_rows(new_k)
+            v_codes, v_sc = quant_rows(new_v)
+            new_cache = cache._replace(
+                k=scatter(cache.k, k_codes),
+                v=scatter(cache.v, v_codes),
+                k_scale=scatter_scale(cache.k_scale, k_sc),
+                v_scale=scatter_scale(cache.v_scale, v_sc),
+            )
+        else:
+            new_cache = cache._replace(
+                k=scatter(cache.k, new_k), v=scatter(cache.v, new_v)
+            )
 
     # Final norm + classifier head (models/qwen3.rs:72-76).
     if not return_all_logits:

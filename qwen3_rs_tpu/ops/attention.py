@@ -82,6 +82,8 @@ def gqa_attention_split(
     pos_start: jax.Array,
     *,
     use_pallas: bool | None = None,
+    k_scale_cache: jax.Array | None = None,
+    v_scale_cache: jax.Array | None = None,
 ) -> jax.Array:
     """Causal GQA attention over a cached prefix plus the current window.
 
@@ -89,6 +91,9 @@ def gqa_attention_split(
     k_cache:  [B, n_kv, T, head_dim]    — cache; rows t < pos_start[b] valid
     k_new:    [B, S, n_kv, head_dim]    — keys for the window itself
     q_pos:    [B, S] absolute positions; pos_start: [B]
+    k/v_scale_cache: [B, n_kv, T] — per-row scales when the cache stores
+    INT8 codes (models/qwen3.py QuantizedKVCache); rows dequantize as they
+    are read
 
     Equivalent to attending over the fully-updated cache (the reference's
     t ∈ [0, pos] walk) but without materializing the cache update before
@@ -118,10 +123,15 @@ def gqa_attention_split(
                     q_pos[:, sl],
                     pos_start,
                     win_offset=c * _QUERY_CHUNK,
+                    k_scale_cache=k_scale_cache,
+                    v_scale_cache=v_scale_cache,
                 )
             )
         return jnp.concatenate(outs, axis=1)
-    return _split_attn_body(q, k_cache, v_cache, k_new, v_new, q_pos, pos_start, win_offset=0)
+    return _split_attn_body(
+        q, k_cache, v_cache, k_new, v_new, q_pos, pos_start, win_offset=0,
+        k_scale_cache=k_scale_cache, v_scale_cache=v_scale_cache,
+    )
 
 
 def _split_attn_body(
@@ -134,6 +144,8 @@ def _split_attn_body(
     pos_start: jax.Array,
     *,
     win_offset: int,
+    k_scale_cache: jax.Array | None = None,
+    v_scale_cache: jax.Array | None = None,
 ) -> jax.Array:
     """One query chunk: q rows sit at window offsets win_offset..+S_q over
     the full k_new/v_new window [S_w]."""
@@ -144,13 +156,21 @@ def _split_attn_body(
 
     qf = q.reshape(b, s, n_kv, kv_mul, head_dim).astype(jnp.float32)
 
+    def deq_k(x):
+        xf = x.astype(jnp.float32)
+        return xf if k_scale_cache is None else xf * k_scale_cache[..., :, None]
+
+    def deq_v(x):
+        xf = x.astype(jnp.float32)
+        return xf if v_scale_cache is None else xf * v_scale_cache[..., :, None]
+
     chunk = _pick_cache_chunk(t)
     if chunk is None:
         # Dense cache part: one masked contraction over the whole window.
         sc = jnp.einsum(
             "bsnmh,bnth->bnmst",
             qf,
-            k_cache.astype(jnp.float32),
+            deq_k(k_cache),
             preferred_element_type=jnp.float32,
         ) * scale
         cache_mask = (
@@ -163,12 +183,25 @@ def _split_attn_body(
         acc_c = jnp.einsum(
             "bnmst,bnth->bnmsh",
             ec,
-            v_cache.astype(jnp.float32),
+            deq_v(v_cache),
             preferred_element_type=jnp.float32,
         )
     else:
+        fetch = None
+        if k_scale_cache is not None:
+            def fetch(c):
+                start = c * chunk
+                k_c = jax.lax.dynamic_slice_in_dim(k_cache, start, chunk, 2)
+                v_c = jax.lax.dynamic_slice_in_dim(v_cache, start, chunk, 2)
+                ks = jax.lax.dynamic_slice_in_dim(k_scale_cache, start, chunk, 2)
+                vs = jax.lax.dynamic_slice_in_dim(v_scale_cache, start, chunk, 2)
+                return (
+                    k_c.astype(jnp.float32) * ks[..., None],
+                    v_c.astype(jnp.float32) * vs[..., None],
+                )
         m_c, l_c, acc_c = _cache_attn_online(
-            qf, k_cache, v_cache, pos_start, chunk=chunk, scale=scale
+            qf, k_cache, v_cache, pos_start, chunk=chunk, scale=scale,
+            fetch_chunk=fetch,
         )
 
     return _merge_window(

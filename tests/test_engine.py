@@ -239,3 +239,16 @@ class TestInt4Engine:
             e = Engine(out, mode="exact")
             cache = e.new_cache(1)
             e.prefill(cache, np.array([[3, 7]], np.int32), np.zeros(1, np.int32))
+
+
+class TestInt8KVCache:
+    def test_int8_kv_greedy_matches_f32_cache(self, ckpt, tokenizer):
+        """Dense INT8 KV cache (per-row scales) must reproduce the f32-cache
+        greedy stream on short contexts."""
+        base = Engine(ckpt[0], mode="fast")
+        q8 = Engine(ckpt[0], mode="fast", cache_dtype="int8")
+        g_base = generate(base, tokenizer, TokenSampler(0.0, 0.9, 1), "hello w",
+                          out=io.StringIO())
+        g_q8 = generate(q8, tokenizer, TokenSampler(0.0, 0.9, 1), "hello w",
+                        out=io.StringIO())
+        assert g_base == g_q8 and len(g_q8) > 0
