@@ -311,6 +311,26 @@ def qwen3_forward(
         )
     )
 
+    from ..ops.pallas.paged_attention import (
+        paged_decode_supported,
+        paged_flash_enabled,
+    )
+
+    # Paged decode kernel: pages DMA'd pool→VMEM by page id (no gather
+    # materialization, no per-layer pool slices) — see ops/pallas/
+    # paged_attention.py.  Unlike the dense flash kernel it wins at ordinary
+    # window sizes because the XLA alternative pays the gather round-trip.
+    use_paged_flash = (
+        paged
+        and mode == "fast"
+        and s == 1
+        and pallas_ops.pallas_enabled()
+        and paged_flash_enabled()
+        and paged_decode_supported(
+            config.head_dim, cache.k.shape[3], cache.k.dtype
+        )
+    )
+
     from ..ops.pallas.prefill_attention import splash_prefill_supported
 
     use_splash_prefill = (
@@ -360,6 +380,25 @@ def qwen3_forward(
                 k.astype(compute_dtype),
                 v.astype(compute_dtype),
             )
+        elif use_paged_flash:
+            from ..ops.pallas.paged_attention import paged_gqa_decode_stacked
+
+            # Decode (S=1) over the page pool: the kernel reads the page
+            # table from SMEM and streams only ceil(pos[b]/page) pages per
+            # request; the stacked pool is indexed by layer in-kernel, so
+            # the layer scan neither slices nor gathers the pool.
+            att = paged_gqa_decode_stacked(
+                q[:, 0].astype(jnp.float32),
+                k[:, 0].astype(jnp.float32),
+                v[:, 0].astype(jnp.float32),
+                cache.k,
+                cache.v,
+                page_table,
+                pos_start,
+                idx,
+                k_scale_pool=getattr(cache, "k_scale", None),
+                v_scale_pool=getattr(cache, "v_scale", None),
+            )[:, None].astype(compute_dtype)
         elif paged:
             from ..ops.attention import gqa_attention_split_paged
 
