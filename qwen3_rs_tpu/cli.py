@@ -131,6 +131,15 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--page-size", type=int, default=128)
     sv.add_argument("--pages", type=int, default=None)
     sv.add_argument("--no-warmup", action="store_true")
+    sv.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-shard each replica's weights + KV over this many devices",
+    )
+    sv.add_argument(
+        "--replicas", type=int, default=1,
+        help="independent engine replicas over disjoint device sets "
+        "(request-level data parallelism; requires replicas*tp <= n_devices)",
+    )
 
     # eval-ppl: perplexity + int8-vs-f32 delta (the BASELINE accuracy bar).
     ev = sub.add_parser("eval-ppl", help="Evaluate perplexity of a checkpoint")
@@ -255,20 +264,52 @@ def main(argv=None) -> int:
         engine_kwargs = {}
         if args.kv_int8:
             engine_kwargs["cache_dtype"] = "int8"
-        engine = ContinuousBatchingEngine(
-            config=config,
-            weights=weights,
-            n_slots=args.slots,
-            sampling=args.sampling,
-            kv_layout=args.kv,
-            page_size=args.page_size,
-            n_pages=args.pages,
-            **engine_kwargs,
-        )
+
+        import jax
+
+        n_dev = len(jax.devices())
+        if args.replicas * args.tp > n_dev:
+            raise SystemExit(
+                f"--replicas {args.replicas} x --tp {args.tp} needs "
+                f"{args.replicas * args.tp} devices, have {n_dev}"
+            )
+
+        def make_engine(devices):
+            mesh = None
+            # A replica needs a mesh even at tp=1, to pin its arrays to its
+            # own device instead of the process default.
+            if args.tp > 1 or args.replicas > 1:
+                from .parallel.mesh import create_mesh
+
+                mesh = create_mesh(tp=args.tp, dp=1, devices=devices)
+            return ContinuousBatchingEngine(
+                config=config,
+                weights=weights,
+                n_slots=args.slots,
+                sampling=args.sampling,
+                kv_layout=args.kv,
+                page_size=args.page_size,
+                n_pages=args.pages,
+                mesh=mesh,
+                **engine_kwargs,
+            )
+
+        engines = [
+            make_engine(jax.devices()[i * args.tp : (i + 1) * args.tp])
+            for i in range(args.replicas)
+        ]
         if not args.no_warmup:
             logging.info("warming up (compiling serving step functions)...")
-            engine.warmup()
-        serve(ServingFrontend(engine, tokenizer), host=args.host, port=args.port)
+            for eng in engines:
+                eng.warmup()
+        frontends = [ServingFrontend(eng, tokenizer) for eng in engines]
+        if len(frontends) == 1:
+            frontend = frontends[0]
+        else:
+            from .serving.server import ReplicatedFrontend
+
+            frontend = ReplicatedFrontend(frontends)
+        serve(frontend, host=args.host, port=args.port)
         return 0
 
     if args.command == "eval-ppl":

@@ -127,6 +127,11 @@ class ServingFrontend:
     def stats(self) -> dict:
         return self.engine.stats()
 
+    @property
+    def load(self) -> int:
+        """Requests submitted but not yet completed (queued + in flight)."""
+        return self._submissions.qsize() + len(self._pending)
+
     def shutdown(self):
         self._running = False
         self._thread.join(timeout=10)
@@ -164,6 +169,63 @@ class ServingFrontend:
                         p.done.set()
             elif not admitted:
                 time.sleep(self._poll_idle_s)
+
+
+class ReplicatedFrontend:
+    """Request-level data parallelism: route each request to the
+    least-loaded of N engine replicas.
+
+    The engine rejects dp>1 meshes by design (scheduler.py: request-level
+    parallelism runs one engine per dp replica) — this router IS that dp
+    layer.  Deployment shapes:
+
+    * single host, multiple chips: R replicas × tp-submeshes over disjoint
+      device sets (``serve --replicas R --tp K``) — each replica has its
+      own weights copy, page pool, and scheduler, so there is no
+      cross-replica synchronization anywhere on the hot path;
+    * multi-host pod: one process per host running its own engine, with an
+      external load balancer (or this class in a gateway process) routing
+      requests — the ≥85% scaling-efficiency target (BASELINE config 5)
+      holds by construction because replicas share nothing.
+
+    Exposes the same surface ``make_handler`` needs (submit / stats /
+    tokenizer / shutdown), so the HTTP layer is replica-agnostic.
+    """
+
+    def __init__(self, frontends: list[ServingFrontend]):
+        if not frontends:
+            raise ValueError("need at least one replica")
+        self.frontends = frontends
+        self.tokenizer = frontends[0].tokenizer
+        self._lock = threading.Lock()
+
+    def submit(self, prompt: str, **kwargs) -> _Pending:
+        with self._lock:
+            target = min(self.frontends, key=lambda f: f.load)
+            return target.submit(prompt, **kwargs)
+
+    def stats(self) -> dict:
+        per = [f.stats() for f in self.frontends]
+        agg = {
+            "replicas": len(per),
+            "per_replica": per,
+            "load": [f.load for f in self.frontends],
+        }
+        # Aggregate the counters that sum; utilization averages.
+        for key in ("completed", "kv_pages_total", "kv_pages_free"):
+            if all(key in s for s in per):
+                agg[key] = sum(s[key] for s in per)
+        if all("slot_utilization" in s for s in per):
+            agg["slot_utilization"] = sum(
+                s["slot_utilization"] for s in per
+            ) / len(per)
+        ttfts = [s["p50_ttft"] for s in per if s.get("p50_ttft")]
+        agg["p50_ttft"] = sorted(ttfts)[len(ttfts) // 2] if ttfts else None
+        return agg
+
+    def shutdown(self):
+        for f in self.frontends:
+            f.shutdown()
 
 
 def make_handler(frontend: ServingFrontend):

@@ -161,3 +161,82 @@ def test_chat_multi_turn_rendering():
 
 
 import urllib.error  # noqa: E402  (used in test_bad_request)
+
+
+@pytest.fixture(scope="module")
+def replicated():
+    """Two independent engine replicas behind the dp router."""
+    from qwen3_rs_tpu.serving.server import ReplicatedFrontend
+
+    rng = np.random.default_rng(5)
+    config = TINY_CONFIG
+    _, weights = make_weights(config, rng)
+
+    def make_engine():
+        return ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8, 16), kv_layout="paged", page_size=8,
+        )
+
+    fes = [ServingFrontend(make_engine(), FakeTokenizer()) for _ in range(2)]
+    rf = ReplicatedFrontend(fes)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(rf))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield rf, httpd.server_address[1]
+    httpd.shutdown()
+    rf.shutdown()
+
+
+def test_replicated_routing_and_parity(replicated, frontend):
+    """Concurrent identical greedy requests through the dp router must all
+    agree with the single-engine answer, and the router must aggregate
+    stats across replicas."""
+    rf, port = replicated
+    _, single_port = frontend
+
+    with _post(single_port, {"prompt": "same prompt", "max_tokens": 6}) as r:
+        expected = json.load(r)["text"]
+
+    n = 4
+    results = [None] * n
+
+    def go(i):
+        with _post(port, {"prompt": "same prompt", "max_tokens": 6}) as r:
+            results[i] = json.load(r)["text"]
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(n)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert all(r == expected for r in results), results
+
+    stats = rf.stats()
+    assert stats["replicas"] == 2
+    assert stats["completed"] == sum(
+        s["completed"] for s in stats["per_replica"]
+    )
+    assert len(stats["load"]) == 2
+
+
+def test_replicated_least_loaded_routing():
+    """The router must pick the replica with the fewest outstanding
+    requests (no engine needed: stub frontends)."""
+    from qwen3_rs_tpu.serving.server import ReplicatedFrontend
+
+    class Stub:
+        def __init__(self, load):
+            self.load = load
+            self.tokenizer = FakeTokenizer()
+            self.calls = 0
+
+        def submit(self, prompt, **kw):
+            self.calls += 1
+            self.load += 1
+            return object()
+
+    a, b = Stub(3), Stub(1)
+    rf = ReplicatedFrontend([a, b])
+    rf.submit("x")  # → b (load 1 < 3)
+    rf.submit("x")  # → b (load 2 < 3)
+    rf.submit("x")  # → b (load 3 == 3, min picks first-lowest: a)
+    assert b.calls == 2 and a.calls == 1
