@@ -41,6 +41,7 @@ class InferenceConfig:
     engine_mode: str = "fast"  # "fast" (W8A16 + Pallas) | "exact" (reference W8A8)
     device_sampling: bool = False  # sample on device instead of host xorshift
     kv_int8: bool = False  # INT8 KV cache (per-row scales; halves KV reads)
+    speculative: int = 0  # n-gram draft length k (greedy-exact; 0 = off)
 
     def __post_init__(self):
         if self.seed is None:
@@ -63,7 +64,7 @@ def run_inference(config: InferenceConfig) -> None:
         config.temperature, config.topp, config.seed, device=config.device_sampling
     )
     if config.mode == "generate":
-        generate(engine, tokenizer, sampler, config.prompt)
+        generate(engine, tokenizer, sampler, config.prompt, spec_k=config.speculative)
     elif config.mode == "chat":
         chat(engine, tokenizer, sampler, config.prompt, config.system_prompt)
     else:

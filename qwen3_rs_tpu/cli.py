@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="INT8 KV cache with per-row scales: halves cache reads "
         "(long-context decode is KV-bound)",
     )
+    inf.add_argument(
+        "--spec", type=int, default=0, metavar="K",
+        help="n-gram speculative decoding with K-token drafts (greedy-exact; "
+        "requires -t 0 and --device-sampling; generate mode)",
+    )
 
     # batch: continuous-batching throughput runner (serving surface).
     bt = sub.add_parser("batch", help="Serve a batch of prompts with continuous batching")
@@ -351,6 +356,7 @@ def main(argv=None) -> int:
             engine_mode=args.engine_mode,
             device_sampling=args.device_sampling,
             kv_int8=args.kv_int8,
+            speculative=args.spec,
         )
         run_inference(config)
         return 0

@@ -129,6 +129,24 @@ class Engine:
 
         self._decode_loop = _decode_loop
 
+        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(6, 7))
+        def _spec_loop(weights, token, cache, pos, hist, hlen, n_rounds, k):
+            """n_rounds of n-gram speculative decode on device (greedy):
+            draft k tokens from the history, verify them in one S=k+1
+            forward, emit accepted run + bonus token.  See speculative.py."""
+            from .speculative import spec_round
+
+            def body(carry, _):
+                return spec_round(fwd, weights, carry, k)
+
+            carry = (token, cache, pos, hist, hlen)
+            (_, cache, _, _, _), (toks, counts) = jax.lax.scan(
+                body, carry, None, length=n_rounds
+            )
+            return toks, counts, cache
+
+        self._spec_loop = _spec_loop
+
     # ------------------------------------------------------------------ api
     def new_cache(self, batch_size: Optional[int] = None) -> KVCache:
         return init_kv_cache(
@@ -229,6 +247,39 @@ class Engine:
             float(topp),
         )
         return np.asarray(toks)[:, 0], cache
+
+    def decode_chunk_spec(
+        self,
+        cache: KVCache,
+        token: int,
+        pos: int,
+        n_rounds: int,
+        k: int,
+        history: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, KVCache]:
+        """``n_rounds`` speculative (n-gram draft, greedy) rounds on device.
+
+        ``history`` holds every consumed token so far (prompt + generated,
+        ending with ``token``).  Each round emits between 1 and k+1 tokens;
+        the caller must guarantee ``pos + n_rounds*(k+1) <= seq_len``.
+        Returns (tokens [n_rounds, k+1], counts [n_rounds], cache): round r's
+        generated tokens are ``tokens[r, :counts[r]]`` (greedy-exact vs the
+        plain decode loop).
+        """
+        hlen = len(history)
+        hist = np.zeros((self.config.seq_len,), np.int32)
+        hist[:hlen] = history[: self.config.seq_len]
+        toks, counts, cache = self._spec_loop(
+            self.weights,
+            jnp.asarray([token], jnp.int32),
+            cache,
+            jnp.asarray([pos], jnp.int32),
+            jnp.asarray(hist),
+            jnp.asarray(hlen, jnp.int32),
+            n_rounds,
+            k,
+        )
+        return np.asarray(toks), np.asarray(counts), cache
 
     def all_logits(self, cache: KVCache, tokens, pos_start) -> tuple[jax.Array, KVCache]:
         """Logits for every position (perplexity evaluation)."""

@@ -41,8 +41,12 @@ def generate(
     sampler: TokenSampler,
     prompt: Optional[str],
     out=None,
+    spec_k: int = 0,
 ) -> list[int]:
-    """Single-prompt generation (generation.rs:9-48). Returns generated ids."""
+    """Single-prompt generation (generation.rs:9-48). Returns generated ids.
+
+    ``spec_k > 0`` enables n-gram speculative decoding (speculative.py) —
+    greedy-exact, so it requires temperature 0 and device sampling."""
     prompt_tokens = tokenizer.encode(prompt or "")
     if not prompt_tokens:
         raise ValueError("Please provide a prompt")
@@ -64,7 +68,54 @@ def generate(
     generated: list[int] = []
     pos = len(prompt_tokens) - 1
 
-    if sampler.device:
+    if spec_k > 0 and sampler.device and sampler.temperature == 0.0:
+        # Speculative chunks: each round verifies spec_k drafted tokens in
+        # one forward, emitting 1..spec_k+1 tokens — token-for-token equal
+        # to the plain greedy loop (tests/test_speculative.py).
+        metrics.start_generation()
+        next_token = sampler.sample(logits)
+        metrics.increment()
+        done = tokenizer.is_termination(next_token)
+        pos += 1
+        history = list(prompt_tokens) + [next_token]
+        rounds_per_chunk = 16
+        while not done:
+            generated.append(next_token)
+            _emit(decoder.push(tokenizer.decode_bytes(next_token)), out)
+            n_rounds = min(rounds_per_chunk, (seq_len - pos) // (spec_k + 1))
+            if n_rounds > 0:
+                toks, counts, cache = engine.decode_chunk_spec(
+                    cache, next_token, pos, n_rounds, spec_k, np.asarray(history)
+                )
+                emitted: list[int] = []
+                for r in range(n_rounds):
+                    emitted.extend(int(t) for t in toks[r, : counts[r]])
+            else:
+                # Tail: fewer than spec_k+1 rows left — a round could
+                # overrun the cache, so finish with the plain chunk loop.
+                room = seq_len - pos
+                if room <= 0:
+                    break
+                tail, cache = engine.decode_chunk(
+                    cache, next_token, pos, room, temperature=0.0
+                )
+                emitted = [int(t) for t in tail]
+            pos += len(emitted)
+            history.extend(emitted)
+            for t in emitted[:-1]:
+                metrics.increment()
+                if tokenizer.is_termination(t):
+                    done = True
+                    break
+                generated.append(t)
+                _emit(decoder.push(tokenizer.decode_bytes(t)), out)
+            else:
+                next_token = emitted[-1]
+                metrics.increment()
+                done = tokenizer.is_termination(next_token)
+                continue
+            break
+    elif sampler.device:
         # On-device chunked decode: the whole forward→sample loop runs in one
         # dispatch per chunk (per-step host round-trips would dominate).
         metrics.start_generation()

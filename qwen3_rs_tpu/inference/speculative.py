@@ -1,0 +1,89 @@
+"""Device-side n-gram speculative decoding (greedy-exact).
+
+Single-stream decode is weight-bandwidth-bound: one token per forward
+streams all ~8 GB of INT8 weights for 8B.  Verifying k drafted tokens in
+one S=k+1 window streams the weights ONCE for up to k+1 emitted tokens —
+on accepting text the tokens/sec multiplier approaches the acceptance
+length.  The draft source is prompt-lookup / n-gram matching (the
+assisted-generation family, e.g. arXiv:2304.04487 / vLLM's
+prompt-lookup): propose the k tokens that followed the most recent
+occurrence of the current bigram in the token history.
+
+Everything — drafting, the verify forward, acceptance, the history
+update — runs inside one ``lax.scan`` on device, so a chunk of R rounds
+is a single dispatch (a host-side drafter would pay the relay RTT per
+round, which would erase the win on this deployment).
+
+Greedy only (temperature 0): token-for-token EXACT vs the plain decode
+loop — the verify forward recomputes the model's argmax at every
+position, so acceptance only shortcuts computation, never changes
+output.  (Stochastic speculative sampling needs the rejection-sampling
+correction and a different RNG-parity story; the plain chunked sampler
+covers that case.)
+
+The reference has no speculative path (its scalar loop regenerates one
+token per full pass, generation.rs:153-162); this is a beyond-parity
+TPU-native capability.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ngram_draft(hist: jax.Array, hlen: jax.Array, cur: jax.Array, k: int) -> jax.Array:
+    """Propose ``k`` draft tokens after ``cur`` by bigram lookup.
+
+    hist: [T] int32 — all consumed tokens; ``hist[hlen-1] == cur``.
+    Finds the most recent j < hlen-1 with ``(hist[j-1], hist[j]) ==
+    (hist[hlen-2], cur)`` and returns ``hist[j+1 : j+1+k]``; entries with
+    no valid source are -1 (never matches an argmax, so they can't be
+    accepted).  Returns [k] int32.
+    """
+    t = hist.shape[0]
+    idx = jnp.arange(t, dtype=jnp.int32)
+    prev = hist[jnp.maximum(hlen - 2, 0)]
+    hist_prev = jnp.concatenate([hist[:1], hist[:-1]])
+    m = (
+        (hist == cur)
+        & (hist_prev == prev)
+        & (idx >= 1)
+        & (idx < hlen - 1)
+        & (hlen >= 2)
+    )
+    j = jnp.max(jnp.where(m, idx, -1))
+    found = j >= 0
+    start = jnp.where(found, j + 1, 0)
+    # dynamic_slice clamps start to t-k; out-of-history rows are masked.
+    draft = jax.lax.dynamic_slice(hist, (jnp.minimum(start, t - k),), (k,))
+    valid = found & (jnp.minimum(start, t - k) + jnp.arange(k) < hlen)
+    return jnp.where(valid, draft, -1)
+
+
+def spec_round(fwd, weights, carry, k: int):
+    """One speculative round: draft → verify (S=k+1 forward) → accept.
+
+    carry = (cur [1], cache, pos [1], hist [T], hlen []).
+    Emits (preds [k+1], count []): the first ``count`` entries of preds
+    are this round's generated tokens (accepted drafts + one bonus).
+    """
+    cur, cache, pos, hist, hlen = carry
+    draft = ngram_draft(hist, hlen, cur[0], k)  # [k]
+    window = jnp.concatenate([cur, jnp.maximum(draft, 0)])[None, :]  # [1, k+1]
+    logits, cache = fwd(weights, window, cache, pos, return_all_logits=True)
+    preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [k+1]
+
+    # preds[i] is the model's greedy token after consuming window[:i+1];
+    # draft[i] is accepted iff it equals preds[i] and everything before it
+    # was accepted — the emitted tokens are always preds[0..a] themselves.
+    matches = (draft == preds[:k]).astype(jnp.int32)
+    a = jnp.sum(jnp.cumprod(matches))
+    count = a + 1
+    cur_next = preds[a][None]
+
+    iar = jnp.arange(k + 1, dtype=jnp.int32)
+    wpos = jnp.where(iar < count, hlen + iar, hist.shape[0])
+    hist = hist.at[wpos].set(preds, mode="drop")
+    new_carry = (cur_next, cache, pos + count, hist, hlen + count)
+    return new_carry, (preds, count)

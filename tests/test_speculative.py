@@ -1,0 +1,134 @@
+"""Speculative (n-gram draft) decoding: greedy-exact parity + drafting."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from utils import make_hf_model_dir
+
+from qwen3_rs_tpu.inference import Engine
+from qwen3_rs_tpu.inference.speculative import ngram_draft
+
+
+class TestNgramDraft:
+    def _draft(self, history, cur, k, t=32):
+        hist = np.zeros(t, np.int32)
+        hist[: len(history)] = history
+        return np.asarray(
+            ngram_draft(jnp.asarray(hist), jnp.int32(len(history)), jnp.int32(cur), k)
+        )
+
+    def test_matches_most_recent_bigram(self):
+        # history ends with (7, 8); earlier (7, 8) occurs twice — the most
+        # recent continuation (5, 6, 7) wins over the older (1, 2, 3).
+        h = [7, 8, 1, 2, 3, 7, 8, 5, 6, 7, 7, 8]
+        assert self._draft(h, cur=8, k=3).tolist() == [5, 6, 7]
+
+    def test_no_match_gives_invalid(self):
+        assert self._draft([1, 2, 3, 4], cur=4, k=3).tolist() == [-1, -1, -1]
+
+    def test_continuation_spans_to_current_token(self):
+        # match at the (3, 4) bigram at j=1; everything after it (including
+        # the current bigram's own tokens) is valid draft material.
+        h = [3, 4, 9, 3, 4]
+        assert self._draft(h, cur=4, k=3).tolist() == [9, 3, 4]
+
+    def test_continuation_clipped_at_history_end(self):
+        # (4, 4) matches at j=2; only one history token follows it.
+        h = [7, 4, 4, 4]
+        assert self._draft(h, cur=4, k=3).tolist() == [4, -1, -1]
+
+    def test_short_history(self):
+        assert self._draft([5], cur=5, k=2).tolist() == [-1, -1]
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("spec")
+    model_dir = make_hf_model_dir(tmp, rng=np.random.default_rng(11))
+    out = tmp / "m.qtpu"
+    from qwen3_rs_tpu.export import export_model
+
+    export_model(model_dir, out, group_size=16, fmt="native")
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine(ckpt):
+    return Engine(ckpt, mode="fast")
+
+
+def _greedy_reference(engine, prompt, n):
+    cache = engine.new_cache(1)
+    logits, cache = engine.prefill(
+        cache, np.asarray([prompt], np.int32), np.zeros(1, np.int32)
+    )
+    cur = int(np.argmax(np.asarray(logits)[0]))
+    pos = len(prompt)
+    toks, cache = engine.decode_chunk(cache, cur, pos, n, temperature=0.0)
+    return [cur] + [int(t) for t in toks]
+
+
+def _greedy_spec(engine, prompt, n_rounds, k):
+    cache = engine.new_cache(1)
+    logits, cache = engine.prefill(
+        cache, np.asarray([prompt], np.int32), np.zeros(1, np.int32)
+    )
+    cur = int(np.argmax(np.asarray(logits)[0]))
+    pos = len(prompt)
+    history = np.asarray(list(prompt) + [cur], np.int32)
+    toks, counts, cache = engine.decode_chunk_spec(
+        cache, cur, pos, n_rounds, k, history
+    )
+    out = [cur]
+    for r in range(n_rounds):
+        out.extend(int(t) for t in toks[r, : counts[r]])
+    return out, counts
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_greedy_exact_parity(engine, k):
+    """Speculative output must be token-for-token the plain greedy chunk
+    output — acceptance shortcuts compute, never changes tokens."""
+    prompt = [3, 5, 3, 5, 3, 7, 11, 2]
+    n_rounds = 6
+    spec, counts = _greedy_spec(engine, prompt, n_rounds, k)
+    ref = _greedy_reference(engine, prompt, len(spec) - 1)
+    assert spec == ref, (spec, ref, counts.tolist())
+    # every round emits between 1 and k+1 tokens
+    assert all(1 <= c <= k + 1 for c in counts.tolist())
+
+
+def test_acceptance_on_repetitive_text(engine):
+    """A model forced into a repeating loop must accept drafts (counts > 1
+    at least once) — the tiny random model reliably falls into cycles."""
+    prompt = [2, 9, 2, 9, 2, 9, 2, 9]
+    spec, counts = _greedy_spec(engine, prompt, n_rounds=10, k=4)
+    ref = _greedy_reference(engine, prompt, len(spec) - 1)
+    assert spec == ref
+    # Not guaranteed in theory, but with 10 rounds of a cyclic sequence the
+    # bigram drafter should land at least one acceptance; if this ever
+    # flakes the model isn't cycling and the assert below can be dropped.
+    assert max(counts.tolist()) > 1, counts.tolist()
+
+
+def test_generate_loop_spec_parity(ckpt, engine):
+    """generate(spec_k=...) must print and return exactly the plain greedy
+    device-loop output (EOS handling, metrics, streaming decode included)."""
+    import io
+
+    from qwen3_rs_tpu.inference import Tokenizer, TokenSampler, generate
+
+    tokenizer = Tokenizer(ckpt, engine.config.vocab_size)
+
+    def run(spec_k):
+        sampler = TokenSampler(0.0, 0.9, seed=1, device=True)
+        buf = io.StringIO()
+        ids = generate(engine, tokenizer, sampler, "hello there", out=buf,
+                       spec_k=spec_k)
+        return ids, buf.getvalue()
+
+    ids_ref, text_ref = run(0)
+    ids_spec, text_spec = run(3)
+    assert ids_spec == ids_ref
+    assert text_spec == text_ref
