@@ -51,6 +51,18 @@ class InferenceConfig:
 def run_inference(config: InferenceConfig) -> None:
     """Wire transformer + tokenizer + sampler and dispatch on mode
     (qwen3-inference/src/lib.rs:109-138)."""
+    if config.speculative > 0:
+        # Speculative decoding is greedy-exact only (speculative.py).
+        if config.temperature != 0.0:
+            raise ValueError(
+                "speculative decoding requires temperature 0 (greedy); "
+                f"got temperature={config.temperature}"
+            )
+        if config.mode != "generate":
+            raise ValueError("speculative decoding is generate-mode only")
+        # Greedy device sampling == greedy host sampling (both first-max
+        # argmax), so auto-enabling it changes nothing but the dispatch.
+        config.device_sampling = True
     engine = Engine(
         config.checkpoint_path,
         ctx_length=config.ctx_length,

@@ -83,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument(
         "--spec", type=int, default=0, metavar="K",
         help="n-gram speculative decoding with K-token drafts (greedy-exact; "
-        "requires -t 0 and --device-sampling; generate mode)",
+        "requires -t 0, generate mode; device sampling is auto-enabled)",
     )
 
     # batch: continuous-batching throughput runner (serving surface).

@@ -266,9 +266,12 @@ class Engine:
         generated tokens are ``tokens[r, :counts[r]]`` (greedy-exact vs the
         plain decode loop).
         """
+        # Keep the most recent seq_len tokens — recency is what the bigram
+        # drafter matches against, and hist is a fixed [seq_len] buffer.
+        history = np.asarray(history, np.int32)[-self.config.seq_len :]
         hlen = len(history)
         hist = np.zeros((self.config.seq_len,), np.int32)
-        hist[:hlen] = history[: self.config.seq_len]
+        hist[:hlen] = history
         toks, counts, cache = self._spec_loop(
             self.weights,
             jnp.asarray([token], jnp.int32),

@@ -82,7 +82,15 @@ def generate(
         while not done:
             generated.append(next_token)
             _emit(decoder.push(tokenizer.decode_bytes(next_token)), out)
-            n_rounds = min(rounds_per_chunk, (seq_len - pos) // (spec_k + 1))
+            # n_rounds is a static jit argument: bucket it to powers of two
+            # so the context-end taper costs at most a handful of compiles
+            # instead of one per distinct remaining-room value.
+            n_avail = (seq_len - pos) // (spec_k + 1)
+            n_rounds = 0
+            for rb in (rounds_per_chunk, 8, 4, 2, 1):
+                if rb <= n_avail:
+                    n_rounds = rb
+                    break
             if n_rounds > 0:
                 toks, counts, cache = engine.decode_chunk_spec(
                     cache, next_token, pos, n_rounds, spec_k, np.asarray(history)

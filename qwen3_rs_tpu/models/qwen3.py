@@ -253,6 +253,7 @@ def qwen3_forward(
     write_mask: jax.Array | None = None,  # [B] bool — per-request cache-write gate
     page_table: jax.Array | None = None,  # [B, max_pages] int32 — paged-cache mode
     fresh_prefill: bool = False,  # static: caller guarantees pos_start == 0
+    allow_paged_flash: bool = True,  # static: see below — off under sharded pools
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill when S>1, decode when S==1).
 
@@ -320,8 +321,13 @@ def qwen3_forward(
     # materialization, no per-layer pool slices) — see ops/pallas/
     # paged_attention.py.  Unlike the dense flash kernel it wins at ordinary
     # window sizes because the XLA alternative pays the gather round-trip.
+    # ``allow_paged_flash`` must be False when the pool is sharded over a
+    # multi-device mesh (tp serving): the kernel is a plain pallas_call with
+    # no partitioning spec, so GSPMD would replicate (all-gather) the whole
+    # pool per layer — the XLA gather path propagates shardings instead.
     use_paged_flash = (
         paged
+        and allow_paged_flash
         and mode == "fast"
         and s == 1
         and pallas_ops.pallas_enabled()

@@ -225,7 +225,16 @@ class ContinuousBatchingEngine:
         # results are still on device.
         self._inflight: Optional[dict] = None
 
-        fwd = functools.partial(qwen3_forward, self.config, mode=mode)
+        fwd = functools.partial(
+            qwen3_forward,
+            self.config,
+            mode=mode,
+            # The paged flash kernel has no GSPMD partitioning spec: under a
+            # multi-device (tp) mesh it would force the sharded pool to be
+            # replicated per layer — keep the sharding-propagating XLA
+            # gather path there (models/qwen3.py use_paged_flash).
+            allow_paged_flash=(mesh is None or mesh.size == 1),
+        )
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(weights, tokens, cache, pos, active):

@@ -198,11 +198,24 @@ class ReplicatedFrontend:
         self.frontends = frontends
         self.tokenizer = frontends[0].tokenizer
         self._lock = threading.Lock()
+        # Routed-but-not-yet-enqueued counts: submit() tokenizes the prompt
+        # outside the lock (it can take ms on long prompts), so the lock
+        # only covers replica choice — these reservations keep concurrent
+        # submits from all piling onto the same "least-loaded" replica.
+        self._reserved = [0] * len(frontends)
 
     def submit(self, prompt: str, **kwargs) -> _Pending:
         with self._lock:
-            target = min(self.frontends, key=lambda f: f.load)
-            return target.submit(prompt, **kwargs)
+            i = min(
+                range(len(self.frontends)),
+                key=lambda j: self.frontends[j].load + self._reserved[j],
+            )
+            self._reserved[i] += 1
+        try:
+            return self.frontends[i].submit(prompt, **kwargs)
+        finally:
+            with self._lock:
+                self._reserved[i] -= 1
 
     def stats(self) -> dict:
         per = [f.stats() for f in self.frontends]

@@ -121,7 +121,8 @@ def bench(name, sweep_body):
         out, _ = jax.lax.scan(sweep_body(q0), jnp.float32(0), idxs)
         return out
 
-    lo, hi = max(REPS // 4, 1), REPS
+    hi = max(REPS, 2)  # slope needs two distinct repeat counts
+    lo = max(hi // 4, 1)
     fns = {r: jax.jit(lambda r=r: run(r)) for r in (lo, hi)}
     for f in fns.values():
         np.asarray(f())  # compile + warm
