@@ -168,6 +168,11 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     n_requests = int(os.environ.get("BENCH_REQUESTS", "32"))
     n_slots = int(os.environ.get("BENCH_SLOTS", "8"))
     max_new = int(os.environ.get("BENCH_MAX_NEW", "96"))
+    # BENCH_SPEC=k: greedy requests over cyclic prompts through the
+    # speculative scheduler — measures the acceptance-driven multiplier
+    # (sync scheduling; random weights decode into cycles, which the
+    # bigram drafter predicts, so this is the favorable-acceptance regime).
+    spec_k = int(os.environ.get("BENCH_SPEC", "0"))
 
     config = qwen3_config(model_name, seq_len=seq_len)
     weights = cast_weight_scales(random_weights(config))
@@ -179,18 +184,25 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         kv_layout="paged",
         decode_chunk_steps=16,
         prefill_buckets=(128,),
+        spec_k=spec_k,
     )
     engine.warmup()
 
     rng = np.random.default_rng(0)
     for i in range(n_requests):
         plen = int(rng.integers(16, 128))
+        if spec_k:
+            period = int(rng.integers(2, 6))
+            cycle = rng.integers(1, config.vocab_size, period)
+            prompt = [int(cycle[j % period]) for j in range(plen)]
+        else:
+            prompt = rng.integers(1, config.vocab_size, plen).tolist()
         engine.submit(
             Request(
                 request_id=i,
-                prompt_tokens=rng.integers(1, config.vocab_size, plen).tolist(),
+                prompt_tokens=prompt,
                 max_new_tokens=max_new,
-                temperature=0.8,
+                temperature=0.0 if spec_k else 0.8,
                 seed=i,
             )
         )
@@ -206,7 +218,8 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"serve_tok_s_qwen3_{model_name}_int8g64_slots{n_slots}",
+                "metric": f"serve_tok_s_qwen3_{model_name}_int8g64_slots{n_slots}"
+                + (f"_spec{spec_k}" if spec_k else ""),
                 "value": round(total / elapsed, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": round(total / elapsed / roofline_1, 4),

@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--pages", type=int, default=None,
         help="KV pool size in pages (paged only; default: half the dense footprint)",
     )
+    bt.add_argument(
+        "--spec", type=int, default=0, metavar="K",
+        help="n-gram speculative decoding: greedy slots verify K drafts per "
+        "round (paged + device sampling only; sync scheduling)",
+    )
 
     # serve: HTTP front-end over the continuous-batching engine.
     sv = sub.add_parser("serve", help="Serve a checkpoint over HTTP")
@@ -136,6 +141,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--page-size", type=int, default=128)
     sv.add_argument("--pages", type=int, default=None)
     sv.add_argument("--no-warmup", action="store_true")
+    sv.add_argument(
+        "--spec", type=int, default=0, metavar="K",
+        help="n-gram speculative decoding: greedy slots verify K drafts per "
+        "round (paged + device sampling only; sync scheduling)",
+    )
     sv.add_argument(
         "--tp", type=int, default=1,
         help="tensor-shard each replica's weights + KV over this many devices",
@@ -213,6 +223,7 @@ def main(argv=None) -> int:
             kv_layout=args.kv,
             page_size=args.page_size,
             n_pages=args.pages,
+            spec_k=args.spec,
         )
         if not args.no_warmup:
             engine.warmup()
@@ -296,6 +307,7 @@ def main(argv=None) -> int:
                 page_size=args.page_size,
                 n_pages=args.pages,
                 mesh=mesh,
+                spec_k=args.spec,
                 **engine_kwargs,
             )
 

@@ -61,6 +61,57 @@ def ngram_draft(hist: jax.Array, hlen: jax.Array, cur: jax.Array, k: int) -> jax
     return jnp.where(valid, draft, -1)
 
 
+def spec_round_batched(fwd, weights, carry, k: int, page_table, active):
+    """One batched speculative round for the serving scheduler.
+
+    carry = (cur [B], cache, pos [B], hist [B, T], hlen [B], temps [B],
+    topps [B], key).  Greedy slots (temperature 0) run draft-verify-accept;
+    sampling slots draw row 0 through the normal device sampler and emit
+    exactly one token; inactive slots advance nothing.  Emits
+    (tokens [B, k+1], counts [B]): slot b's round output is
+    ``tokens[b, :counts[b]]``.
+    """
+    cur, cache, pos, hist, hlen, temps, topps, key = carry
+    b = cur.shape[0]
+    draft = jax.vmap(ngram_draft, in_axes=(0, 0, 0, None))(
+        hist, hlen, cur, k
+    )  # [B, k]
+    window = jnp.concatenate([cur[:, None], jnp.maximum(draft, 0)], axis=1)
+    logits, cache = fwd(
+        weights, window, cache, pos, write_mask=active,
+        page_table=page_table, return_all_logits=True,
+    )  # [B, k+1, V]
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+
+    # Row 0 through the per-request sampler: for greedy slots this IS
+    # preds[:, 0] (temp==0 → argmax), so splicing it in changes nothing on
+    # the speculative path while giving sampling slots their one token.
+    from ..ops.sampling import sample_tokens_jax
+
+    key, sub = jax.random.split(key)
+    tok0 = sample_tokens_jax(logits[:, 0], sub, temps, topps)
+    toks = jnp.concatenate([tok0[:, None], preds[:, 1:]], axis=1)
+
+    matches = (draft == preds[:, :k]).astype(jnp.int32)
+    a = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)  # [B]
+    greedy = temps == 0.0
+    counts = jnp.where(greedy, a + 1, 1)
+    counts = jnp.where(active, counts, 0)
+
+    cur_next = jnp.take_along_axis(
+        toks, jnp.maximum(counts - 1, 0)[:, None], axis=1
+    )[:, 0]
+    cur_next = jnp.where(active, cur_next, cur)
+
+    iar = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    wpos = jnp.where(iar < counts[:, None], hlen[:, None] + iar, hist.shape[1])
+    hist = hist.at[jnp.arange(b)[:, None], wpos].set(toks, mode="drop")
+    new_carry = (
+        cur_next, cache, pos + counts, hist, hlen + counts, temps, topps, key
+    )
+    return new_carry, (toks, counts)
+
+
 def spec_round(fwd, weights, carry, k: int):
     """One speculative round: draft → verify (S=k+1 forward) → accept.
 

@@ -110,6 +110,7 @@ class ContinuousBatchingEngine:
         n_pages: int | None = None,
         max_admissions_per_step: int | None = None,
         mesh=None,
+        spec_k: int = 0,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -143,6 +144,19 @@ class ContinuousBatchingEngine:
         # temperature/top-p as [B] arrays (throughput mode; jax PRNG).
         self.sampling = sampling
         self.decode_chunk_steps = decode_chunk_steps
+        # spec_k > 0: n-gram speculative decoding per slot (greedy slots
+        # verify spec_k drafts per round and emit 1..spec_k+1 tokens;
+        # temperature>0 slots fall back to one sampled token per round —
+        # inference/speculative.py spec_round_batched).  Runs the scheduler
+        # SYNCHRONOUSLY (no chunk pipelining): a round's position advance is
+        # acceptance-dependent, so the next chunk's inputs aren't host-known
+        # at dispatch time.
+        self.spec_k = spec_k
+        if spec_k > 0 and (kv_layout != "paged" or sampling != "device"):
+            raise ValueError(
+                'speculative serving requires kv_layout="paged" and '
+                'sampling="device"'
+            )
         # None = drain the queue into every free slot per step (TTFT-first);
         # a small value bounds how long in-flight streams stall behind
         # blocking prefills (inter-token-latency-first).
@@ -321,6 +335,25 @@ class ContinuousBatchingEngine:
             # an eager op on a pending array blocks until the chunk lands.
             return toks, last[:, 0], cache
 
+        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(11, 12))
+        def _decode_spec_paged(
+            weights, tokens, cache, pos, active, temps, topps, key, tables,
+            hist, hlen, n_rounds, k,
+        ):
+            """n_rounds batched speculative rounds on device (sync mode):
+            draft → verify (S=k+1) → accept, per slot.  Returns
+            (toks [n_rounds, B, k+1], counts [n_rounds, B], cache)."""
+            from ..inference.speculative import spec_round_batched
+
+            def body(carry, _):
+                return spec_round_batched(fwd, weights, carry, k, tables, active)
+
+            carry = (tokens, cache, pos, hist, hlen, temps, topps, key)
+            (_, cache, *_), (toks, counts) = jax.lax.scan(
+                body, carry, None, length=n_rounds
+            )
+            return toks, counts, cache
+
         def _prefill_paged_inner(weights, tokens, cache, out_idx, tables):
             # Batched prefill straight into the shared pool: pos_start = 0
             # means the cache-prefix part is skipped; each row's K/V window
@@ -367,6 +400,7 @@ class ContinuousBatchingEngine:
         self._insert = _insert
         self._decode_paged = _decode_paged
         self._decode_chunked_paged = _decode_chunked_paged
+        self._decode_spec_paged = _decode_spec_paged
         self._prefill_paged = _prefill_paged
         self._prefill_paged_sampled = _prefill_paged_sampled
 
@@ -394,7 +428,7 @@ class ContinuousBatchingEngine:
                     )
                     toks0 = jnp.zeros((k, s_pad), jnp.int32)
                     idx0 = jnp.zeros(k, jnp.int32)
-                    if self.sampling == "device":
+                    if self.sampling == "device" and not self.spec_k:
                         out, _, self.cache = self._prefill_paged_sampled(
                             self.weights, toks0, self.cache, idx0, tables,
                             jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
@@ -422,7 +456,37 @@ class ContinuousBatchingEngine:
                 self.cache = self._insert(self.cache, self._scratch_cache, s_pad, 0)
                 np.asarray(logits)
         inactive = jnp.zeros(self.n_slots, bool)
-        if self.sampling == "device":
+        if self.spec_k:
+            # Warm the speculative chunk (and the plain-step tail fallback
+            # below, via the host-sampling branch's single decode).
+            k = self.spec_k
+            avail = self.config.seq_len // (k + 1)
+            n_rounds = next(
+                (
+                    rb
+                    for rb in self._SPEC_ROUND_BUCKETS
+                    if rb <= min(avail, max(self.decode_chunk_steps, 1))
+                ),
+                0,
+            )
+            if n_rounds:
+                toks, _, self.cache = self._decode_spec_paged(
+                    self.weights,
+                    jnp.zeros(self.n_slots, jnp.int32),
+                    self.cache,
+                    jnp.asarray(self.slot_pos),
+                    inactive,
+                    jnp.zeros(self.n_slots, jnp.float32),
+                    jnp.ones(self.n_slots, jnp.float32),
+                    jax.random.PRNGKey(0),
+                    jnp.asarray(self.allocator.tables),
+                    jnp.zeros((self.n_slots, self.config.seq_len), jnp.int32),
+                    jnp.zeros(self.n_slots, jnp.int32),
+                    n_rounds,
+                    k,
+                )
+                np.asarray(toks)
+        if self.sampling == "device" and not self.spec_k:
             n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len))
             args = (
                 self.weights,
@@ -497,7 +561,13 @@ class ContinuousBatchingEngine:
         # decode latency to each queued request's TTFT.  Each admission is a
         # blocking prefill that delays active streams' next token, so
         # max_admissions_per_step can bound the stall.
-        deferred = self.sampling == "device" and self.kv_layout == "paged"
+        # Speculative mode runs synchronously (acceptance-dependent position
+        # advances make pipelined dispatch inputs host-unknowable).
+        deferred = (
+            self.sampling == "device"
+            and self.kv_layout == "paged"
+            and not self.spec_k
+        )
         prev = self._inflight
         # Token vector feeding the next chunk's (re)admitted slots; admission
         # prefills chain their sampled first tokens into it device-side.
@@ -521,7 +591,10 @@ class ContinuousBatchingEngine:
             if k == 0:
                 break
             admitted += k
-        if self.sampling == "device":
+        if self.spec_k:
+            if self.active_count:
+                self._decode_all_spec(emitted)
+        elif self.sampling == "device":
             # Pipelined chunks: dispatch the next chunk first, then fetch +
             # process the previous one while the new chunk computes.  When
             # every live slot deterministically finishes inside the in-flight
@@ -649,13 +722,14 @@ class ContinuousBatchingEngine:
         # their K/V lands in the reserved null page, which no request's
         # position bound ever reads.
 
-        if self.sampling == "device":
+        if pending is not None:
+            # Deferred (pipelined) admission — device-sampled first tokens.
             temps = np.zeros(k_pad, np.float32)
             topps = np.ones(k_pad, np.float32)
             for i, (req, _) in enumerate(picks):
                 temps[i] = req.temperature
                 topps[i] = req.topp
-            assert pending is not None and fresh is not None  # step() invariant
+            assert fresh is not None  # step() invariant
             slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
             slots_arr[:k] = slots
             self._key, sub = jax.random.split(self._key)
@@ -768,6 +842,82 @@ class ContinuousBatchingEngine:
             token = req._sampler.sample(logits_np[slot])
             self.slot_token[slot] = token
             self._emit(req, token, emitted)
+
+    _SPEC_ROUND_BUCKETS = (16, 8, 4, 2, 1)
+
+    def _decode_all_spec(self, emitted) -> None:
+        """One synchronous speculative chunk over all slots (spec_k > 0).
+
+        Round counts bucket to powers of two (static jit arg); near the
+        context end, where not even one (k+1)-row round fits for the
+        furthest slot, the plain one-token step finishes the stream.
+        """
+        k = self.spec_k
+        active = np.array([r is not None for r in self.slot_request])
+        max_pos = int(self.slot_pos[active].max()) if active.any() else 0
+        avail = (self.config.seq_len - max_pos) // (k + 1)
+        n_rounds = 0
+        for rb in self._SPEC_ROUND_BUCKETS:
+            if rb <= min(avail, max(self.decode_chunk_steps, 1)):
+                n_rounds = rb
+                break
+        if n_rounds == 0:
+            self._decode_all(emitted)
+            return
+
+        t = self.config.seq_len
+        hist = np.zeros((self.n_slots, t), np.int32)
+        hlen = np.zeros(self.n_slots, np.int32)
+        temps = np.zeros(self.n_slots, np.float32)
+        topps = np.ones(self.n_slots, np.float32)
+        for slot, req in enumerate(self.slot_request):
+            if req is None:
+                continue
+            h = (list(req.prompt_tokens) + req.generated)[-t:]
+            hist[slot, : len(h)] = h
+            hlen[slot] = len(h)
+            temps[slot] = req.temperature
+            topps[slot] = req.topp
+
+        self._key, sub = jax.random.split(self._key)
+        toks, counts, self.cache = self._decode_spec_paged(
+            self.weights,
+            jnp.asarray(self.slot_token),
+            self.cache,
+            jnp.asarray(self.slot_pos),
+            jnp.asarray(active),
+            jnp.asarray(temps),
+            jnp.asarray(topps),
+            sub,
+            jnp.asarray(self.allocator.tables),
+            jnp.asarray(hist),
+            jnp.asarray(hlen),
+            n_rounds,
+            k,
+        )
+        toks_np = np.asarray(toks)  # [n_rounds, B, k+1]
+        counts_np = np.asarray(counts)  # [n_rounds, B]
+        self._decode_steps += n_rounds
+        for slot, req in enumerate(self.slot_request):
+            if req is None:
+                continue
+            pos = int(self.slot_pos[slot])
+            for r in range(n_rounds):
+                c = int(counts_np[r, slot])
+                for i in range(c):
+                    self._decode_tokens += 1
+                    pos += 1
+                    token = int(toks_np[r, slot, i])
+                    self.slot_token[slot] = token
+                    self._emit(req, token, emitted)
+                    if req.state is not RequestState.ACTIVE:
+                        break
+                if req.state is not RequestState.ACTIVE:
+                    break
+            if req.state is RequestState.ACTIVE:
+                self.slot_pos[slot] = pos
+                if pos >= self.config.seq_len:
+                    self._finish(req, "length")
 
     def _provably_done(self, r: Request, slot: int) -> bool:
         """True iff the request is certain to be finished by the tokens

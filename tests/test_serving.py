@@ -557,3 +557,79 @@ class TestPagedKV:
         assert len(done[0].generated) == 4
         st = eng.stats()
         assert st["kv_pages_free"] == st["kv_pages_total"]
+
+
+class TestSpeculativeServing:
+    """Batched n-gram speculative decoding (spec_k > 0, sync scheduler)."""
+
+    def _run(self, setup, spec_k, reqs=None, **kw):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=3, mode="fast",
+            prefill_buckets=(8, 16), kv_layout="paged", page_size=8,
+            sampling="device", spec_k=spec_k, decode_chunk_steps=4, **kw,
+        )
+        for r in reqs or [
+            Request(request_id=0, prompt_tokens=[1, 2, 1, 2, 1], max_new_tokens=9),
+            Request(request_id=1, prompt_tokens=[4, 5, 6, 7, 8], max_new_tokens=6),
+            Request(request_id=2, prompt_tokens=[2], max_new_tokens=7),
+            Request(request_id=3, prompt_tokens=[9, 1, 9, 1], max_new_tokens=8),
+        ]:
+            eng.submit(r)
+        done = eng.run()
+        return eng, {r.request_id: list(r.generated) for r in done}
+
+    def test_greedy_matches_non_spec(self, setup):
+        """All-greedy requests: spec output must equal the plain paged
+        device-sampling run token-for-token, per request."""
+        _, ref = self._run(setup, spec_k=0)
+        for k in (2, 3):
+            _, spec = self._run(setup, spec_k=k)
+            assert spec == ref, (k, spec, ref)
+
+    def test_pages_released_and_lengths(self, setup):
+        eng, out = self._run(setup, spec_k=2)
+        assert eng.allocator.free_pages == eng.allocator.n_pages - 1
+        assert [len(v) for v in out.values()]  # all requests completed
+
+    def test_mixed_sampling_batch(self, setup):
+        """temperature>0 slots ride along one-token-per-round; greedy slots
+        still match the non-spec greedy output."""
+        def reqs():
+            return [
+                Request(request_id=0, prompt_tokens=[1, 2, 1, 2], max_new_tokens=8),
+                Request(request_id=1, prompt_tokens=[4, 5, 6], max_new_tokens=6,
+                        temperature=0.9, topp=0.8, seed=7),
+                Request(request_id=2, prompt_tokens=[3, 3, 3], max_new_tokens=7),
+            ]
+
+        _, ref = self._run(setup, spec_k=0, reqs=reqs())
+        _, spec = self._run(setup, spec_k=3, reqs=reqs())
+        assert spec[0] == ref[0]
+        assert spec[2] == ref[2]
+        assert len(spec[1]) == 6  # sampled stream completes its budget
+
+    def test_spec_requires_paged_device(self, setup):
+        config, weights = setup
+        with pytest.raises(ValueError, match="speculative serving"):
+            ContinuousBatchingEngine(
+                config=config, weights=weights, kv_layout="dense",
+                sampling="device", spec_k=2,
+            )
+        with pytest.raises(ValueError, match="speculative serving"):
+            ContinuousBatchingEngine(
+                config=config, weights=weights, kv_layout="paged",
+                sampling="host", spec_k=2,
+            )
+
+    def test_spec_warmup_then_run(self, setup):
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+            sampling="device", spec_k=2, decode_chunk_steps=4,
+        )
+        eng.warmup()
+        eng.submit(Request(request_id=0, prompt_tokens=[1, 2, 1, 2], max_new_tokens=5))
+        done = eng.run()
+        assert len(done[0].generated) == 5
