@@ -147,10 +147,11 @@ class ContinuousBatchingEngine:
         # spec_k > 0: n-gram speculative decoding per slot (greedy slots
         # verify spec_k drafts per round and emit 1..spec_k+1 tokens;
         # temperature>0 slots fall back to one sampled token per round —
-        # inference/speculative.py spec_round_batched).  Runs the scheduler
-        # SYNCHRONOUSLY (no chunk pipelining): a round's position advance is
-        # acceptance-dependent, so the next chunk's inputs aren't host-known
-        # at dispatch time.
+        # inference/speculative.py spec_round_batched).  Chunks pipeline
+        # like the plain path: positions, last tokens, and per-slot
+        # histories chain device-side between chunks (acceptance-dependent
+        # advances are never needed on the host at dispatch time); the host
+        # tracks positions as upper bounds until each chunk is processed.
         self.spec_k = spec_k
         if spec_k > 0 and (kv_layout != "paged" or sampling != "device"):
             raise ValueError(
@@ -228,6 +229,9 @@ class ContinuousBatchingEngine:
         self.slot_request: list[Optional[Request]] = [None] * n_slots
         self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
         self.slot_token = np.zeros(n_slots, np.int32)  # last sampled token
+        # Speculative mode: dispatched-but-unprocessed rounds per slot (each
+        # emits >= 1 token — the certainty floor for _provably_done).
+        self._spec_pending_rounds = np.zeros(n_slots, np.int64)
         self.queue: list[Request] = []
         self.completed: list[Request] = []
         self._decode_steps = 0
@@ -335,24 +339,56 @@ class ContinuousBatchingEngine:
             # an eager op on a pending array blocks until the chunk lands.
             return toks, last[:, 0], cache
 
-        @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=(11, 12))
+        @functools.partial(jax.jit, donate_argnums=(5,), static_argnums=(13, 14))
         def _decode_spec_paged(
-            weights, tokens, cache, pos, active, temps, topps, key, tables,
-            hist, hlen, n_rounds, k,
+            weights, prev_last, fresh, fresh_pos, prev_pos, cache, active,
+            temps, topps, key, tables, hist, hlen, n_rounds, k,
         ):
-            """n_rounds batched speculative rounds on device (sync mode):
-            draft → verify (S=k+1) → accept, per slot.  Returns
-            (toks [n_rounds, B, k+1], counts [n_rounds, B], cache)."""
+            """n_rounds batched speculative rounds on device: draft → verify
+            (S=k+1) → accept, per slot (inference/speculative.py).
+
+            Pipelinable like the plain chunk: slots with ``fresh >= 0`` start
+            from host-known (token, position); the rest chain the previous
+            chunk's device-resident ``last``/``pos`` outputs, and hist/hlen
+            likewise chain (admission prefills update their rows on device).
+            Returns (toks [n_rounds, B, k+1], counts [n_rounds, B], last [B],
+            pos [B], hist, hlen, cache).
+            """
             from ..inference.speculative import spec_round_batched
+
+            tokens = jnp.where(fresh >= 0, fresh, prev_last)
+            pos = jnp.where(fresh >= 0, fresh_pos, prev_pos)
 
             def body(carry, _):
                 return spec_round_batched(fwd, weights, carry, k, tables, active)
 
             carry = (tokens, cache, pos, hist, hlen, temps, topps, key)
-            (_, cache, *_), (toks, counts) = jax.lax.scan(
-                body, carry, None, length=n_rounds
+            (last, cache, pos, hist, hlen, _, _, _), (toks, counts) = (
+                jax.lax.scan(body, carry, None, length=n_rounds)
             )
-            return toks, counts, cache
+            return toks, counts, last, pos, hist, hlen, cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill_paged_sampled_spec(
+            weights, tokens, cache, out_idx, tables, temps, topps, key,
+            slots, fresh_in, hist_in, hlen_in,
+        ):
+            """Deferred admission for speculative mode: like
+            ``_prefill_paged_sampled`` plus device-side history seeding —
+            each admitted slot's hist row becomes prompt + first token (so
+            the invariant "hist ends with the pending input token" holds
+            when the already-dispatched chunk consumes it)."""
+            from ..ops.sampling import sample_tokens_jax
+
+            logits, cache = _prefill_paged_inner(
+                weights, tokens, cache, out_idx, tables
+            )
+            toks = sample_tokens_jax(logits, key, temps, topps)
+            fresh_out = fresh_in.at[slots].set(toks, mode="drop")
+            hist = hist_in.at[slots, : tokens.shape[1]].set(tokens, mode="drop")
+            hist = hist.at[slots, out_idx + 1].set(toks, mode="drop")
+            hlen = hlen_in.at[slots].set(out_idx + 2, mode="drop")
+            return toks, fresh_out, hist, hlen, cache
 
         def _prefill_paged_inner(weights, tokens, cache, out_idx, tables):
             # Batched prefill straight into the shared pool: pos_start = 0
@@ -401,6 +437,7 @@ class ContinuousBatchingEngine:
         self._decode_paged = _decode_paged
         self._decode_chunked_paged = _decode_chunked_paged
         self._decode_spec_paged = _decode_spec_paged
+        self._prefill_paged_sampled_spec = _prefill_paged_sampled_spec
         self._prefill_paged = _prefill_paged
         self._prefill_paged_sampled = _prefill_paged_sampled
 
@@ -428,7 +465,17 @@ class ContinuousBatchingEngine:
                     )
                     toks0 = jnp.zeros((k, s_pad), jnp.int32)
                     idx0 = jnp.zeros(k, jnp.int32)
-                    if self.sampling == "device" and not self.spec_k:
+                    if self.spec_k:
+                        out, _, _, _, self.cache = self._prefill_paged_sampled_spec(
+                            self.weights, toks0, self.cache, idx0, tables,
+                            jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
+                            jax.random.PRNGKey(0),
+                            jnp.full(k, self.n_slots, jnp.int32),  # all dropped
+                            jnp.full(self.n_slots, -1, jnp.int32),
+                            jnp.zeros((self.n_slots, self.config.seq_len), jnp.int32),
+                            jnp.zeros(self.n_slots, jnp.int32),
+                        )
+                    elif self.sampling == "device":
                         out, _, self.cache = self._prefill_paged_sampled(
                             self.weights, toks0, self.cache, idx0, tables,
                             jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
@@ -470,18 +517,21 @@ class ContinuousBatchingEngine:
                 0,
             )
             if n_rounds:
-                toks, _, self.cache = self._decode_spec_paged(
+                zeros = jnp.zeros(self.n_slots, jnp.int32)
+                toks, *_, self.cache = self._decode_spec_paged(
                     self.weights,
-                    jnp.zeros(self.n_slots, jnp.int32),
-                    self.cache,
+                    zeros,
+                    jnp.full(self.n_slots, -1, jnp.int32),
                     jnp.asarray(self.slot_pos),
+                    zeros,
+                    self.cache,
                     inactive,
                     jnp.zeros(self.n_slots, jnp.float32),
                     jnp.ones(self.n_slots, jnp.float32),
                     jax.random.PRNGKey(0),
                     jnp.asarray(self.allocator.tables),
                     jnp.zeros((self.n_slots, self.config.seq_len), jnp.int32),
-                    jnp.zeros(self.n_slots, jnp.int32),
+                    zeros,
                     n_rounds,
                     k,
                 )
@@ -561,17 +611,20 @@ class ContinuousBatchingEngine:
         # decode latency to each queued request's TTFT.  Each admission is a
         # blocking prefill that delays active streams' next token, so
         # max_admissions_per_step can bound the stall.
-        # Speculative mode runs synchronously (acceptance-dependent position
-        # advances make pipelined dispatch inputs host-unknowable).
-        deferred = (
-            self.sampling == "device"
-            and self.kv_layout == "paged"
-            and not self.spec_k
-        )
+        deferred = self.sampling == "device" and self.kv_layout == "paged"
         prev = self._inflight
         # Token vector feeding the next chunk's (re)admitted slots; admission
         # prefills chain their sampled first tokens into it device-side.
         fresh = self._fresh_base(prev) if deferred else None
+        # Speculative mode: per-slot histories chain on device like `last`;
+        # with no chunk in flight they rebuild from exact host state.
+        spec_state = None
+        if self.spec_k:
+            if prev is not None:
+                spec_state = {"hist": prev["hist"], "hlen": prev["hlen"]}
+            else:
+                hist_in, hlen_in = self._spec_host_hist()
+                spec_state = {"hist": hist_in, "hlen": hlen_in}
         pending: list[dict] = []
         admitted = 0
         while True:
@@ -584,7 +637,11 @@ class ContinuousBatchingEngine:
                 break
             if self.kv_layout == "paged":
                 k, fresh = self._admit_group(
-                    emitted, budget, fresh=fresh, pending=pending if deferred else None
+                    emitted,
+                    budget,
+                    fresh=fresh,
+                    pending=pending if deferred else None,
+                    spec_state=spec_state,
                 )
             else:
                 k = 1 if self._admit_one(emitted) else 0
@@ -592,8 +649,24 @@ class ContinuousBatchingEngine:
                 break
             admitted += k
         if self.spec_k:
-            if self.active_count:
-                self._decode_all_spec(emitted)
+            # Pipelined speculative chunks: dispatch first, then process the
+            # previous chunk while the new one computes (same contract as the
+            # plain path below).
+            self._inflight = None
+            chunk = None
+            if self.active_count and not self._all_live_finish_within(prev):
+                chunk = self._dispatch_spec_chunk(
+                    prev, fresh, spec_state["hist"], spec_state["hlen"]
+                )
+                self._inflight = chunk
+            for p in pending:
+                self._process_admits(p, emitted)
+            if prev is not None:
+                self._process_spec_chunk(prev, emitted)
+            if chunk is None and prev is None and self.active_count and not pending:
+                # Context-end taper: not one (k+1)-row round fits — finish
+                # the stream with plain one-token steps on exact state.
+                self._decode_all(emitted)
         elif self.sampling == "device":
             # Pipelined chunks: dispatch the next chunk first, then fetch +
             # process the previous one while the new chunk computes.  When
@@ -652,7 +725,8 @@ class ContinuousBatchingEngine:
         return min(p, self.n_slots)
 
     def _admit_group(
-        self, emitted, budget: int | None, *, fresh=None, pending=None
+        self, emitted, budget: int | None, *, fresh=None, pending=None,
+        spec_state=None,
     ) -> tuple[int, object]:
         """Admit a group of queued requests with ONE batched prefill (paged
         layout).  The group is the longest FCFS prefix that shares a prompt
@@ -733,18 +807,41 @@ class ContinuousBatchingEngine:
             slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
             slots_arr[:k] = slots
             self._key, sub = jax.random.split(self._key)
-            toks, fresh, self.cache = self._prefill_paged_sampled(
-                self.weights,
-                jnp.asarray(tokens),
-                self.cache,
-                jnp.asarray(out_idx),
-                jnp.asarray(tables),
-                jnp.asarray(temps),
-                jnp.asarray(topps),
-                sub,
-                jnp.asarray(slots_arr),
-                jnp.asarray(fresh),
-            )
+            if spec_state is not None:
+                # Speculative mode also seeds each admitted slot's device
+                # history row (prompt + first token) so the next chunk can
+                # draft for it without a host round-trip.
+                toks, fresh, hist, hlen, self.cache = (
+                    self._prefill_paged_sampled_spec(
+                        self.weights,
+                        jnp.asarray(tokens),
+                        self.cache,
+                        jnp.asarray(out_idx),
+                        jnp.asarray(tables),
+                        jnp.asarray(temps),
+                        jnp.asarray(topps),
+                        sub,
+                        jnp.asarray(slots_arr),
+                        jnp.asarray(fresh),
+                        jnp.asarray(spec_state["hist"]),
+                        jnp.asarray(spec_state["hlen"]),
+                    )
+                )
+                spec_state["hist"] = hist
+                spec_state["hlen"] = hlen
+            else:
+                toks, fresh, self.cache = self._prefill_paged_sampled(
+                    self.weights,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.asarray(out_idx),
+                    jnp.asarray(tables),
+                    jnp.asarray(temps),
+                    jnp.asarray(topps),
+                    sub,
+                    jnp.asarray(slots_arr),
+                    jnp.asarray(fresh),
+                )
             for i, (req, s_real) in enumerate(picks):
                 self._occupy(req, slots[i], s_real)
             pending.append({"toks": toks, "picks": picks})
@@ -845,68 +942,107 @@ class ContinuousBatchingEngine:
 
     _SPEC_ROUND_BUCKETS = (16, 8, 4, 2, 1)
 
-    def _decode_all_spec(self, emitted) -> None:
-        """One synchronous speculative chunk over all slots (spec_k > 0).
-
-        Round counts bucket to powers of two (static jit arg); near the
-        context end, where not even one (k+1)-row round fits for the
-        furthest slot, the plain one-token step finishes the stream.
-        """
-        k = self.spec_k
-        active = np.array([r is not None for r in self.slot_request])
-        max_pos = int(self.slot_pos[active].max()) if active.any() else 0
-        avail = (self.config.seq_len - max_pos) // (k + 1)
-        n_rounds = 0
-        for rb in self._SPEC_ROUND_BUCKETS:
-            if rb <= min(avail, max(self.decode_chunk_steps, 1)):
-                n_rounds = rb
-                break
-        if n_rounds == 0:
-            self._decode_all(emitted)
-            return
-
+    def _spec_host_hist(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-slot token histories rebuilt from exact host request state
+        (used when no chunk is in flight; otherwise hist chains on device).
+        Each active row is prompt + generated — ending with the slot's
+        pending input token, the drafting invariant."""
         t = self.config.seq_len
         hist = np.zeros((self.n_slots, t), np.int32)
         hlen = np.zeros(self.n_slots, np.int32)
-        temps = np.zeros(self.n_slots, np.float32)
-        topps = np.ones(self.n_slots, np.float32)
         for slot, req in enumerate(self.slot_request):
             if req is None:
                 continue
             h = (list(req.prompt_tokens) + req.generated)[-t:]
             hist[slot, : len(h)] = h
             hlen[slot] = len(h)
-            temps[slot] = req.temperature
-            topps[slot] = req.topp
+        return hist, hlen
 
+    def _dispatch_spec_chunk(self, prev, fresh, hist_in, hlen_in):
+        """Dispatch one speculative chunk without waiting for the previous
+        one (same pipelining contract as ``_dispatch_chunk``): chained slots
+        take the previous chunk's device-resident last-token/position/history
+        outputs; ``fresh >= 0`` slots start from host-known state.  Returns
+        None when not even one (k+1)-row round fits under the furthest
+        slot's position upper bound (context-end taper — the caller falls
+        back to plain one-token steps)."""
+        k = self.spec_k
+        active = np.array(
+            [
+                r is not None and not self._provably_done(r, slot)
+                for slot, r in enumerate(self.slot_request)
+            ]
+        )
+        if not active.any():
+            return None
+        max_pos = int(self.slot_pos[active].max())
+        avail = (self.config.seq_len - max_pos) // (k + 1)
+        n_rounds = next(
+            (
+                rb
+                for rb in self._SPEC_ROUND_BUCKETS
+                if rb <= min(avail, max(self.decode_chunk_steps, 1))
+            ),
+            0,
+        )
+        if n_rounds == 0:
+            return None
+        reqs = list(self.slot_request)
+        temps = np.array([r.temperature if r else 0.0 for r in reqs], np.float32)
+        topps = np.array([r.topp if r else 1.0 for r in reqs], np.float32)
+        zeros = jnp.zeros(self.n_slots, jnp.int32)
+        prev_last = zeros if prev is None else prev["last"]
+        prev_pos = zeros if prev is None else prev["pos"]
         self._key, sub = jax.random.split(self._key)
-        toks, counts, self.cache = self._decode_spec_paged(
+        toks, counts, last, pos, hist, hlen, self.cache = self._decode_spec_paged(
             self.weights,
-            jnp.asarray(self.slot_token),
+            prev_last,
+            jnp.asarray(fresh),
+            jnp.asarray(self.slot_pos),  # exact for every fresh slot
+            prev_pos,
             self.cache,
-            jnp.asarray(self.slot_pos),
             jnp.asarray(active),
             jnp.asarray(temps),
             jnp.asarray(topps),
             sub,
             jnp.asarray(self.allocator.tables),
-            jnp.asarray(hist),
-            jnp.asarray(hlen),
+            jnp.asarray(hist_in),
+            jnp.asarray(hlen_in),
             n_rounds,
             k,
         )
-        toks_np = np.asarray(toks)  # [n_rounds, B, k+1]
-        counts_np = np.asarray(counts)  # [n_rounds, B]
+        # Host position becomes an UPPER BOUND until the chunk is processed
+        # (per-round advance is acceptance-dependent, 1..k+1).
+        self.slot_pos[active] += n_rounds * (k + 1)
+        self._spec_pending_rounds[active] += n_rounds
+        return {
+            "toks": toks,
+            "counts": counts,
+            "last": last,
+            "pos": pos,
+            "hist": hist,
+            "hlen": hlen,
+            "n_rounds": n_rounds,
+            "active": active,
+            "reqs": reqs,
+        }
+
+    def _process_spec_chunk(self, chunk: dict, emitted) -> None:
+        """Fetch + process one speculative chunk: emit each slot's accepted
+        runs, then restore the exact host position (prompt + generated − 1
+        pending input) plus the still-in-flight chunk's reservation."""
+        toks_np = np.asarray(chunk["toks"])  # [n_rounds, B, k+1]
+        counts_np = np.asarray(chunk["counts"])  # [n_rounds, B]
+        n_rounds = chunk["n_rounds"]
         self._decode_steps += n_rounds
-        for slot, req in enumerate(self.slot_request):
-            if req is None:
+        for slot, req in enumerate(chunk["reqs"]):
+            if req is None or req.state is not RequestState.ACTIVE:
                 continue
-            pos = int(self.slot_pos[slot])
+            if not chunk["active"][slot]:
+                continue  # masked at dispatch — no tokens in this chunk
             for r in range(n_rounds):
-                c = int(counts_np[r, slot])
-                for i in range(c):
+                for i in range(int(counts_np[r, slot])):
                     self._decode_tokens += 1
-                    pos += 1
                     token = int(toks_np[r, slot, i])
                     self.slot_token[slot] = token
                     self._emit(req, token, emitted)
@@ -914,10 +1050,26 @@ class ContinuousBatchingEngine:
                         break
                 if req.state is not RequestState.ACTIVE:
                     break
-            if req.state is RequestState.ACTIVE:
-                self.slot_pos[slot] = pos
-                if pos >= self.config.seq_len:
-                    self._finish(req, "length")
+            if req.state is not RequestState.ACTIVE:
+                continue
+            self._spec_pending_rounds[slot] = max(
+                0, self._spec_pending_rounds[slot] - n_rounds
+            )
+            exact = req._next_pos + len(req.generated) - 1
+            if exact >= self.config.seq_len:
+                self._finish(req, "length")
+                continue
+            inflight = self._inflight
+            reserved = (
+                inflight["n_rounds"] * (self.spec_k + 1)
+                if (
+                    inflight is not None
+                    and inflight["active"][slot]
+                    and inflight["reqs"][slot] is req
+                )
+                else 0
+            )
+            self.slot_pos[slot] = exact + reserved
 
     def _provably_done(self, r: Request, slot: int) -> bool:
         """True iff the request is certain to be finished by the tokens
@@ -927,6 +1079,17 @@ class ContinuousBatchingEngine:
         still-unfetched tokens (a pending admission's device-side first token
         included).  EOS can only finish a request *earlier*, so a True here
         is exact — such a slot never has more work."""
+        if self.spec_k:
+            # Speculative chunks advance 1..k+1 per round, so the position
+            # delta is an upper bound; the GUARANTEED pending emission is one
+            # token per dispatched-unprocessed round (plus a deferred
+            # admission's first token).  No context-end clause: the rounds
+            # bound keeps positions inside seq_len, and the taper finishes
+            # through the plain-step fallback with exact state.
+            pend = int(self._spec_pending_rounds[slot]) + (
+                1 if r.first_token_time is None else 0
+            )
+            return len(r.generated) + pend >= r.max_new_tokens
         pending = int(self.slot_pos[slot]) - (r._next_pos + len(r.generated) - 1)
         return (
             len(r.generated) + pending >= r.max_new_tokens
@@ -1060,6 +1223,7 @@ class ContinuousBatchingEngine:
             self.slot_request[req.slot] = None
             self.slot_pos[req.slot] = 0
             self.slot_token[req.slot] = 0
+            self._spec_pending_rounds[req.slot] = 0
             req.slot = None
         self.completed.append(req)
 

@@ -132,3 +132,104 @@ def test_generate_loop_spec_parity(ckpt, engine):
     ids_spec, text_spec = run(3)
     assert ids_spec == ids_ref
     assert text_spec == text_ref
+
+
+class TestSpecRoundBatched:
+    """spec_round_batched acceptance logic with a mocked forward — crafted
+    logits make every outcome exact (no model float noise)."""
+
+    V, K = 16, 2
+
+    def _round(self, hist_rows, hlens, curs, temps, active, targets, pos):
+        import jax
+
+        b = len(curs)
+        t = 12
+        from qwen3_rs_tpu.inference.speculative import spec_round_batched
+
+        targets = jnp.asarray(targets)  # [B, K+1] forced argmax per row
+
+        def fake_fwd(weights, window, cache, pos, write_mask=None,
+                     page_table=None, return_all_logits=False):
+            logits = jax.nn.one_hot(targets, self.V) * 10.0
+            return logits, cache
+
+        hist = np.zeros((b, t), np.int32)
+        for i, row in enumerate(hist_rows):
+            hist[i, : len(row)] = row
+        carry = (
+            jnp.asarray(curs, jnp.int32),
+            {"cache": 0},  # opaque pytree passthrough
+            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(hist),
+            jnp.asarray(hlens, jnp.int32),
+            jnp.asarray(temps, jnp.float32),
+            jnp.full((b,), 0.5, jnp.float32),  # nucleus keeps only the top-1
+            jax.random.PRNGKey(0),
+        )
+        new_carry, (toks, counts) = spec_round_batched(
+            fake_fwd, None, carry, self.K, None, jnp.asarray(active)
+        )
+        return new_carry, np.asarray(toks), np.asarray(counts)
+
+    def test_full_and_zero_acceptance_mixed_inactive(self):
+        # slot 0: hist [1,2,3,1,2], cur 2 → bigram (1,2) at j=1 → draft [3,1];
+        #         preds [3,1,7] accept both → count 3, emits [3,1,7]
+        # slot 1: hist [4,5,6,4,5], cur 5 → draft [6,4]; preds [9,6,6]:
+        #         draft[0]=6 != preds[0]=9 → count 1, emits [9]
+        # slot 2: temp 1.0 → sampled row 0 only → count 1, emits target [8]
+        # slot 3: inactive → count 0, everything frozen
+        (cur, _, pos, hist, hlen, _, _, _), toks, counts = self._round(
+            hist_rows=[[1, 2, 3, 1, 2], [4, 5, 6, 4, 5], [7, 8, 7, 8], [0]],
+            hlens=[5, 5, 4, 1],
+            curs=[2, 5, 8, 0],
+            temps=[0.0, 0.0, 1.0, 0.0],
+            active=[True, True, True, False],
+            targets=[[3, 1, 7], [9, 6, 6], [8, 2, 2], [5, 5, 5]],
+            pos=[10, 20, 30, 0],
+        )
+        assert counts.tolist() == [3, 1, 1, 0]
+        assert toks[0].tolist() == [3, 1, 7]
+        assert toks[1, 0] == 9
+        assert toks[2, 0] == 8
+        assert np.asarray(cur).tolist() == [7, 9, 8, 0]
+        assert np.asarray(pos).tolist() == [13, 21, 31, 0]
+        assert np.asarray(hlen).tolist() == [8, 6, 5, 1]
+        h = np.asarray(hist)
+        assert h[0, :8].tolist() == [1, 2, 3, 1, 2, 3, 1, 7]
+        assert h[1, :6].tolist() == [4, 5, 6, 4, 5, 9]
+        assert h[2, :5].tolist() == [7, 8, 7, 8, 8]
+        assert h[3, 0] == 0 and np.asarray(hlen)[3] == 1
+
+    def test_partial_acceptance(self):
+        # draft [3,1] vs preds [3,9,...]: first accepted, second rejected →
+        # count 2, emits [3, 9] (accepted draft + bonus).
+        (cur, _, pos, _, hlen, _, _, _), toks, counts = self._round(
+            hist_rows=[[1, 2, 3, 1, 2]],
+            hlens=[5],
+            curs=[2],
+            temps=[0.0],
+            active=[True],
+            targets=[[3, 9, 4]],
+            pos=[7],
+        )
+        assert counts.tolist() == [2]
+        assert toks[0, :2].tolist() == [3, 9]
+        assert np.asarray(cur).tolist() == [9]
+        assert np.asarray(pos).tolist() == [9]
+
+    def test_no_draft_match_emits_one(self):
+        # No bigram repeat in history → draft invalid (-1) → count 1.
+        (cur, _, pos, _, _, _, _, _), toks, counts = self._round(
+            hist_rows=[[1, 2, 3, 4]],
+            hlens=[4],
+            curs=[4],
+            temps=[0.0],
+            active=[True],
+            targets=[[6, 6, 6]],
+            pos=[4],
+        )
+        assert counts.tolist() == [1]
+        assert toks[0, 0] == 6
+        assert np.asarray(cur).tolist() == [6]
+        assert np.asarray(pos).tolist() == [5]
