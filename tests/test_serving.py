@@ -671,3 +671,48 @@ class TestSpeculativeServing:
         eng.submit(Request(request_id=0, prompt_tokens=[1, 2, 1, 2], max_new_tokens=5))
         done = eng.run()
         assert len(done[0].generated) == 5
+
+
+class TestSchedulerFuzz:
+    """Randomized loads against structural invariants: every request
+    completes exactly its budget (no EOS configured), pages fully return to
+    the pool, and no request is starved — across plain and speculative
+    paged scheduling with mixed sampling parameters."""
+
+    @pytest.mark.parametrize("spec_k", [0, 3])
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_random_load(self, setup, spec_k, seed):
+        config, weights = setup
+        rng = np.random.default_rng(seed)
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=3, mode="fast",
+            prefill_buckets=(8, 16), kv_layout="paged", page_size=8,
+            sampling="device", spec_k=spec_k, decode_chunk_steps=3,
+        )
+        reqs = []
+        for i in range(9):
+            plen = int(rng.integers(1, 14))
+            budget = int(rng.integers(1, 12))
+            temp = float(rng.choice([0.0, 0.0, 0.8]))
+            reqs.append(
+                Request(
+                    request_id=i,
+                    prompt_tokens=rng.integers(1, config.vocab_size, plen).tolist(),
+                    max_new_tokens=budget,
+                    temperature=temp,
+                    seed=i,
+                )
+            )
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        assert len(done) == len(reqs)
+        for r in done:
+            assert len(r.generated) == r.max_new_tokens, (
+                r.request_id, len(r.generated), r.max_new_tokens, r.finish_reason
+            )
+            assert r.finish_reason == "length"
+            assert all(0 <= t < config.vocab_size for t in r.generated)
+        assert eng.allocator.free_pages == eng.allocator.n_pages - 1
+        assert (eng.allocator.tables == 0).all()
+        assert eng.slot_request == [None] * eng.n_slots
