@@ -315,6 +315,7 @@ def qwen3_forward(
     from ..ops.pallas.paged_attention import (
         paged_decode_supported,
         paged_flash_enabled,
+        paged_window_supported,
     )
 
     # Paged decode kernel: pages DMA'd pool→VMEM by page id (no gather
@@ -346,6 +347,26 @@ def qwen3_forward(
         and pallas_ops.pallas_enabled()
         and splash_prefill_supported(
             s, config.head_dim, config.n_heads, config.n_kv_heads
+        )
+    )
+
+    # Small multi-row windows (speculative verify, short continuation
+    # prefills): same page-DMA kernel shape, emitting online-softmax
+    # partials that merge with the in-window causal attention in XLA.
+    use_paged_flash_window = (
+        paged
+        and allow_paged_flash
+        and not use_splash_prefill
+        and mode == "fast"
+        and s > 1
+        and pallas_ops.pallas_enabled()
+        and paged_flash_enabled()
+        and paged_window_supported(
+            config.head_dim,
+            cache.k.shape[3],
+            cache.k.dtype,
+            s,
+            config.n_heads // config.n_kv_heads,
         )
     )
 
@@ -405,6 +426,21 @@ def qwen3_forward(
                 k_scale_pool=getattr(cache, "k_scale", None),
                 v_scale_pool=getattr(cache, "v_scale", None),
             )[:, None].astype(compute_dtype)
+        elif use_paged_flash_window:
+            from ..ops.pallas.paged_attention import paged_gqa_window_stacked
+
+            att = paged_gqa_window_stacked(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                cache.k,
+                cache.v,
+                page_table,
+                pos_start,
+                idx,
+                k_scale_pool=getattr(cache, "k_scale", None),
+                v_scale_pool=getattr(cache, "v_scale", None),
+            ).astype(compute_dtype)
         elif paged:
             from ..ops.attention import gqa_attention_split_paged
 

@@ -272,3 +272,253 @@ def paged_gqa_decode_stacked(
         *args,
     )
     return out.reshape(b, n_heads, hd)
+
+
+# ---------------------------------------------------------------------------
+# Small-window variant: S query rows per request (speculative verify windows,
+# short continuation prefills).  The kernel streams only the CACHE part —
+# per-request position-bounded page DMAs, identical to the decode kernel —
+# and emits online-softmax partials (m, l, acc); the in-window causal
+# attention and the joint normalization run in XLA (ops/attention.py
+# ``_merge_window``), which is tiny at these sizes.  All S rows sit at
+# positions >= pos[b], so the whole block shares one validity mask.
+
+
+def _partials_kernel(
+    layer_ref,  # [1] int32
+    pos_ref,  # [B] int32
+    pt_ref,  # [B, max_pages] int32
+    q_ref,  # [1, kv, R, hd] f32 (R = S*kv_mul rows, pre-scaled)
+    k_pool_ref,  # [L, P, kv, page, hd] (HBM)
+    v_pool_ref,
+    *rest,  # quantized: ks_pool, vs_pool; then out_m, out_l, out_acc
+    scale: float,
+    quantized: bool,
+):
+    if quantized:
+        ks_pool_ref, vs_pool_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
+
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    p = pos_ref[b]
+    page = k_pool_ref.shape[3]
+    n_kv = q_ref.shape[1]
+
+    q = q_ref[0] * scale  # [kv, R, hd]
+
+    def _dot_t(a, bm):  # a [r, hd], bm [n, hd] → [r, n]
+        return jax.lax.dot_general(
+            a, bm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def body(k_buf, v_buf, sem_k, sem_v, ks_buf=None, vs_buf=None, sem_ks=None, sem_vs=None):
+        r = q.shape[1]
+        m0 = jnp.full((n_kv, r, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((n_kv, r, 1), jnp.float32)
+        acc0 = jnp.zeros((n_kv, r, q.shape[2]), jnp.float32)
+
+        n_chunks = pl.cdiv(p, page)
+
+        def start_dma(j, slot):
+            pid = pt_ref[b, j]
+            pltpu.make_async_copy(
+                k_pool_ref.at[layer, pid], k_buf.at[slot], sem_k.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                v_pool_ref.at[layer, pid], v_buf.at[slot], sem_v.at[slot]
+            ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_pool_ref.at[layer, pid], ks_buf.at[slot], sem_ks.at[slot]
+                ).start()
+                pltpu.make_async_copy(
+                    vs_pool_ref.at[layer, pid], vs_buf.at[slot], sem_vs.at[slot]
+                ).start()
+
+        def wait_dma(j, slot):
+            pid = pt_ref[b, j]
+            pltpu.make_async_copy(
+                k_pool_ref.at[layer, pid], k_buf.at[slot], sem_k.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                v_pool_ref.at[layer, pid], v_buf.at[slot], sem_v.at[slot]
+            ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_pool_ref.at[layer, pid], ks_buf.at[slot], sem_ks.at[slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_pool_ref.at[layer, pid], vs_buf.at[slot], sem_vs.at[slot]
+                ).wait()
+
+        @pl.when(n_chunks > 0)
+        def _():
+            start_dma(0, 0)
+
+        def step(j, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                start_dma(j + 1, 1 - slot)
+
+            wait_dma(j, slot)
+
+            kf = k_buf[slot].astype(jnp.float32)  # [kv, page, hd]
+            vf = v_buf[slot].astype(jnp.float32)
+            m_hs, l_hs, a_hs = [], [], []
+            for h in range(n_kv):
+                sc = _dot_t(q[h], kf[h])  # [R, page]
+                if quantized:
+                    sc = sc * ks_buf[slot, h : h + 1, :]
+                t_idx = j * page + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+                sc = jnp.where(t_idx < p, sc, -jnp.inf)
+
+                m_new = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
+                finite = jnp.isfinite(m_new)
+                corr = jnp.where(finite, jnp.exp(m[h] - m_new), 0.0)
+                probs = jnp.where(finite, jnp.exp(sc - m_new), 0.0)
+                l_new = l[h] * corr + jnp.sum(probs, axis=1, keepdims=True)
+                if quantized:
+                    probs = probs * vs_buf[slot, h : h + 1, :]
+                a_new = acc[h] * corr + jax.lax.dot_general(
+                    probs,
+                    vf[h],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_hs.append(m_new)
+                l_hs.append(l_new)
+                a_hs.append(a_new)
+            return jnp.stack(m_hs), jnp.stack(l_hs), jnp.stack(a_hs)
+
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, step, (m0, l0, acc0))
+        # m/l broadcast along the 128-lane output axis; the host slices lane 0.
+        m_ref[0] = jnp.broadcast_to(m, m_ref.shape[1:])
+        l_ref[0] = jnp.broadcast_to(l, l_ref.shape[1:])
+        acc_ref[0] = acc
+
+    kv, page_sz, hd = k_pool_ref.shape[2], k_pool_ref.shape[3], k_pool_ref.shape[4]
+    scratch = dict(
+        k_buf=pltpu.VMEM((2, kv, page_sz, hd), k_pool_ref.dtype),
+        v_buf=pltpu.VMEM((2, kv, page_sz, hd), v_pool_ref.dtype),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
+    )
+    if quantized:
+        scratch.update(
+            ks_buf=pltpu.VMEM((2, kv, page_sz), jnp.float32),
+            vs_buf=pltpu.VMEM((2, kv, page_sz), jnp.float32),
+            sem_ks=pltpu.SemaphoreType.DMA((2,)),
+            sem_vs=pltpu.SemaphoreType.DMA((2,)),
+        )
+    pl.run_scoped(body, **scratch)
+
+
+# VMEM bound for the kernel's per-head loop carries (acc [kv, R, hd] f32 and
+# the double-buffered page slabs): R = S*kv_mul rows.
+MAX_WINDOW_ROWS = 128
+
+
+def paged_window_supported(
+    head_dim: int, page_size: int, dtype, s: int, kv_mul: int
+) -> bool:
+    return (
+        paged_decode_supported(head_dim, page_size, dtype)
+        and s > 1  # S == 1 uses the fused decode kernel
+        and s * kv_mul <= MAX_WINDOW_ROWS
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_gqa_window_stacked(
+    q: jax.Array,  # [B, S, n_heads, hd]
+    k_new: jax.Array,  # [B, S, n_kv, hd]
+    v_new: jax.Array,  # [B, S, n_kv, hd]
+    k_pool: jax.Array,  # [L, P, n_kv, page, hd]
+    v_pool: jax.Array,
+    page_table: jax.Array,  # [B, max_pages] int32
+    pos: jax.Array,  # [B] int32 — cache rows < pos are valid for every row
+    layer_idx,
+    *,
+    k_scale_pool: jax.Array | None = None,
+    v_scale_pool: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Small-window paged attention (cache prefix via the Pallas partials
+    kernel + causal in-window attention merged in XLA) → [B, S, heads, hd].
+
+    Query row i sits at absolute position pos[b] + i (the model's spec
+    verify / continuation window convention)."""
+    from ...ops.attention import _merge_window
+
+    b, s, n_heads, hd = q.shape
+    n_kv = k_pool.shape[2]
+    kv_mul = n_heads // n_kv
+    scale = 1.0 / (hd**0.5)
+    quantized = k_scale_pool is not None
+    r = s * kv_mul
+
+    qf = q.reshape(b, s, n_kv, kv_mul, hd).astype(jnp.float32)
+    # Kernel row layout: [B, kv, (mul, s) → R, hd] so the partials reshape
+    # back to _merge_window's [B, KV, M, S, ...] without a transpose.
+    q_rows = jnp.transpose(qf, (0, 2, 3, 1, 4)).reshape(b, n_kv, r, hd)
+
+    bspec = lambda shp: pl.BlockSpec(
+        shp, lambda i, l, p, t: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        bspec((1, n_kv, r, hd)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [q_rows, k_pool, v_pool]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args += [k_scale_pool, v_scale_pool]
+
+    out_specs = [
+        bspec((1, n_kv, r, 128)),
+        bspec((1, n_kv, r, 128)),
+        bspec((1, n_kv, r, hd)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_kv, r, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_kv, r, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_kv, r, hd), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    m, l, acc = pl.pallas_call(
+        functools.partial(_partials_kernel, scale=scale, quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(pos, jnp.int32),
+        jnp.asarray(page_table, jnp.int32),
+        *args,
+    )
+    # [B, kv, R(=mul*s), …] → [B, KV, M, S, …]
+    m_c = m[..., :1].reshape(b, n_kv, kv_mul, s, 1)
+    l_c = l[..., :1].reshape(b, n_kv, kv_mul, s, 1)
+    acc_c = acc.reshape(b, n_kv, kv_mul, s, hd)
+    return _merge_window(
+        qf, m_c, l_c, acc_c,
+        k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+        win_offset=0, scale=scale, out_dtype=q.dtype,
+    )

@@ -11,7 +11,8 @@ dispatch + transfer latency, see kernel_microbench.py) for both paths:
 
 Usage: python scripts/paged_attn_microbench.py [model] [xla|pallas|both]
 Env:   PB_BATCH (default 8), PB_POS (default 1024), PB_INT8=1 (int8 pool),
-       PB_REPS (default 16).
+       PB_REPS (default 16), PB_S (default 1: fused decode kernel; >1:
+       window partials kernel vs XLA, speculative-verify shapes).
 """
 
 from __future__ import annotations
@@ -29,7 +30,10 @@ from qwen3_rs_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 from qwen3_rs_tpu.ops.attention import gqa_attention_split_paged
-from qwen3_rs_tpu.ops.pallas.paged_attention import paged_gqa_decode_stacked
+from qwen3_rs_tpu.ops.pallas.paged_attention import (
+    paged_gqa_decode_stacked,
+    paged_gqa_window_stacked,
+)
 from qwen3_rs_tpu.testing import qwen3_config
 
 model = sys.argv[1] if len(sys.argv) > 1 else "8b"
@@ -38,6 +42,7 @@ B = int(os.environ.get("PB_BATCH", 8))
 POS = int(os.environ.get("PB_POS", 1024))
 INT8 = os.environ.get("PB_INT8", "0") == "1"
 REPS = int(os.environ.get("PB_REPS", 16))
+S = int(os.environ.get("PB_S", 1))
 PAGE = 128
 
 c = qwen3_config(model, seq_len=4096)
@@ -77,26 +82,35 @@ for b in range(B):
 pt = jnp.asarray(pt)
 pos = jnp.full((B,), POS, jnp.int32)
 
-q0 = jax.random.normal(jax.random.fold_in(key, 2), (B, n_heads, hd), jnp.float32)
-kn = jax.random.normal(jax.random.fold_in(key, 3), (B, n_kv, hd), jnp.float32)
-vn = jax.random.normal(jax.random.fold_in(key, 4), (B, n_kv, hd), jnp.float32)
+qshape = (B, n_heads, hd) if S == 1 else (B, S, n_heads, hd)
+knshape = (B, n_kv, hd) if S == 1 else (B, S, n_kv, hd)
+q0 = jax.random.normal(jax.random.fold_in(key, 2), qshape, jnp.float32)
+kn = jax.random.normal(jax.random.fold_in(key, 3), knshape, jnp.float32)
+vn = jax.random.normal(jax.random.fold_in(key, 4), knshape, jnp.float32)
 
 
 def layer_sweep_pallas(q):
     def body(carry, idx):
         qi = q + carry * 1e-30
-        out = paged_gqa_decode_stacked(
-            qi, kn, vn, k_pool, v_pool, pt, pos, idx,
-            k_scale_pool=ks_pool, v_scale_pool=vs_pool,
-        )
-        return carry + jnp.sum(out), None
+        if S == 1:
+            out = paged_gqa_decode_stacked(
+                qi, kn, vn, k_pool, v_pool, pt, pos, idx,
+                k_scale_pool=ks_pool, v_scale_pool=vs_pool,
+            )
+        else:
+            out = paged_gqa_window_stacked(
+                qi, kn, vn, k_pool, v_pool, pt, pos, idx,
+                k_scale_pool=ks_pool, v_scale_pool=vs_pool,
+            )
+        return carry + jnp.sum(out.astype(jnp.float32)), None
 
     return body
 
 
 def layer_sweep_xla(q):
     def body(carry, idx):
-        qi = q + carry * 1e-30
+        qi = q if S > 1 else q[:, None]
+        qi = qi + carry * 1e-30
         kl = jax.lax.dynamic_index_in_dim(k_pool, idx, 0, keepdims=False)
         vl = jax.lax.dynamic_index_in_dim(v_pool, idx, 0, keepdims=False)
         kw = {}
@@ -105,9 +119,11 @@ def layer_sweep_xla(q):
                 k_scale_pool=jax.lax.dynamic_index_in_dim(ks_pool, idx, 0, keepdims=False),
                 v_scale_pool=jax.lax.dynamic_index_in_dim(vs_pool, idx, 0, keepdims=False),
             )
+        knw = kn if S > 1 else kn[:, None]
+        vnw = vn if S > 1 else vn[:, None]
         out = gqa_attention_split_paged(
-            qi[:, None].astype(jnp.bfloat16), kl, vl, pt,
-            kn[:, None].astype(jnp.bfloat16), vn[:, None].astype(jnp.bfloat16),
+            qi.astype(jnp.bfloat16), kl, vl, pt,
+            knw.astype(jnp.bfloat16), vnw.astype(jnp.bfloat16),
             pos, **kw,
         )
         return carry + jnp.sum(out.astype(jnp.float32)), None
@@ -136,7 +152,7 @@ def bench(name, sweep_body):
     bytes_touched = L * B * used_pages * n_kv * PAGE * (hd * elem * 2 + (8 if INT8 else 0))
     gbs = bytes_touched / per_sweep / 1e9
     print(
-        f"{name:7s} B={B} pos={POS} int8={int(INT8)}: "
+        f"{name:7s} B={B} S={S} pos={POS} int8={int(INT8)}: "
         f"{per_sweep*1e3:7.3f} ms/step-attn  {gbs:6.1f} GB/s effective",
         flush=True,
     )
