@@ -208,6 +208,11 @@ def main(argv=None) -> int:
         import json
         import time
 
+        if args.spec > 0 and args.kv != "paged":
+            raise SystemExit(
+                "--spec requires the paged KV layout: add --kv paged"
+            )
+
         from .checkpoint import load_checkpoint
         from .inference.tokenizer import Tokenizer
         from .serving import ContinuousBatchingEngine, Request

@@ -504,19 +504,14 @@ class ContinuousBatchingEngine:
                 np.asarray(logits)
         inactive = jnp.zeros(self.n_slots, bool)
         if self.spec_k:
-            # Warm the speculative chunk (and the plain-step tail fallback
-            # below, via the host-sampling branch's single decode).
+            # Warm EVERY reachable speculative round bucket: the context-end
+            # taper selects successively smaller buckets (static jit arg), and
+            # a mid-serving compile stalls in-flight streams.  The plain-step
+            # tail fallback is warmed by the host-sampling branch's single
+            # decode below.
             k = self.spec_k
-            avail = self.config.seq_len // (k + 1)
-            n_rounds = next(
-                (
-                    rb
-                    for rb in self._SPEC_ROUND_BUCKETS
-                    if rb <= min(avail, max(self.decode_chunk_steps, 1))
-                ),
-                0,
-            )
-            if n_rounds:
+            top = self._spec_n_rounds(self.config.seq_len // (k + 1))
+            for n_rounds in [rb for rb in self._SPEC_ROUND_BUCKETS if rb <= top]:
                 zeros = jnp.zeros(self.n_slots, jnp.int32)
                 toks, *_, self.cache = self._decode_spec_paged(
                     self.weights,
@@ -663,10 +658,20 @@ class ContinuousBatchingEngine:
                 self._process_admits(p, emitted)
             if prev is not None:
                 self._process_spec_chunk(prev, emitted)
-            if chunk is None and prev is None and self.active_count and not pending:
-                # Context-end taper: not one (k+1)-row round fits — finish
-                # the stream with plain one-token steps on exact state.
-                self._decode_all(emitted)
+            # Context-end taper: live slots the spec chunk couldn't cover
+            # (fewer than k+1 rows of room) advance by plain one-token steps
+            # on exact state — one near-full stream must not collapse the
+            # whole batch out of speculative mode.
+            tail = [
+                slot
+                for slot, r in enumerate(self.slot_request)
+                if r is not None
+                and not (chunk is not None and chunk["active"][slot])
+                and not self._provably_done(r, slot)
+                and int(self.slot_pos[slot]) < self.config.seq_len
+            ]
+            if tail:
+                self._decode_all(emitted, slots=tail)
         elif self.sampling == "device":
             # Pipelined chunks: dispatch the next chunk first, then fetch +
             # process the previous one while the new chunk computes.  When
@@ -907,8 +912,14 @@ class ContinuousBatchingEngine:
                 fresh[slot] = self.slot_token[slot]
         return fresh
 
-    def _decode_all(self, emitted) -> None:
-        active = np.array([r is not None for r in self.slot_request])
+    def _decode_all(self, emitted, slots=None) -> None:
+        """One plain single-token step.  ``slots`` restricts it to a subset
+        (the speculative taper: end-near slots step here while the rest run
+        spec chunks; the excluded slots' cache writes are masked off)."""
+        include = lambda i: slots is None or i in slots
+        active = np.array(
+            [r is not None and include(i) for i, r in enumerate(self.slot_request)]
+        )
         if self.kv_layout == "paged":
             logits, self.cache = self._decode_paged(
                 self.weights,
@@ -929,7 +940,7 @@ class ContinuousBatchingEngine:
         logits_np = np.asarray(logits)
         self._decode_steps += 1
         for slot, req in enumerate(self.slot_request):
-            if req is None:
+            if req is None or not include(slot):
                 continue
             self._decode_tokens += 1
             self.slot_pos[slot] += 1
@@ -942,6 +953,12 @@ class ContinuousBatchingEngine:
 
     _SPEC_ROUND_BUCKETS = (16, 8, 4, 2, 1)
 
+    def _spec_n_rounds(self, avail: int) -> int:
+        """Largest round bucket that fits ``avail`` rounds (0 = none).
+        warmup() compiles exactly the buckets this can select."""
+        cap = min(avail, max(self.decode_chunk_steps, 1))
+        return next((rb for rb in self._SPEC_ROUND_BUCKETS if rb <= cap), 0)
+
     def _spec_host_hist(self) -> tuple[np.ndarray, np.ndarray]:
         """Per-slot token histories rebuilt from exact host request state
         (used when no chunk is in flight; otherwise hist chains on device).
@@ -953,7 +970,10 @@ class ContinuousBatchingEngine:
         for slot, req in enumerate(self.slot_request):
             if req is None:
                 continue
-            h = (list(req.prompt_tokens) + req.generated)[-t:]
+            # Same prompt truncation as admission (seq_len - 1) so the
+            # rebuilt history matches what the model actually consumed.
+            prompt = list(req.prompt_tokens[: self.config.seq_len - 1])
+            h = (prompt + req.generated)[-t:]
             hist[slot, : len(h)] = h
             hlen[slot] = len(h)
         return hist, hlen
@@ -962,29 +982,24 @@ class ContinuousBatchingEngine:
         """Dispatch one speculative chunk without waiting for the previous
         one (same pipelining contract as ``_dispatch_chunk``): chained slots
         take the previous chunk's device-resident last-token/position/history
-        outputs; ``fresh >= 0`` slots start from host-known state.  Returns
-        None when not even one (k+1)-row round fits under the furthest
-        slot's position upper bound (context-end taper — the caller falls
-        back to plain one-token steps)."""
+        outputs; ``fresh >= 0`` slots start from host-known state.  Slots
+        with fewer than k+1 context rows left are masked out rather than
+        throttling the whole batch's round count — step() finishes them
+        with plain one-token steps on exact state.  Returns None when no
+        slot can run a round."""
         k = self.spec_k
         active = np.array(
             [
-                r is not None and not self._provably_done(r, slot)
+                r is not None
+                and not self._provably_done(r, slot)
+                and self.config.seq_len - int(self.slot_pos[slot]) >= k + 1
                 for slot, r in enumerate(self.slot_request)
             ]
         )
         if not active.any():
             return None
         max_pos = int(self.slot_pos[active].max())
-        avail = (self.config.seq_len - max_pos) // (k + 1)
-        n_rounds = next(
-            (
-                rb
-                for rb in self._SPEC_ROUND_BUCKETS
-                if rb <= min(avail, max(self.decode_chunk_steps, 1))
-            ),
-            0,
-        )
+        n_rounds = self._spec_n_rounds((self.config.seq_len - max_pos) // (k + 1))
         if n_rounds == 0:
             return None
         reqs = list(self.slot_request)
@@ -1040,9 +1055,17 @@ class ContinuousBatchingEngine:
                 continue
             if not chunk["active"][slot]:
                 continue  # masked at dispatch — no tokens in this chunk
+            pos = req._next_pos + len(req.generated) - 1  # exact chunk start
             for r in range(n_rounds):
                 for i in range(int(counts_np[r, slot])):
                     self._decode_tokens += 1
+                    pos += 1
+                    if pos >= self.config.seq_len:
+                        # Same boundary semantics as the plain path
+                        # (_process_chunk): the token produced from the last
+                        # context row is discarded.
+                        self._finish(req, "length")
+                        break
                     token = int(toks_np[r, slot, i])
                     self.slot_token[slot] = token
                     self._emit(req, token, emitted)
@@ -1056,9 +1079,6 @@ class ContinuousBatchingEngine:
                 0, self._spec_pending_rounds[slot] - n_rounds
             )
             exact = req._next_pos + len(req.generated) - 1
-            if exact >= self.config.seq_len:
-                self._finish(req, "length")
-                continue
             inflight = self._inflight
             reserved = (
                 inflight["n_rounds"] * (self.spec_k + 1)

@@ -277,10 +277,7 @@ class TestPagedWindowKernel:
                 interpret=True, **scales,
             )
         )
-        ref_scales = (
-            {k.replace("_pool", "_pool"): v[layer] for k, v in scales.items()}
-            if scales else {}
-        )
+        ref_scales = {k: v[layer] for k, v in scales.items()}
         ref = np.asarray(
             gqa_attention_split_paged(
                 jnp.asarray(q),

@@ -716,3 +716,34 @@ class TestSchedulerFuzz:
         assert eng.allocator.free_pages == eng.allocator.n_pages - 1
         assert (eng.allocator.tables == 0).all()
         assert eng.slot_request == [None] * eng.n_slots
+
+
+def test_spec_context_end_taper(setup):
+    """One stream filling its context must not collapse the batch out of
+    speculative mode, and must stop exactly at the boundary with the same
+    discard semantics as the plain scheduler (the token produced from the
+    last context row is dropped)."""
+    config, weights = setup  # seq_len = 64
+    eng = ContinuousBatchingEngine(
+        config=config, weights=weights, n_slots=2, mode="fast",
+        prefill_buckets=(8, 64), kv_layout="paged", page_size=8,
+        sampling="device", spec_k=3, decode_chunk_steps=4,
+        n_pages=32,
+    )
+    # Request 0: prompt pads to bucket 64 → truncated to seq_len-1 rows; it
+    # can only emit until pos hits seq_len (length-finish at the boundary).
+    eng.submit(Request(request_id=0, prompt_tokens=list(range(1, 60)),
+                       max_new_tokens=50))
+    eng.submit(Request(request_id=1, prompt_tokens=[5, 6, 5, 6],
+                       max_new_tokens=12))
+    done = eng.run()
+    out = {r.request_id: r for r in done}
+    # Stream 1 completes its full budget despite stream 0 hugging the end.
+    assert len(out[1].generated) == 12
+    assert out[1].finish_reason == "length"
+    # Stream 0: prompt consumes rows 0..58; the prefill's first token plus
+    # decode tokens from input rows 59..62 emit, and the token produced
+    # from the last row (63) is discarded (plain-path semantics):
+    # generated = seq_len - prompt_len = 5.
+    assert out[0].finish_reason == "length"
+    assert len(out[0].generated) == config.seq_len - 59
