@@ -274,9 +274,41 @@ def chat(
                 continue
             metrics.start_generation()
             _emit(decoder.push(tokenizer.decode_bytes(next_token)), out)
-            logits, cache = engine.decode_step(
-                cache, np.asarray([next_token]), np.asarray([pos])
-            )
-            next_token = sampler.sample(logits)
-            metrics.increment()
-            pos += 1
+            if sampler.device:
+                # Chunked assistant turn: forward + sampling on device, one
+                # dispatch per chunk — the single-step path pays a host
+                # round-trip per token.  Rows written past a mid-chunk EOS
+                # are never attended before being overwritten (the next
+                # turn's prefill starts at the EOS position).
+                n = min(32, seq_len - pos)
+                chunk_toks, cache = engine.decode_chunk(
+                    cache,
+                    next_token,
+                    pos,
+                    n,
+                    temperature=sampler.temperature,
+                    topp=sampler.topp,
+                    key=sampler.next_key(),
+                )
+                stop_idx = None
+                for idx in range(n - 1):
+                    t = int(chunk_toks[idx])
+                    metrics.increment()
+                    if tokenizer.is_termination(t):
+                        next_token = t
+                        stop_idx = idx
+                        break
+                    _emit(decoder.push(tokenizer.decode_bytes(t)), out)
+                if stop_idx is None:
+                    next_token = int(chunk_toks[-1])
+                    metrics.increment()
+                    pos += n
+                else:
+                    pos += stop_idx + 1
+            else:
+                logits, cache = engine.decode_step(
+                    cache, np.asarray([next_token]), np.asarray([pos])
+                )
+                next_token = sampler.sample(logits)
+                metrics.increment()
+                pos += 1

@@ -26,9 +26,15 @@ run graft_entry 600 python __graft_entry__.py
 run paged_attn_bf16 900 python scripts/paged_attn_microbench.py 8b both
 run paged_attn_int8 900 env PB_INT8=1 python scripts/paged_attn_microbench.py 8b both
 
+# 3b. window-kernel variant (speculative verify shapes)
+run paged_attn_window 900 env PB_S=5 python scripts/paged_attn_microbench.py 8b both
+
 # 4. serve bench with the new kernel (paged, 8 slots) and kernel off (A/B)
 run serve_kernel 1200 env BENCH_MODE=serve BENCH_SLOTS=8 python bench.py
 run serve_nokernel 1200 env BENCH_MODE=serve BENCH_SLOTS=8 QWEN3_TPU_DISABLE_PAGED_FLASH=1 python bench.py
+
+# 4b. speculative serving (greedy cyclic prompts = favorable acceptance)
+run serve_spec 1200 env BENCH_MODE=serve BENCH_SLOTS=8 BENCH_SPEC=4 python bench.py
 
 # 5. INT4 verification debt: decode bench + kernel microbench
 run int4_decode 900 env BENCH_BITS=4 python bench.py

@@ -179,6 +179,21 @@ class TestChat:
         r2 = render_prompt(5, "be nice", "hi", tokenizer)
         assert r2 == tokenizer.prompt_template.replace("%s", "hi")
 
+    def test_device_chunked_chat_matches_host_greedy(self, ckpt, tokenizer):
+        """Greedy device-chunked assistant turns must print the same text
+        as the per-token host path (device argmax == host argmax)."""
+        e = Engine(ckpt[0], mode="fast")
+
+        def run(device):
+            out = io.StringIO()
+            chat(
+                e, tokenizer, TokenSampler(0.0, 0.9, 1, device=device),
+                cli_user_prompt="hello there", out=out,
+            )
+            return out.getvalue()
+
+        assert run(True) == run(False)
+
     def test_interactive_turns(self, engine, tokenizer):
         inputs = iter(["hello", ""])
         out = io.StringIO()
