@@ -118,8 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bt.add_argument(
         "--spec", type=int, default=0, metavar="K",
-        help="n-gram speculative decoding: greedy slots verify K drafts per "
-        "round (paged + device sampling only; sync scheduling)",
+        help="n-gram speculative decoding: every slot verifies K drafts per "
+        "round, distribution-exact at any temperature (paged + device "
+        "sampling only; sync scheduling)",
     )
 
     # serve: HTTP front-end over the continuous-batching engine.
@@ -143,8 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--no-warmup", action="store_true")
     sv.add_argument(
         "--spec", type=int, default=0, metavar="K",
-        help="n-gram speculative decoding: greedy slots verify K drafts per "
-        "round (paged + device sampling only; sync scheduling)",
+        help="n-gram speculative decoding: every slot verifies K drafts per "
+        "round, distribution-exact at any temperature (paged + device "
+        "sampling only; sync scheduling)",
     )
     sv.add_argument(
         "--tp", type=int, default=1,

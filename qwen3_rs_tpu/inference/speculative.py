@@ -14,12 +14,22 @@ update — runs inside one ``lax.scan`` on device, so a chunk of R rounds
 is a single dispatch (a host-side drafter would pay the relay RTT per
 round, which would erase the win on this deployment).
 
-Greedy only (temperature 0): token-for-token EXACT vs the plain decode
-loop — the verify forward recomputes the model's argmax at every
-position, so acceptance only shortcuts computation, never changes
-output.  (Stochastic speculative sampling needs the rejection-sampling
-correction and a different RNG-parity story; the plain chunked sampler
-covers that case.)
+Acceptance is distribution-exact for every temperature.  Greedy slots
+(temperature 0): token-for-token EXACT vs the plain decode loop — the
+verify forward recomputes the model's argmax at every position, so
+acceptance only shortcuts computation, never changes output.  Stochastic
+slots (serving path, ``spec_round_batched``): because the n-gram drafter
+is DETERMINISTIC, the speculative-sampling correction (accept with
+min(1, p/q), resample the residual on rejection; arXiv:2211.17192)
+collapses to "sample t_i from the target distribution at each verify
+position, accept while t_i equals the draft, and the first mismatch IS
+the corrected sample" — no residual-distribution pass needed, and the
+emitted prefix is distributed exactly as plain autoregressive sampling
+(RNG-draw *order* differs from the non-speculative path; per-seed
+reproducibility is preserved).  The single-stream ``spec_round`` stays
+greedy-only: its sampler is the host xorshift64* stream, whose
+reference-parity contract (one coin per emitted token) cannot absorb
+per-round k+1 draws.
 
 The reference has no speculative path (its scalar loop regenerates one
 token per full pass, generation.rs:153-162); this is a beyond-parity
@@ -65,11 +75,11 @@ def spec_round_batched(fwd, weights, carry, k: int, page_table, active):
     """One batched speculative round for the serving scheduler.
 
     carry = (cur [B], cache, pos [B], hist [B, T], hlen [B], temps [B],
-    topps [B], key).  Greedy slots (temperature 0) run draft-verify-accept;
-    sampling slots draw row 0 through the normal device sampler and emit
-    exactly one token; inactive slots advance nothing.  Emits
-    (tokens [B, k+1], counts [B]): slot b's round output is
-    ``tokens[b, :counts[b]]``.
+    topps [B], key).  Every slot runs draft-verify-accept — greedy slots
+    accept by argmax match, stochastic slots by sampled-token match (exact
+    speculative sampling for a deterministic drafter; see module
+    docstring); inactive slots advance nothing.  Emits (tokens [B, k+1],
+    counts [B]): slot b's round output is ``tokens[b, :counts[b]]``.
     """
     cur, cache, pos, hist, hlen, temps, topps, key = carry
     b = cur.shape[0]
@@ -81,22 +91,34 @@ def spec_round_batched(fwd, weights, carry, k: int, page_table, active):
         weights, window, cache, pos, write_mask=active,
         page_table=page_table, return_all_logits=True,
     )  # [B, k+1, V]
-    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
 
-    # Row 0 through the per-request sampler: for greedy slots this IS
-    # preds[:, 0] (temp==0 → argmax), so splicing it in changes nothing on
-    # the speculative path while giving sampling slots their one token.
+    # Every verify position goes through the per-request sampler (one
+    # batched call over [B·(k+1), V]); position i is accepted while the
+    # sampled token equals the draft.  For greedy slots (temp 0) the sampler
+    # is argmax, which is the classic exact greedy acceptance.  For
+    # stochastic slots this is speculative SAMPLING with a deterministic
+    # drafter: the draft distribution is a point mass, so the
+    # accept-with-min(1, p/q) rule reduces to P(accept d_i) = p_i(d_i) and
+    # the rejection-case residual distribution to p_i(·|· ≠ d_i) — both of
+    # which "draw t_i ~ p_i, accept iff t_i == d_i, emit t_i either way"
+    # realizes in one step.  Position i+1's logits were computed with d_i in
+    # the window, which equals t_i whenever position i+1 is reached, so the
+    # emitted prefix is distributed exactly as plain autoregressive
+    # sampling.  (Streams differ from the non-speculative sampler only in
+    # RNG-draw order; reproducibility-per-seed is preserved.)
     from ..ops.sampling import sample_tokens_jax
 
     key, sub = jax.random.split(key)
-    tok0 = sample_tokens_jax(logits[:, 0], sub, temps, topps)
-    toks = jnp.concatenate([tok0[:, None], preds[:, 1:]], axis=1)
+    toks = sample_tokens_jax(
+        logits.reshape(b * (k + 1), -1),
+        sub,
+        jnp.repeat(temps, k + 1),
+        jnp.repeat(topps, k + 1),
+    ).reshape(b, k + 1)
 
-    matches = (draft == preds[:, :k]).astype(jnp.int32)
+    matches = (draft == toks[:, :k]).astype(jnp.int32)
     a = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)  # [B]
-    greedy = temps == 0.0
-    counts = jnp.where(greedy, a + 1, 1)
-    counts = jnp.where(active, counts, 0)
+    counts = jnp.where(active, a + 1, 0)
 
     cur_next = jnp.take_along_axis(
         toks, jnp.maximum(counts - 1, 0)[:, None], axis=1

@@ -144,10 +144,12 @@ class ContinuousBatchingEngine:
         # temperature/top-p as [B] arrays (throughput mode; jax PRNG).
         self.sampling = sampling
         self.decode_chunk_steps = decode_chunk_steps
-        # spec_k > 0: n-gram speculative decoding per slot (greedy slots
-        # verify spec_k drafts per round and emit 1..spec_k+1 tokens;
-        # temperature>0 slots fall back to one sampled token per round —
-        # inference/speculative.py spec_round_batched).  Chunks pipeline
+        # spec_k > 0: n-gram speculative decoding per slot (every slot
+        # verifies spec_k drafts per round and emits 1..spec_k+1 tokens;
+        # greedy slots accept by argmax match, temperature>0 slots by
+        # sampled-token match — exact speculative sampling for the
+        # deterministic drafter, inference/speculative.py
+        # spec_round_batched).  Chunks pipeline
         # like the plain path: positions, last tokens, and per-slot
         # histories chain device-side between chunks (acceptance-dependent
         # advances are never needed on the host at dispatch time); the host

@@ -233,3 +233,98 @@ class TestSpecRoundBatched:
         assert toks[0, 0] == 6
         assert np.asarray(cur).tolist() == [6]
         assert np.asarray(pos).tolist() == [5]
+
+    def test_sampled_slot_accepts_drafts(self):
+        # temp 1.0 with one-hot·10 logits and topp 0.5: the nucleus keeps
+        # only the target token, so sampling is deterministic — the slot
+        # accepts like a greedy one.  hist [7,8,7,8], cur 8 → draft [7,8];
+        # targets [7,8,5] → full acceptance, count 3.
+        (cur, _, pos, _, hlen, _, _, _), toks, counts = self._round(
+            hist_rows=[[7, 8, 7, 8]],
+            hlens=[4],
+            curs=[8],
+            temps=[1.0],
+            active=[True],
+            targets=[[7, 8, 5]],
+            pos=[30],
+        )
+        assert counts.tolist() == [3]
+        assert toks[0].tolist() == [7, 8, 5]
+        assert np.asarray(cur).tolist() == [5]
+        assert np.asarray(pos).tolist() == [33]
+        assert np.asarray(hlen).tolist() == [7]
+
+
+class TestStochasticSpecExactness:
+    """The sampled-acceptance path must keep the plain autoregressive
+    sampling distribution exactly (speculative sampling with a
+    deterministic drafter).  Mocked forward, small vocab, many PRNG keys:
+    the empirical law of the emitted tokens matches the analytic chain."""
+
+    def test_joint_distribution_matches_chain(self):
+        import jax
+        from qwen3_rs_tpu.inference.speculative import spec_round_batched
+
+        v, k = 4, 1
+        # hist [1,2,1,2], cur 2 → bigram (1,2) at j=1 → draft [1].
+        d = 1
+        p0_logits = jnp.asarray([0.3, 0.9, -0.2, 0.1], jnp.float32)
+        # Position-1 logits depend on the window's second token — verifies
+        # the conditioning, not just the marginals.
+        p1_matrix = jnp.asarray(
+            [
+                [0.0, 0.5, 1.0, -0.5],
+                [1.2, -0.3, 0.4, 0.0],
+                [-1.0, 0.2, 0.2, 0.6],
+                [0.5, 0.5, -0.8, 0.3],
+            ],
+            jnp.float32,
+        )
+
+        def fake_fwd(weights, window, cache, pos, write_mask=None,
+                     page_table=None, return_all_logits=False):
+            l0 = jnp.broadcast_to(p0_logits, (window.shape[0], v))
+            l1 = p1_matrix[window[:, 1]]
+            return jnp.stack([l0, l1], axis=1), cache
+
+        hist = jnp.asarray([[1, 2, 1, 2, 0, 0, 0, 0]], jnp.int32)
+
+        def one_round(key):
+            carry = (
+                jnp.asarray([2], jnp.int32),
+                {"cache": 0},
+                jnp.asarray([0], jnp.int32),
+                hist,
+                jnp.asarray([4], jnp.int32),
+                jnp.ones(1, jnp.float32),  # temp 1
+                jnp.full(1, 2.0, jnp.float32),  # topp outside (0,1) → plain
+                key,
+            )
+            _, (toks, counts) = spec_round_batched(
+                fake_fwd, None, carry, k, None, jnp.asarray([True])
+            )
+            return toks[0], counts[0]
+
+        n = 8192
+        keys = jax.random.split(jax.random.PRNGKey(7), n)
+        toks, counts = jax.jit(jax.vmap(one_round))(keys)
+        toks, counts = np.asarray(toks), np.asarray(counts)
+
+        p0 = np.asarray(jax.nn.softmax(p0_logits))
+        p1_d = np.asarray(jax.nn.softmax(p1_matrix[d]))
+        se = lambda p: 4.0 * np.sqrt(p * (1 - p) / n) + 1e-3  # 4σ
+
+        # First emitted token ~ p0 exactly (accepted or corrected).
+        for x in range(v):
+            f = np.mean(toks[:, 0] == x)
+            assert abs(f - p0[x]) < se(p0[x]), (x, f, p0[x])
+        # Acceptance probability = p0(draft).
+        acc = counts == 2
+        assert abs(np.mean(acc) - p0[d]) < se(p0[d])
+        # Conditioned on acceptance, the bonus token ~ p1(· | prefix=d).
+        sel = toks[acc, 1]
+        for y in range(v):
+            f = np.mean(sel == y)
+            assert abs(f - p1_d[y]) < 4.0 * np.sqrt(
+                p1_d[y] * (1 - p1_d[y]) / max(len(sel), 1)
+            ) + 1e-3, (y, f, p1_d[y])
