@@ -1,4 +1,5 @@
-"""Device-side n-gram speculative decoding (greedy-exact).
+"""Device-side n-gram speculative decoding (distribution-exact at any
+temperature; token-for-token exact at temperature 0).
 
 Single-stream decode is weight-bandwidth-bound: one token per forward
 streams all ~8 GB of INT8 weights for 8B.  Verifying k drafted tokens in
@@ -109,12 +110,21 @@ def spec_round_batched(fwd, weights, carry, k: int, page_table, active):
     from ..ops.sampling import sample_tokens_jax
 
     key, sub = jax.random.split(key)
-    toks = sample_tokens_jax(
-        logits.reshape(b * (k + 1), -1),
-        sub,
-        jnp.repeat(temps, k + 1),
-        jnp.repeat(topps, k + 1),
-    ).reshape(b, k + 1)
+
+    def greedy_all(l, _):
+        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+
+    def sample_all(l, s):
+        return sample_tokens_jax(
+            l.reshape(b * (k + 1), -1),
+            s,
+            jnp.repeat(temps, k + 1),
+            jnp.repeat(topps, k + 1),
+        ).reshape(b, k + 1)
+
+    # The common all-greedy batch skips the nucleus machinery entirely
+    # (runtime branch, not a compile bucket — no extra warmup cost).
+    toks = jax.lax.cond(jnp.all(temps == 0.0), greedy_all, sample_all, logits, sub)
 
     matches = (draft == toks[:, :k]).astype(jnp.int32)
     a = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)  # [B]

@@ -25,6 +25,22 @@ import jax
 import jax.numpy as jnp
 
 
+def merge_softmax_partials(m1, l1, a1, m2, l2, a2):
+    """Combine two online-softmax partial triples (max, sum, acc) in f32.
+
+    The single definition of the guarded rescale-and-add rule: a fully
+    masked part carries ``m = -inf`` and must contribute exactly zero
+    (``isfinite`` guard keeps ``exp(-inf - -inf)`` from producing NaN).
+    ``_cache_attn_online`` and ``_merge_window`` inline the same rule in
+    fused form (one side's rescale folded into its score exponentiation);
+    any numerics change here must be mirrored there.
+    """
+    m = jnp.maximum(m1, m2)
+    r1 = jnp.where(jnp.isfinite(m1), jnp.exp(m1 - m), 0.0)
+    r2 = jnp.where(jnp.isfinite(m2), jnp.exp(m2 - m), 0.0)
+    return m, l1 * r1 + l2 * r2, a1 * r1 + a2 * r2
+
+
 def gqa_attention(
     q: jax.Array,
     k: jax.Array,

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.attention import merge_softmax_partials
+
 SP_AXIS = "sp"
 
 
@@ -56,14 +58,6 @@ def _local_block_attention(q, k, v, q_start, k_start, scale):
     return m, l, acc
 
 
-def _merge(m1, l1, a1, m2, l2, a2):
-    """Combine two online-softmax partial triples."""
-    m = jnp.maximum(m1, m2)
-    r1 = jnp.where(jnp.isfinite(m1), jnp.exp(m1 - m), 0.0)
-    r2 = jnp.where(jnp.isfinite(m2), jnp.exp(m2 - m), 0.0)
-    return m, l1 * r1 + l2 * r2, a1 * r1 + a2 * r2
-
-
 def _ring_body(q, k, v, *, axis_name: str, n_shards: int, scale: float):
     """shard_map body: local q [B, S/N, heads, hd]; k/v local shards."""
     b, s_loc, n_heads, hd = q.shape
@@ -87,7 +81,7 @@ def _ring_body(q, k, v, *, axis_name: str, n_shards: int, scale: float):
         mb, lb, ab = _local_block_attention(
             qf, k, v, q_start, src * s_loc, scale
         )
-        m, l, acc = _merge(m, l, acc, mb, lb, ab)
+        m, l, acc = merge_softmax_partials(m, l, acc, mb, lb, ab)
         if t + 1 < n_shards:
             k = jax.lax.ppermute(k, axis_name, perm)
             v = jax.lax.ppermute(v, axis_name, perm)

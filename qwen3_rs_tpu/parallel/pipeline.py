@@ -50,6 +50,10 @@ def create_pp_mesh(pp: int | None = None, devices=None) -> Mesh:
 
     devices = list(devices if devices is not None else jax.devices())
     if pp is not None:
+        if pp > len(devices):
+            raise ValueError(
+                f"pp={pp} exceeds the {len(devices)} available devices"
+            )
         devices = devices[:pp]
     return Mesh(np.asarray(devices), (PP_AXIS,))
 
@@ -136,32 +140,25 @@ def _scatter_slab(cache, rows, mb_off, pos_mb, valid, mbs):
     return jax.lax.dynamic_update_slice_in_dim(cache, upd, mb_off, axis=1)
 
 
-def pp_weight_pspecs(config: ModelConfig) -> Qwen3Weights:
-    """PartitionSpecs for pipeline sharding: layer-stacked leaves split on
-    their leading axis over ``pp``; embed/head/final-norm replicated (a tp
-    composition would shard those over a second axis)."""
-    lspec = jax.tree.map(lambda _: P(PP_AXIS), _layers_struct(config))
-    return Qwen3Weights(
-        embed=QuantizedTensor(P(), P()),
-        layers=lspec,
+def pp_weight_pspecs(weights: Qwen3Weights) -> Qwen3Weights:
+    """PartitionSpecs for pipeline sharding, mirroring the weights pytree:
+    layer-stacked leaves split on their leading axis over ``pp``;
+    embed/head/final-norm replicated (a tp composition would shard those
+    over a second axis)."""
+    return weights._replace(
+        embed=jax.tree.map(lambda _: P(), weights.embed),
+        layers=jax.tree.map(lambda _: P(PP_AXIS), weights.layers),
         rms_final=P(),
-        lm_head=QuantizedTensor(P(), P()),
+        lm_head=jax.tree.map(lambda _: P(), weights.lm_head),
     )
 
 
-def _layers_struct(config):
-    from ..models.qwen3 import Qwen3LayerWeights
-
-    qt = QuantizedTensor(0, 0)
-    return Qwen3LayerWeights(0, 0, 0, 0, qt, qt, qt)
-
-
-def shard_for_pp(weights: Qwen3Weights, cache: KVCache, mesh: Mesh, config: ModelConfig):
+def shard_for_pp(weights: Qwen3Weights, cache: KVCache, mesh: Mesh):
     """Place weights/cache for the pipeline: layer axes split over pp."""
     w_sh = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         weights,
-        pp_weight_pspecs(config),
+        pp_weight_pspecs(weights),
     )
     c_sh = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(PP_AXIS))), cache

@@ -12,8 +12,10 @@ from utils import TINY_CONFIG
 
 from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
 from qwen3_rs_tpu.parallel.pipeline import (
+    PP_AXIS,
     create_pp_mesh,
     pipelined_forward,
+    shard_for_pp,
     validate_pp,
 )
 
@@ -142,3 +144,30 @@ def test_all_logits_and_validation(setup, rng):
         validate_pp(config, 3, b, 2)
     with pytest.raises(ValueError, match="microbatch"):
         validate_pp(config, 2, 3, 2)
+    with pytest.raises(ValueError, match="exceeds"):
+        create_pp_mesh(pp=99)
+
+
+def test_shard_for_pp_placement_and_forward(setup, rng):
+    """shard_for_pp splits every layer-stacked leaf over pp (and replicates
+    the rest); the pipeline runs on the pre-sharded pytrees unchanged."""
+    config, weights = setup
+    mesh = create_pp_mesh(4)
+    b, s = 4, 8
+    cache = init_kv_cache(config, b)
+    w_sh, c_sh = shard_for_pp(weights, cache, mesh)
+
+    def axis0_sharded(x):
+        spec = x.sharding.spec
+        return len(spec) > 0 and spec[0] == PP_AXIS
+
+    assert all(axis0_sharded(l) for l in jax.tree.leaves(w_sh.layers))
+    assert all(axis0_sharded(l) for l in jax.tree.leaves(c_sh))
+    assert w_sh.rms_final.sharding.is_fully_replicated
+    assert w_sh.embed.q.sharding.is_fully_replicated
+
+    tokens = _tokens(config, rng, b, s)
+    pos = jnp.zeros(b, jnp.int32)
+    ref, _ = qwen3_forward(config, weights, tokens, cache, pos, mode="f32")
+    out, _ = pipelined_forward(config, w_sh, tokens, c_sh, pos, mesh, mode="f32")
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

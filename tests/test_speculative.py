@@ -177,7 +177,9 @@ class TestSpecRoundBatched:
         #         preds [3,1,7] accept both → count 3, emits [3,1,7]
         # slot 1: hist [4,5,6,4,5], cur 5 → draft [6,4]; preds [9,6,6]:
         #         draft[0]=6 != preds[0]=9 → count 1, emits [9]
-        # slot 2: temp 1.0 → sampled row 0 only → count 1, emits target [8]
+        # slot 2: temp 1.0, draft [7,8] from bigram (7,8); the one-hot·10 +
+        #         topp 0.5 sampler deterministically picks target 8 at
+        #         position 0, which mismatches draft 7 → count 1, emits [8]
         # slot 3: inactive → count 0, everything frozen
         (cur, _, pos, hist, hlen, _, _, _), toks, counts = self._round(
             hist_rows=[[1, 2, 3, 1, 2], [4, 5, 6, 4, 5], [7, 8, 7, 8], [0]],
