@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
         "round, distribution-exact at any temperature (paged + device "
         "sampling only; sync scheduling)",
     )
+    bt.add_argument(
+        "--prefix-cache", action="store_true",
+        help="reuse KV pages across requests sharing a prompt prefix "
+        "(paged layout; prefills run only the unmatched suffix)",
+    )
 
     # serve: HTTP front-end over the continuous-batching engine.
     sv = sub.add_parser("serve", help="Serve a checkpoint over HTTP")
@@ -147,6 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="n-gram speculative decoding: every slot verifies K drafts per "
         "round, distribution-exact at any temperature (paged + device "
         "sampling only; sync scheduling)",
+    )
+    sv.add_argument(
+        "--prefix-cache", action="store_true",
+        help="reuse KV pages across requests sharing a prompt prefix "
+        "(paged layout; prefills run only the unmatched suffix)",
     )
     sv.add_argument(
         "--tp", type=int, default=1,
@@ -214,6 +224,10 @@ def main(argv=None) -> int:
             raise SystemExit(
                 "--spec requires the paged KV layout: add --kv paged"
             )
+        if args.prefix_cache and args.kv != "paged":
+            raise SystemExit(
+                "--prefix-cache requires the paged KV layout: add --kv paged"
+            )
 
         from .checkpoint import load_checkpoint
         from .inference.tokenizer import Tokenizer
@@ -231,6 +245,7 @@ def main(argv=None) -> int:
             page_size=args.page_size,
             n_pages=args.pages,
             spec_k=args.spec,
+            prefix_cache=args.prefix_cache,
         )
         if not args.no_warmup:
             engine.warmup()
@@ -315,6 +330,7 @@ def main(argv=None) -> int:
                 n_pages=args.pages,
                 mesh=mesh,
                 spec_k=args.spec,
+                prefix_cache=args.prefix_cache,
                 **engine_kwargs,
             )
 

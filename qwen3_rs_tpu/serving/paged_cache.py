@@ -95,10 +95,27 @@ def init_paged_cache(
 
 
 class PageAllocator:
-    """Host-side free-list allocator + per-slot page tables.
+    """Host-side free-list allocator + per-slot page tables, with
+    refcounted **prefix caching** (the automatic-prefix-cache idea from the
+    paged-attention line of work: requests sharing a prompt prefix share
+    the KV pages that cover it).
 
     Page 0 is reserved as the null page: unused page-table entries point at
     it, so device-side gathers are always in bounds.
+
+    Prefix caching machinery (all host-side, optional — unused unless the
+    scheduler calls ``match_prefix``/``adopt``/``register_prefix``):
+
+    * every page a request holds carries a refcount; a page shared by k
+      requests frees only when the last one releases it;
+    * an index maps the **chain hash** of the token prefix covered by each
+      fully-written prompt page to that page id — position alignment is
+      automatic because every chain starts at position 0, so equal chains
+      imply bitwise-identical page content (same model, same tokens, same
+      RoPE positions);
+    * released-but-indexed pages park in an LRU **cached** set instead of
+      the free list: still adoptable by a later prompt, reclaimed (and
+      de-indexed) only when an allocation finds the free list empty.
     """
 
     def __init__(self, n_pages: int, n_slots: int, max_pages_per_slot: int):
@@ -109,27 +126,48 @@ class PageAllocator:
         self._free: list[int] = list(range(n_pages - 1, 0, -1))  # pop() → low ids first
         self.tables = np.zeros((n_slots, max_pages_per_slot), np.int32)
         self.used = np.zeros(n_slots, np.int32)  # pages held per slot
+        self.refcount = np.zeros(n_pages, np.int32)
+        self._index: dict[int, int] = {}  # prefix chain-hash → page id
+        self._page_key: dict[int, int] = {}  # page id → its chain-hash
+        from collections import OrderedDict
+
+        self._cached: "OrderedDict[int, None]" = OrderedDict()  # zero-ref, evictable
 
     @property
     def free_pages(self) -> int:
-        return len(self._free)
+        """Allocatable pages: truly free + evictable cached."""
+        return len(self._free) + len(self._cached)
+
+    @property
+    def cached_pages(self) -> int:
+        return len(self._cached)
 
     def can_admit(self, n_tokens: int, page_size: int) -> bool:
         need = -(-max(n_tokens, 1) // page_size)
-        return need <= len(self._free)
+        return need <= self.free_pages
+
+    def _take_free(self) -> int:
+        if self._free:
+            return self._free.pop()
+        # Evict the least-recently-released cached page (drops its prefix
+        # index entry; no live request references it by construction).
+        pid, _ = self._cached.popitem(last=False)
+        del self._index[self._page_key.pop(pid)]
+        return pid
 
     def allocate(self, slot: int, n: int) -> list[int]:
-        """Append ``n`` fresh pages to the slot's table."""
-        if n > len(self._free):
+        """Append ``n`` fresh (private, ref=1) pages to the slot's table."""
+        if n > self.free_pages:
             raise RuntimeError(
-                f"page pool exhausted: need {n}, have {len(self._free)} free"
+                f"page pool exhausted: need {n}, have {self.free_pages} free"
             )
         start = int(self.used[slot])
         if start + n > self.max_pages_per_slot:
             raise RuntimeError(f"slot {slot} exceeds max_pages_per_slot")
-        pages = [self._free.pop() for _ in range(n)]
+        pages = [self._take_free() for _ in range(n)]
         self.tables[slot, start : start + n] = pages
         self.used[slot] += n
+        self.refcount[pages] = 1
         return pages
 
     def ensure_capacity(self, slot: int, n_tokens: int, page_size: int) -> None:
@@ -141,6 +179,76 @@ class PageAllocator:
 
     def release(self, slot: int) -> None:
         held = self.tables[slot, : int(self.used[slot])]
-        self._free.extend(int(p) for p in held if p != 0)
+        for p in (int(x) for x in held):
+            if p == 0:
+                continue
+            self.refcount[p] -= 1
+            if self.refcount[p] > 0:
+                continue
+            if p in self._page_key:
+                # Indexed prefix page: keep its content adoptable (LRU).
+                self._cached[p] = None
+                self._cached.move_to_end(p)
+            else:
+                self._free.append(p)
         self.tables[slot, :] = 0
         self.used[slot] = 0
+
+    # --------------------------------------------------------- prefix cache
+    @staticmethod
+    def _chain(key: int, block) -> int:
+        return hash((key,) + tuple(int(t) for t in block))
+
+    def match_prefix(self, tokens, page_size: int) -> tuple[list[int], int]:
+        """Longest indexed prefix of ``tokens`` in whole pages.
+
+        Returns (page ids, rows covered).  At least one trailing token is
+        always left unmatched so the admission prefill has a window to run
+        (its last row produces the first-token logits)."""
+        pages: list[int] = []
+        key = 0
+        max_full = (len(tokens) - 1) // page_size
+        for j in range(max_full):
+            key = self._chain(key, tokens[j * page_size : (j + 1) * page_size])
+            pid = self._index.get(key)
+            if pid is None:
+                break
+            pages.append(pid)
+        return pages, len(pages) * page_size
+
+    def adopt(self, slot: int, pages: list[int]) -> None:
+        """Prepend shared prefix pages to a (fresh) slot's table, pinning
+        them (ref++).  Must precede any ``allocate`` for the slot."""
+        if int(self.used[slot]):
+            raise RuntimeError("adopt() requires an empty slot table")
+        if len(pages) > self.max_pages_per_slot:
+            raise RuntimeError(f"slot {slot} exceeds max_pages_per_slot")
+        for p in pages:
+            if self.refcount[p] == 0:
+                self._cached.pop(p)  # pinned again; stays indexed
+            self.refcount[p] += 1
+        self.tables[slot, : len(pages)] = pages
+        self.used[slot] = len(pages)
+
+    def register_prefix(self, slot: int, tokens, page_size: int) -> int:
+        """Index the slot's fully-prompt-covered pages for future reuse.
+
+        Called once per admission with the request's full prompt; pages the
+        slot adopted are already indexed (their chain keys hit) and are
+        skipped.  Only pages whose every row is a prompt token register —
+        the trailing partial page keeps taking decode writes and can never
+        be shared.  Returns the number of newly indexed pages."""
+        key = 0
+        fresh = 0
+        n_full = min((len(tokens) - 1) // page_size, int(self.used[slot]))
+        for j in range(n_full):
+            key = self._chain(key, tokens[j * page_size : (j + 1) * page_size])
+            if key in self._index:
+                continue
+            pid = int(self.tables[slot, j])
+            if pid == 0 or pid in self._page_key:
+                continue
+            self._index[key] = pid
+            self._page_key[pid] = key
+            fresh += 1
+        return fresh

@@ -111,6 +111,7 @@ class ContinuousBatchingEngine:
         max_admissions_per_step: int | None = None,
         mesh=None,
         spec_k: int = 0,
+        prefix_cache: bool = False,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -159,6 +160,21 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 'speculative serving requires kv_layout="paged" and '
                 'sampling="device"'
+            )
+        # prefix_cache: requests sharing a prompt prefix adopt the pages
+        # that cover it instead of recomputing the prefill (refcounted +
+        # LRU-cached pages, serving/paged_cache.py PageAllocator); admission
+        # prefills then run only the prompt suffix with pos_start = matched
+        # rows.  Not composed with speculative mode yet: spec admissions
+        # seed per-slot history rows device-side from the (suffix-only)
+        # prefill window, which would leave the adopted prefix out of the
+        # drafting history.
+        self.prefix_cache = prefix_cache
+        if prefix_cache and kv_layout != "paged":
+            raise ValueError('prefix caching requires kv_layout="paged"')
+        if prefix_cache and spec_k:
+            raise ValueError(
+                "prefix caching is not supported with speculative decoding"
             )
         # None = drain the queue into every free slot per step (TTFT-first);
         # a small value bounds how long in-flight streams stall behind
@@ -238,6 +254,8 @@ class ContinuousBatchingEngine:
         self.completed: list[Request] = []
         self._decode_steps = 0
         self._decode_tokens = 0
+        self._prefix_hits = 0
+        self._prefix_rows_reused = 0
         # Device-sampling mode pipelines decode chunks: the next chunk is
         # dispatched BEFORE the previous chunk's tokens are fetched, so the
         # device→host round-trip hides behind the next chunk's compute.
@@ -411,6 +429,36 @@ class ContinuousBatchingEngine:
 
         _prefill_paged = jax.jit(_prefill_paged_inner, donate_argnums=(2,))
 
+        def _prefill_paged_cont_inner(weights, tokens, cache, out_idx, tables, pos):
+            # Continued prefill for prefix-cache hits: the window holds only
+            # the prompt SUFFIX, starting at pos_start = matched rows; the
+            # adopted prefix pages are read as a cache prefix (so
+            # fresh_prefill stays False and attention takes the
+            # split/paged-window path).  Rows with pos == 0 (no-hit requests
+            # grouped in) are equivalent to the fresh path minus the splash
+            # kernel routing.
+            return fwd(
+                weights, tokens, cache, pos, out_idx=out_idx, page_table=tables
+            )
+
+        _prefill_paged_cont = jax.jit(_prefill_paged_cont_inner, donate_argnums=(2,))
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill_paged_sampled_cont(
+            weights, tokens, cache, out_idx, tables, pos, temps, topps, key,
+            slots, fresh_in,
+        ):
+            # Deferred-admission variant of the continued prefill (same
+            # contract as _prefill_paged_sampled).
+            from ..ops.sampling import sample_tokens_jax
+
+            logits, cache = _prefill_paged_cont_inner(
+                weights, tokens, cache, out_idx, tables, pos
+            )
+            toks = sample_tokens_jax(logits, key, temps, topps)
+            fresh_out = fresh_in.at[slots].set(toks, mode="drop")
+            return toks, fresh_out, cache
+
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _prefill_paged_sampled(
             weights, tokens, cache, out_idx, tables, temps, topps, key,
@@ -442,6 +490,8 @@ class ContinuousBatchingEngine:
         self._prefill_paged_sampled_spec = _prefill_paged_sampled_spec
         self._prefill_paged = _prefill_paged
         self._prefill_paged_sampled = _prefill_paged_sampled
+        self._prefill_paged_cont = _prefill_paged_cont
+        self._prefill_paged_sampled_cont = _prefill_paged_sampled_cont
 
     # ------------------------------------------------------------------ api
     def warmup(self) -> None:
@@ -490,6 +540,25 @@ class ContinuousBatchingEngine:
                             self.weights, toks0, self.cache, idx0, tables
                         )
                     np.asarray(out)
+                    if self.prefix_cache:
+                        # Prefix-cache hits compile a second (continued)
+                        # prefill per shape; warm it so the first shared
+                        # prompt doesn't stall mid-serving.
+                        pos0 = jnp.zeros(k, jnp.int32)
+                        if self.sampling == "device":
+                            out, _, self.cache = self._prefill_paged_sampled_cont(
+                                self.weights, toks0, self.cache, idx0, tables,
+                                pos0,
+                                jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
+                                jax.random.PRNGKey(0),
+                                jnp.full(k, self.n_slots, jnp.int32),
+                                jnp.full(self.n_slots, -1, jnp.int32),
+                            )
+                        else:
+                            out, self.cache = self._prefill_paged_cont(
+                                self.weights, toks0, self.cache, idx0, tables, pos0
+                            )
+                        np.asarray(out)
         else:
             for b in self.prefill_buckets:
                 s_pad = min(b, self.config.seq_len)
@@ -751,8 +820,11 @@ class ContinuousBatchingEngine:
         if not free or not self.queue:
             return 0, fresh
         limit = len(free) if budget is None else min(len(free), budget)
-        picks: list[tuple[Request, int]] = []  # (request, s_real)
+        # (request, prompt_len, hit_rows, hit_pages) — hit_* nonzero only
+        # with prefix_cache on and an indexed prefix match.
+        picks: list[tuple[Request, int, int, list[int]]] = []
         bucket = 0
+        cont_group = False
         avail = self.allocator.free_pages
         for req in self.queue:
             if len(picks) == limit:
@@ -760,20 +832,36 @@ class ContinuousBatchingEngine:
             prompt_len = min(
                 max(len(req.prompt_tokens), 1), self.config.seq_len - 1
             )
-            s_pad = max(prompt_len, min(self._bucket(prompt_len), self.config.seq_len))
+            if self.prefix_cache:
+                hpages, hrows = self.allocator.match_prefix(
+                    req.prompt_tokens[:prompt_len], self.page_size
+                )
+            else:
+                hpages, hrows = [], 0
+            # The prefill window holds only the prompt suffix on a hit; the
+            # bucket (the compiled window shape) follows the suffix length.
+            suffix = prompt_len - hrows
+            s_pad = max(suffix, min(self._bucket(suffix), self.config.seq_len))
+            cont = hrows > 0
             if not picks:
-                bucket = s_pad
-            elif s_pad != bucket:
+                bucket, cont_group = s_pad, cont
+            elif s_pad != bucket or cont != cont_group:
+                # A bucket or fresh/continued mode change ends the group;
+                # the step() loop admits the next group immediately.
                 break
             # Reserve pages for the whole request up front (prompt + budget);
             # insufficient free pages → leave queued (admission backpressure,
-            # FCFS: never skip past a request that doesn't fit).
-            worst_rows = min(self.config.seq_len, s_pad + req.max_new_tokens + 1)
+            # FCFS: never skip past a request that doesn't fit).  Adopted
+            # prefix pages are charged in full (conservative: a zero-ref
+            # cached page leaves the allocatable pool when pinned).
+            worst_rows = min(
+                self.config.seq_len, hrows + s_pad + req.max_new_tokens + 1
+            )
             need = -(-worst_rows // self.page_size)
             if need > avail:
                 break
             avail -= need
-            picks.append((req, prompt_len))
+            picks.append((req, prompt_len, hrows, hpages))
         if not picks:
             if self.active_count == 0 and self._inflight is None:
                 head = self.queue[0]
@@ -789,16 +877,38 @@ class ContinuousBatchingEngine:
         del self.queue[:k]
         tokens = np.zeros((k_pad, bucket), np.int32)
         out_idx = np.zeros(k_pad, np.int32)
+        pos0 = np.zeros(k_pad, np.int32)
         tables = np.zeros((k_pad, self.allocator.max_pages_per_slot), np.int32)
         slots: list[int] = []
-        for i, (req, s_real) in enumerate(picks):
+        # Pin every pick's matched pages FIRST: a later pick's still-cached
+        # (zero-ref) match must not be evicted by an earlier pick's
+        # allocation.
+        for i, (_, _, _, hpages) in enumerate(picks):
+            if hpages:
+                self.allocator.adopt(free[i], hpages)
+        for i, (req, prompt_len, hrows, _) in enumerate(picks):
             slot = free[i]
-            worst_rows = min(self.config.seq_len, bucket + req.max_new_tokens + 1)
+            suffix = prompt_len - hrows
+            worst_rows = min(
+                self.config.seq_len, hrows + bucket + req.max_new_tokens + 1
+            )
             self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
-            tokens[i, :s_real] = req.prompt_tokens[:s_real]
-            out_idx[i] = s_real - 1
+            tokens[i, :suffix] = req.prompt_tokens[hrows:prompt_len]
+            out_idx[i] = suffix - 1
+            pos0[i] = hrows
             tables[i] = self.allocator.tables[slot]
             slots.append(slot)
+        if self.prefix_cache:
+            # Index this admission's fully-covered prompt pages for future
+            # reuse (already-indexed chains — including everything just
+            # adopted — are skipped).
+            for i, (req, prompt_len, hrows, _) in enumerate(picks):
+                self.allocator.register_prefix(
+                    slots[i], req.prompt_tokens[:prompt_len], self.page_size
+                )
+                if hrows:
+                    self._prefix_hits += 1
+                    self._prefix_rows_reused += hrows
         # Padding rows (i >= k) keep zero tokens and all-null page tables:
         # their K/V lands in the reserved null page, which no request's
         # position bound ever reads.
@@ -807,14 +917,31 @@ class ContinuousBatchingEngine:
             # Deferred (pipelined) admission — device-sampled first tokens.
             temps = np.zeros(k_pad, np.float32)
             topps = np.ones(k_pad, np.float32)
-            for i, (req, _) in enumerate(picks):
+            for i, (req, _, _, _) in enumerate(picks):
                 temps[i] = req.temperature
                 topps[i] = req.topp
             assert fresh is not None  # step() invariant
             slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
             slots_arr[:k] = slots
             self._key, sub = jax.random.split(self._key)
-            if spec_state is not None:
+            if cont_group:
+                # Prefix-cache hits: suffix-only prefill at pos_start =
+                # matched rows (spec mode never reaches here — validated
+                # incompatible in __init__).
+                toks, fresh, self.cache = self._prefill_paged_sampled_cont(
+                    self.weights,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.asarray(out_idx),
+                    jnp.asarray(tables),
+                    jnp.asarray(pos0),
+                    jnp.asarray(temps),
+                    jnp.asarray(topps),
+                    sub,
+                    jnp.asarray(slots_arr),
+                    jnp.asarray(fresh),
+                )
+            elif spec_state is not None:
                 # Speculative mode also seeds each admitted slot's device
                 # history row (prompt + first token) so the next chunk can
                 # draft for it without a host round-trip.
@@ -849,22 +976,35 @@ class ContinuousBatchingEngine:
                     jnp.asarray(slots_arr),
                     jnp.asarray(fresh),
                 )
-            for i, (req, s_real) in enumerate(picks):
-                self._occupy(req, slots[i], s_real)
-            pending.append({"toks": toks, "picks": picks})
-        else:
-            logits, self.cache = self._prefill_paged(
-                self.weights,
-                jnp.asarray(tokens),
-                self.cache,
-                jnp.asarray(out_idx),
-                jnp.asarray(tables),
+            for i, (req, prompt_len, _, _) in enumerate(picks):
+                self._occupy(req, slots[i], prompt_len)
+            # _process_admits consumes (request, prompt_len) pairs.
+            pending.append(
+                {"toks": toks, "picks": [(r, pl) for r, pl, _, _ in picks]}
             )
+        else:
+            if cont_group:
+                logits, self.cache = self._prefill_paged_cont(
+                    self.weights,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.asarray(out_idx),
+                    jnp.asarray(tables),
+                    jnp.asarray(pos0),
+                )
+            else:
+                logits, self.cache = self._prefill_paged(
+                    self.weights,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.asarray(out_idx),
+                    jnp.asarray(tables),
+                )
             # Slice off the power-of-two padding rows before the fetch —
             # k_pad - k vocab-wide logit rows never leave the device.
             logits_np = np.asarray(logits[:k])
-            for i, (req, s_real) in enumerate(picks):
-                self._occupy(req, slots[i], s_real)
+            for i, (req, prompt_len, _, _) in enumerate(picks):
+                self._occupy(req, slots[i], prompt_len)
                 self._first_token(req, req._sampler.sample(logits_np[i]), emitted)
         return k, fresh
 
@@ -1269,6 +1409,15 @@ class ContinuousBatchingEngine:
                     "kv_pages_free": self.allocator.free_pages,
                 }
                 if self.allocator is not None
+                else {}
+            ),
+            **(
+                {
+                    "prefix_hits": self._prefix_hits,
+                    "prefix_rows_reused": self._prefix_rows_reused,
+                    "prefix_cached_pages": self.allocator.cached_pages,
+                }
+                if self.prefix_cache
                 else {}
             ),
         }
