@@ -192,7 +192,16 @@ class ReplicatedFrontend:
     tokenizer / shutdown), so the HTTP layer is replica-agnostic.
     """
 
-    def __init__(self, frontends: list[ServingFrontend]):
+    #: characters of the prompt head that define a routing-affinity key.
+    #: Must sit INSIDE the shared prefix to co-locate its requests, so err
+    #: short: over-merging only co-locates more (bounded by the slack);
+    #: under-merging silently loses every cross-request hit.  256 chars ≈
+    #: half a default 128-token page.
+    AFFINITY_CHARS = 256
+
+    def __init__(
+        self, frontends: list[ServingFrontend], affinity_slack: int = 4
+    ):
         if not frontends:
             raise ValueError("need at least one replica")
         self.frontends = frontends
@@ -203,13 +212,47 @@ class ReplicatedFrontend:
         # only covers replica choice — these reservations keep concurrent
         # submits from all piling onto the same "least-loaded" replica.
         self._reserved = [0] * len(frontends)
+        # Prefix affinity: each replica's page pools are private, so a
+        # shared-prefix request only hits the prefix cache on the replica
+        # that computed the prefix.  When the engines cache prefixes,
+        # same-head prompts route to a sticky replica unless it is more
+        # than ``affinity_slack`` requests busier than the least-loaded
+        # one (bounded imbalance beats recomputing the prefill).
+        self._affinity_slack = affinity_slack
+        from collections import OrderedDict
+
+        self._affinity: "OrderedDict[int, int] | None" = (
+            OrderedDict()
+            if any(
+                getattr(getattr(f, "engine", None), "prefix_cache", False)
+                for f in frontends
+            )
+            else None
+        )
+        self._affinity_cap = 4096  # LRU-bounded: long-lived servers
+
+    def _route(self, prompt: str) -> int:
+        loads = [
+            self.frontends[j].load + self._reserved[j]
+            for j in range(len(self.frontends))
+        ]
+        best = min(range(len(loads)), key=loads.__getitem__)
+        if self._affinity is None:
+            return best
+        key = hash(prompt[: self.AFFINITY_CHARS])
+        sticky = self._affinity.get(key)
+        if sticky is not None and loads[sticky] - loads[best] <= self._affinity_slack:
+            self._affinity.move_to_end(key)
+            return sticky
+        self._affinity[key] = best
+        self._affinity.move_to_end(key)
+        while len(self._affinity) > self._affinity_cap:
+            self._affinity.popitem(last=False)
+        return best
 
     def submit(self, prompt: str, **kwargs) -> _Pending:
         with self._lock:
-            i = min(
-                range(len(self.frontends)),
-                key=lambda j: self.frontends[j].load + self._reserved[j],
-            )
+            i = self._route(prompt)
             self._reserved[i] += 1
         try:
             return self.frontends[i].submit(prompt, **kwargs)

@@ -240,3 +240,48 @@ def test_replicated_least_loaded_routing():
     rf.submit("x")  # → b (load 2 < 3)
     rf.submit("x")  # → b (load 3 == 3, min picks first-lowest: a)
     assert b.calls == 2 and a.calls == 1
+
+
+def test_replicated_prefix_affinity_routing():
+    """With prefix caching on, same-head prompts stick to one replica
+    (whose page pool holds the prefix) unless it falls too far behind."""
+    from qwen3_rs_tpu.serving.server import ReplicatedFrontend
+
+    class Eng:
+        prefix_cache = True
+
+    class Stub:
+        def __init__(self, load):
+            self.load = load
+            self.engine = Eng()
+            self.tokenizer = FakeTokenizer()
+            self.calls = 0
+
+        def submit(self, prompt, **kw):
+            self.calls += 1
+            self.load += 1
+            return object()
+
+    a, b = Stub(0), Stub(0)
+    rf = ReplicatedFrontend([a, b], affinity_slack=2)
+    sys_prompt = "You are a helpful assistant. " * 10  # > AFFINITY_CHARS
+    rf.submit(sys_prompt + "q1")  # ties break to a; a becomes sticky
+    rf.submit(sys_prompt + "q2")  # sticky a despite b now less loaded
+    rf.submit(sys_prompt + "q3")  # a at +2 = slack: still sticky
+    assert a.calls == 3 and b.calls == 0
+    rf.submit(sys_prompt + "q4")  # a at +3 > slack → rebalance to b
+    assert b.calls == 1
+    # b becomes the new sticky replica for this prefix.
+    rf.submit(sys_prompt + "q5")
+    assert b.calls == 2
+    # A different prefix routes purely by load (b at 2 < a at 3).
+    rf.submit("unrelated prompt " * 8)
+    assert b.calls == 3 and a.calls == 3
+    # Without prefix caching, no affinity map exists.
+    class PlainEng:
+        prefix_cache = False
+
+    c = Stub(0)
+    c.engine = PlainEng()
+    rf2 = ReplicatedFrontend([c])
+    assert rf2._affinity is None
