@@ -173,6 +173,14 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     # (sync scheduling; random weights decode into cycles, which the
     # bigram drafter predicts, so this is the favorable-acceptance regime).
     spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+    # BENCH_PREFIX=1: every prompt opens with a shared 192-token system
+    # preamble and the engine caches prefixes (after the first admission,
+    # prefills run only each prompt's unique tail).  BENCH_PREFIX=nocache:
+    # same prompts, caching off — the A/B denominator.
+    prefix_mode = os.environ.get("BENCH_PREFIX", "")
+    # BENCH_TEMP overrides the request temperature (e.g. spec A/B at 0.8:
+    # sampled-acceptance speculative rounds vs greedy ones).
+    temp_env = os.environ.get("BENCH_TEMP")
 
     config = qwen3_config(model_name, seq_len=seq_len)
     weights = cast_weight_scales(random_weights(config))
@@ -185,10 +193,13 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         decode_chunk_steps=16,
         prefill_buckets=(128,),
         spec_k=spec_k,
+        prefix_cache=prefix_mode == "1",
     )
     engine.warmup()
 
     rng = np.random.default_rng(0)
+    shared = rng.integers(1, config.vocab_size, 192).tolist() if prefix_mode else []
+    temperature = float(temp_env) if temp_env else (0.0 if spec_k else 0.8)
     for i in range(n_requests):
         plen = int(rng.integers(16, 128))
         if spec_k:
@@ -200,9 +211,9 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         engine.submit(
             Request(
                 request_id=i,
-                prompt_tokens=prompt,
+                prompt_tokens=shared + prompt,
                 max_new_tokens=max_new,
-                temperature=0.0 if spec_k else 0.8,
+                temperature=temperature,
                 seed=i,
             )
         )
@@ -219,12 +230,20 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         json.dumps(
             {
                 "metric": f"serve_tok_s_qwen3_{model_name}_int8g64_slots{n_slots}"
-                + (f"_spec{spec_k}" if spec_k else ""),
+                + (f"_spec{spec_k}" if spec_k else "")
+                + (f"_prefix{prefix_mode}" if prefix_mode else "")
+                + (f"_t{temperature}" if temp_env else ""),
                 "value": round(total / elapsed, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": round(total / elapsed / roofline_1, 4),
                 "p50_ttft_s": round(stats["p50_ttft"], 4) if stats["p50_ttft"] else None,
                 "requests": len(done),
+                **(
+                    {"prefix_hits": stats["prefix_hits"],
+                     "prefix_rows_reused": stats["prefix_rows_reused"]}
+                    if prefix_mode == "1"
+                    else {}
+                ),
             }
         )
     )

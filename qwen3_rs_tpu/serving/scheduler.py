@@ -165,17 +165,12 @@ class ContinuousBatchingEngine:
         # that cover it instead of recomputing the prefill (refcounted +
         # LRU-cached pages, serving/paged_cache.py PageAllocator); admission
         # prefills then run only the prompt suffix with pos_start = matched
-        # rows.  Not composed with speculative mode yet: spec admissions
-        # seed per-slot history rows device-side from the (suffix-only)
-        # prefill window, which would leave the adopted prefix out of the
-        # drafting history.
+        # rows.  Composes with spec_k: the continued spec admission seeds
+        # each slot's drafting history from a full-prompt array so the
+        # adopted prefix stays draftable.
         self.prefix_cache = prefix_cache
         if prefix_cache and kv_layout != "paged":
             raise ValueError('prefix caching requires kv_layout="paged"')
-        if prefix_cache and spec_k:
-            raise ValueError(
-                "prefix caching is not supported with speculative decoding"
-            )
         # None = drain the queue into every free slot per step (TTFT-first);
         # a small value bounds how long in-flight streams stall behind
         # blocking prefills (inter-token-latency-first).
@@ -460,6 +455,29 @@ class ContinuousBatchingEngine:
             return toks, fresh_out, cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill_paged_sampled_spec_cont(
+            weights, tokens, cache, out_idx, tables, pos, temps, topps, key,
+            slots, fresh_in, hist_in, hlen_in, full_rows,
+        ):
+            """Speculative × prefix-cache admission: the prefill window is
+            only the prompt SUFFIX, but the drafting history must hold the
+            whole prompt (including the adopted prefix) — ``full_rows``
+            [k_pad, seq_len] carries it host→device (a few hundred KB, paid
+            once per admission wave, off the decode hot path)."""
+            from ..ops.sampling import sample_tokens_jax
+
+            logits, cache = _prefill_paged_cont_inner(
+                weights, tokens, cache, out_idx, tables, pos
+            )
+            toks = sample_tokens_jax(logits, key, temps, topps)
+            fresh_out = fresh_in.at[slots].set(toks, mode="drop")
+            end = pos + out_idx  # last real prompt row per admitted request
+            hist = hist_in.at[slots].set(full_rows, mode="drop")
+            hist = hist.at[slots, end + 1].set(toks, mode="drop")
+            hlen = hlen_in.at[slots].set(end + 2, mode="drop")
+            return toks, fresh_out, hist, hlen, cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def _prefill_paged_sampled(
             weights, tokens, cache, out_idx, tables, temps, topps, key,
             slots, fresh_in,
@@ -492,6 +510,7 @@ class ContinuousBatchingEngine:
         self._prefill_paged_sampled = _prefill_paged_sampled
         self._prefill_paged_cont = _prefill_paged_cont
         self._prefill_paged_sampled_cont = _prefill_paged_sampled_cont
+        self._prefill_paged_sampled_spec_cont = _prefill_paged_sampled_spec_cont
 
     # ------------------------------------------------------------------ api
     def warmup(self) -> None:
@@ -545,7 +564,27 @@ class ContinuousBatchingEngine:
                         # prefill per shape; warm it so the first shared
                         # prompt doesn't stall mid-serving.
                         pos0 = jnp.zeros(k, jnp.int32)
-                        if self.sampling == "device":
+                        if self.spec_k:
+                            out, _, _, _, self.cache = (
+                                self._prefill_paged_sampled_spec_cont(
+                                    self.weights, toks0, self.cache, idx0,
+                                    tables, pos0,
+                                    jnp.zeros(k, jnp.float32),
+                                    jnp.ones(k, jnp.float32),
+                                    jax.random.PRNGKey(0),
+                                    jnp.full(k, self.n_slots, jnp.int32),
+                                    jnp.full(self.n_slots, -1, jnp.int32),
+                                    jnp.zeros(
+                                        (self.n_slots, self.config.seq_len),
+                                        jnp.int32,
+                                    ),
+                                    jnp.zeros(self.n_slots, jnp.int32),
+                                    jnp.zeros(
+                                        (k, self.config.seq_len), jnp.int32
+                                    ),
+                                )
+                            )
+                        elif self.sampling == "device":
                             out, _, self.cache = self._prefill_paged_sampled_cont(
                                 self.weights, toks0, self.cache, idx0, tables,
                                 pos0,
@@ -924,10 +963,36 @@ class ContinuousBatchingEngine:
             slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
             slots_arr[:k] = slots
             self._key, sub = jax.random.split(self._key)
-            if cont_group:
+            if cont_group and spec_state is not None:
+                # Prefix-cache hit under speculative serving: suffix-only
+                # prefill + full-prompt history seeding (the adopted prefix
+                # must be draftable).
+                full_rows = np.zeros((k_pad, self.config.seq_len), np.int32)
+                for i, (req, prompt_len, _, _) in enumerate(picks):
+                    full_rows[i, :prompt_len] = req.prompt_tokens[:prompt_len]
+                toks, fresh, hist, hlen, self.cache = (
+                    self._prefill_paged_sampled_spec_cont(
+                        self.weights,
+                        jnp.asarray(tokens),
+                        self.cache,
+                        jnp.asarray(out_idx),
+                        jnp.asarray(tables),
+                        jnp.asarray(pos0),
+                        jnp.asarray(temps),
+                        jnp.asarray(topps),
+                        sub,
+                        jnp.asarray(slots_arr),
+                        jnp.asarray(fresh),
+                        jnp.asarray(spec_state["hist"]),
+                        jnp.asarray(spec_state["hlen"]),
+                        jnp.asarray(full_rows),
+                    )
+                )
+                spec_state["hist"] = hist
+                spec_state["hlen"] = hlen
+            elif cont_group:
                 # Prefix-cache hits: suffix-only prefill at pos_start =
-                # matched rows (spec mode never reaches here — validated
-                # incompatible in __init__).
+                # matched rows.
                 toks, fresh, self.cache = self._prefill_paged_sampled_cont(
                     self.weights,
                     jnp.asarray(tokens),

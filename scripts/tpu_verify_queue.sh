@@ -36,6 +36,13 @@ run serve_nokernel 1200 env BENCH_MODE=serve BENCH_SLOTS=8 QWEN3_TPU_DISABLE_PAG
 # 4b. speculative serving (greedy cyclic prompts = favorable acceptance)
 run serve_spec 1200 env BENCH_MODE=serve BENCH_SLOTS=8 BENCH_SPEC=4 python bench.py
 
+# 4c. stochastic speculative serving (sampled acceptance, temp 0.8)
+run serve_spec_t08 1200 env BENCH_MODE=serve BENCH_SLOTS=8 BENCH_SPEC=4 BENCH_TEMP=0.8 python bench.py
+
+# 4d. prefix caching A/B (shared 192-token preamble; TTFT + tok/s)
+run serve_prefix 1200 env BENCH_MODE=serve BENCH_SLOTS=8 BENCH_PREFIX=1 python bench.py
+run serve_prefix_off 1200 env BENCH_MODE=serve BENCH_SLOTS=8 BENCH_PREFIX=nocache python bench.py
+
 # 5. INT4 verification debt: decode bench + kernel microbench
 run int4_decode 900 env BENCH_BITS=4 python bench.py
 run int4_microbench 900 env MB_BITS=4 python scripts/kernel_microbench.py 8b

@@ -169,8 +169,30 @@ class TestPrefixCacheServing:
                 config=config, weights=weights, kv_layout="dense",
                 prefix_cache=True,
             )
-        with pytest.raises(ValueError, match="speculative"):
-            ContinuousBatchingEngine(
-                config=config, weights=weights, kv_layout="paged",
-                sampling="device", spec_k=2, prefix_cache=True,
-            )
+
+    def test_composes_with_speculative(self, setup):
+        """Prefix caching under speculative serving: greedy outputs match
+        the plain (non-spec, non-cached) scheduler, prefixes hit, and the
+        adopted prefix is draftable (history seeded from the full prompt)."""
+        config, weights = setup
+        base = [3, 1, 4, 1, 5, 9, 2, 6] * 2  # 16 tokens = 2 full pages
+        reqs = lambda: [
+            Request(request_id=i, prompt_tokens=list(base) + [10 + i],
+                    max_new_tokens=6)
+            for i in range(3)
+        ]
+        _, ref = _run(setup, reqs(), prefix_cache=False, n_slots=1)
+
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=1, mode="fast",
+            prefill_buckets=(8, 16), kv_layout="paged", page_size=PAGE,
+            sampling="device", spec_k=2, prefix_cache=True,
+        )
+        for r in reqs():
+            eng.submit(r)
+        done = eng.run()
+        out = {r.request_id: list(r.generated) for r in done}
+        assert out == ref
+        st = eng.stats()
+        assert st["prefix_hits"] == 2
+        assert st["prefix_rows_reused"] == 2 * 2 * PAGE
