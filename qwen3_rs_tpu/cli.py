@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="reuse KV pages across requests sharing a prompt prefix "
         "(paged layout; prefills run only the unmatched suffix)",
     )
+    bt.add_argument(
+        "--prefill-chunk", type=int, default=None, metavar="N",
+        help="chunked prefill: long prompts prefill N rows per scheduler "
+        "step, interleaved with decode (paged layout; bounds inter-token "
+        "latency under long-prompt admissions)",
+    )
 
     # serve: HTTP front-end over the continuous-batching engine.
     sv = sub.add_parser("serve", help="Serve a checkpoint over HTTP")
@@ -157,6 +163,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--prefix-cache", action="store_true",
         help="reuse KV pages across requests sharing a prompt prefix "
         "(paged layout; prefills run only the unmatched suffix)",
+    )
+    sv.add_argument(
+        "--prefill-chunk", type=int, default=None, metavar="N",
+        help="chunked prefill: long prompts prefill N rows per scheduler "
+        "step, interleaved with decode (paged layout; bounds inter-token "
+        "latency under long-prompt admissions)",
     )
     sv.add_argument(
         "--tp", type=int, default=1,
@@ -228,6 +240,10 @@ def main(argv=None) -> int:
             raise SystemExit(
                 "--prefix-cache requires the paged KV layout: add --kv paged"
             )
+        if args.prefill_chunk is not None and args.kv != "paged":
+            raise SystemExit(
+                "--prefill-chunk requires the paged KV layout: add --kv paged"
+            )
 
         from .checkpoint import load_checkpoint
         from .inference.tokenizer import Tokenizer
@@ -246,6 +262,7 @@ def main(argv=None) -> int:
             n_pages=args.pages,
             spec_k=args.spec,
             prefix_cache=args.prefix_cache,
+            prefill_chunk=args.prefill_chunk,
         )
         if not args.no_warmup:
             engine.warmup()
@@ -331,6 +348,7 @@ def main(argv=None) -> int:
                 mesh=mesh,
                 spec_k=args.spec,
                 prefix_cache=args.prefix_cache,
+                prefill_chunk=args.prefill_chunk,
                 **engine_kwargs,
             )
 

@@ -112,6 +112,7 @@ class ContinuousBatchingEngine:
         mesh=None,
         spec_k: int = 0,
         prefix_cache: bool = False,
+        prefill_chunk: int | None = None,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -171,6 +172,21 @@ class ContinuousBatchingEngine:
         self.prefix_cache = prefix_cache
         if prefix_cache and kv_layout != "paged":
             raise ValueError('prefix caching requires kv_layout="paged"')
+        # prefill_chunk: bound the prefill work dispatched per scheduler
+        # step.  A monolithic long-prompt prefill stalls every in-flight
+        # stream's next token for its full duration; with a chunk limit the
+        # prompt prefills ``prefill_chunk`` rows per step through the
+        # continued-prefill path (the window scatters into the slot's pages
+        # at pos_start = rows already done), and decode chunks for active
+        # slots interleave between the pieces — inter-token latency is
+        # bounded by one chunk's prefill time regardless of prompt length.
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            if kv_layout != "paged":
+                raise ValueError('chunked prefill requires kv_layout="paged"')
+            if prefill_chunk <= 0:
+                raise ValueError("prefill_chunk must be positive")
+            self.prefill_chunk = min(prefill_chunk, config.seq_len)
         # None = drain the queue into every free slot per step (TTFT-first);
         # a small value bounds how long in-flight streams stall behind
         # blocking prefills (inter-token-latency-first).
@@ -179,6 +195,12 @@ class ContinuousBatchingEngine:
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= config.seq_len
         ) or (config.seq_len,)
+        if self.prefill_chunk is not None:
+            # The chunk window is a compiled prefill shape — make it a
+            # bucket so warmup() covers it.
+            self.prefill_buckets = tuple(
+                sorted(set(self.prefill_buckets) | {self.prefill_chunk})
+            )
 
         # KV layout: "dense" reserves seq_len rows per slot (the reference's
         # per-request dense cache, batched); "paged" backs all slots with a
@@ -251,6 +273,12 @@ class ContinuousBatchingEngine:
         self._decode_tokens = 0
         self._prefix_hits = 0
         self._prefix_rows_reused = 0
+        # Chunked prefill: slot → {"req", "done", "plen"} for requests whose
+        # prompt is mid-prefill.  A partial slot holds pages and its slot
+        # index but stays out of ``slot_request`` (and thus out of every
+        # decode active mask) until its final chunk samples the first token.
+        self._partials: dict[int, dict] = {}
+        self._partial_waves = 0
         # Device-sampling mode pipelines decode chunks: the next chunk is
         # dispatched BEFORE the previous chunk's tokens are fetched, so the
         # device→host round-trip hides behind the next chunk's compute.
@@ -559,10 +587,21 @@ class ContinuousBatchingEngine:
                             self.weights, toks0, self.cache, idx0, tables
                         )
                     np.asarray(out)
-                    if self.prefix_cache:
-                        # Prefix-cache hits compile a second (continued)
-                        # prefill per shape; warm it so the first shared
-                        # prompt doesn't stall mid-serving.
+                    if self.prefill_chunk is not None:
+                        # Intermediate chunked-prefill waves use the PLAIN
+                        # continued prefill in every sampling mode (window =
+                        # the chunk bucket).
+                        if b == self.prefill_chunk:
+                            out, self.cache = self._prefill_paged_cont(
+                                self.weights, toks0, self.cache, idx0, tables,
+                                jnp.zeros(k, jnp.int32),
+                            )
+                            np.asarray(out)
+                    if self.prefix_cache or self.prefill_chunk is not None:
+                        # Prefix-cache hits and final chunked-prefill waves
+                        # compile a second (continued) prefill per shape;
+                        # warm it so the first shared prompt doesn't stall
+                        # mid-serving.
                         pos0 = jnp.zeros(k, jnp.int32)
                         if self.spec_k:
                             out, _, _, _, self.cache = (
@@ -693,6 +732,7 @@ class ContinuousBatchingEngine:
             bool(self.queue)
             or self.active_count > 0
             or self._inflight is not None
+            or bool(self._partials)
         )
 
     def _bucket(self, n: int) -> int:
@@ -731,6 +771,17 @@ class ContinuousBatchingEngine:
                 hist_in, hlen_in = self._spec_host_hist()
                 spec_state = {"hist": hist_in, "hlen": hlen_in}
         pending: list[dict] = []
+        if self.prefill_chunk is not None:
+            # Chunked prefill: advance every mid-prefill slot by one chunk
+            # (and start new partials from the queue head) BEFORE group
+            # admission, so short prompts still admit into the remaining
+            # free slots this step.
+            fresh = self._advance_partials(
+                emitted,
+                fresh,
+                pending if deferred else None,
+                spec_state,
+            )
         admitted = 0
         while True:
             budget = (
@@ -855,7 +906,11 @@ class ContinuousBatchingEngine:
         into ``fresh`` for the next chunk dispatch, and the host fetches them
         only after that dispatch (``_process_admits``) — an admission never
         blocks the pipeline on a device→host round-trip."""
-        free = [i for i, r in enumerate(self.slot_request) if r is None]
+        free = [
+            i
+            for i, r in enumerate(self.slot_request)
+            if r is None and i not in self._partials
+        ]
         if not free or not self.queue:
             return 0, fresh
         limit = len(free) if budget is None else min(len(free), budget)
@@ -880,6 +935,10 @@ class ContinuousBatchingEngine:
             # The prefill window holds only the prompt suffix on a hit; the
             # bucket (the compiled window shape) follows the suffix length.
             suffix = prompt_len - hrows
+            if self.prefill_chunk is not None and suffix > self.prefill_chunk:
+                # Long prompts prefill chunk-by-chunk (_advance_partials);
+                # FCFS — end the group rather than skipping past it.
+                break
             s_pad = max(suffix, min(self._bucket(suffix), self.config.seq_len))
             cont = hrows > 0
             if not picks:
@@ -902,7 +961,15 @@ class ContinuousBatchingEngine:
             avail -= need
             picks.append((req, prompt_len, hrows, hpages))
         if not picks:
-            if self.active_count == 0 and self._inflight is None:
+            if (
+                self.active_count == 0
+                and self._inflight is None
+                and not self._partials
+                and not (
+                    self.prefill_chunk is not None
+                    and len(self.queue[0].prompt_tokens) > self.prefill_chunk
+                )
+            ):
                 head = self.queue[0]
                 raise RuntimeError(
                     f"request {head.request_id} needs more KV pages than the "
@@ -1072,6 +1139,209 @@ class ContinuousBatchingEngine:
                 self._occupy(req, slots[i], prompt_len)
                 self._first_token(req, req._sampler.sample(logits_np[i]), emitted)
         return k, fresh
+
+    def _advance_partials(self, emitted, fresh, pending, spec_state):
+        """Chunked prefill driver (``prefill_chunk`` set): start new partial
+        prefills from the queue head and advance every partial by ONE chunk
+        this step.  Intermediate chunks run the plain continued prefill
+        (logits never fetched); a partial's final chunk goes through the
+        same sampled/cont admission contract as ``_admit_group`` — so the
+        feature composes with device sampling, speculative serving, and
+        prefix caching unchanged.  Returns the (possibly updated) fresh
+        vector."""
+        chunk = self.prefill_chunk
+        # Start new partials FCFS from the queue head.  Prompts whose
+        # (suffix after a prefix-cache hit) fits one chunk stay queued for
+        # the normal group admission.
+        while self.queue:
+            req = self.queue[0]
+            prompt_len = min(
+                max(len(req.prompt_tokens), 1), self.config.seq_len - 1
+            )
+            if self.prefix_cache:
+                hpages, hrows = self.allocator.match_prefix(
+                    req.prompt_tokens[:prompt_len], self.page_size
+                )
+            else:
+                hpages, hrows = [], 0
+            if prompt_len - hrows <= chunk:
+                break
+            free = [
+                i
+                for i, r in enumerate(self.slot_request)
+                if r is None and i not in self._partials
+            ]
+            if not free:
+                break
+            worst_rows = min(
+                self.config.seq_len, prompt_len + req.max_new_tokens + 1
+            )
+            need = -(-worst_rows // self.page_size)
+            if need > self.allocator.free_pages:
+                # Backpressure (FCFS: never skip past the head).  If nothing
+                # holds pages and it still doesn't fit, it never will.
+                if (
+                    self.active_count == 0
+                    and self._inflight is None
+                    and not self._partials
+                ):
+                    raise RuntimeError(
+                        f"request {req.request_id} needs more KV pages than "
+                        f"the pool holds ({self.allocator.n_pages}); raise "
+                        "n_pages or lower max_new_tokens"
+                    )
+                break
+            slot = free[0]
+            self.queue.pop(0)
+            if hpages:
+                # Pin the matched chain before allocating on top of it.
+                self.allocator.adopt(slot, hpages)
+                self._prefix_hits += 1
+                self._prefix_rows_reused += hrows
+            self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
+            self._partials[slot] = {"req": req, "done": hrows, "plen": prompt_len}
+        if not self._partials:
+            return fresh
+        # One chunk per partial per step; same-phase partials batch into one
+        # wave (intermediate chunks share the ``chunk`` window; final chunks
+        # group by their suffix bucket).
+        inter = [
+            s for s, p in self._partials.items() if p["plen"] - p["done"] > chunk
+        ]
+        final = [
+            s for s, p in self._partials.items() if p["plen"] - p["done"] <= chunk
+        ]
+        if inter:
+            self._partial_wave(
+                sorted(inter), chunk, final=False, fresh=fresh,
+                pending=pending, spec_state=spec_state, emitted=emitted,
+            )
+        by_bucket: dict[int, list[int]] = {}
+        for s in final:
+            rem = self._partials[s]["plen"] - self._partials[s]["done"]
+            b = max(rem, min(self._bucket(rem), self.config.seq_len))
+            by_bucket.setdefault(b, []).append(s)
+        for b, slots in sorted(by_bucket.items()):
+            fresh = self._partial_wave(
+                sorted(slots), b, final=True, fresh=fresh,
+                pending=pending, spec_state=spec_state, emitted=emitted,
+            )
+        return fresh
+
+    def _partial_wave(
+        self, slots, win, *, final, fresh, pending, spec_state, emitted
+    ):
+        """One batched continued-prefill wave over partial slots: window =
+        ``win`` prompt rows per slot starting at each slot's done-rows
+        offset."""
+        k = len(slots)
+        k_pad = self._pad_group(k)
+        tokens = np.zeros((k_pad, win), np.int32)
+        out_idx = np.zeros(k_pad, np.int32)
+        pos0 = np.zeros(k_pad, np.int32)
+        tables = np.zeros((k_pad, self.allocator.max_pages_per_slot), np.int32)
+        for i, s in enumerate(slots):
+            p = self._partials[s]
+            req = p["req"]
+            n = min(win, p["plen"] - p["done"])
+            tokens[i, :n] = req.prompt_tokens[p["done"] : p["done"] + n]
+            out_idx[i] = n - 1
+            pos0[i] = p["done"]
+            tables[i] = self.allocator.tables[s]
+        self._partial_waves += 1
+        if not final:
+            # Cache writes only; the logits row is dead and never fetched.
+            _, self.cache = self._prefill_paged_cont(
+                self.weights,
+                jnp.asarray(tokens),
+                self.cache,
+                jnp.asarray(out_idx),
+                jnp.asarray(tables),
+                jnp.asarray(pos0),
+            )
+            for i, s in enumerate(slots):
+                self._partials[s]["done"] += int(out_idx[i]) + 1
+            return fresh
+        # Final chunk: sample the first token through the mode-appropriate
+        # continued-admission path and activate the slot.
+        picks = [
+            (self._partials[s]["req"], self._partials[s]["plen"]) for s in slots
+        ]
+        for s in slots:
+            del self._partials[s]
+        if pending is not None:
+            temps = np.zeros(k_pad, np.float32)
+            topps = np.ones(k_pad, np.float32)
+            for i, (req, _) in enumerate(picks):
+                temps[i] = req.temperature
+                topps[i] = req.topp
+            assert fresh is not None
+            slots_arr = np.full(k_pad, self.n_slots, np.int32)  # pad → drop
+            slots_arr[:k] = slots
+            self._key, sub = jax.random.split(self._key)
+            if spec_state is not None:
+                full_rows = np.zeros((k_pad, self.config.seq_len), np.int32)
+                for i, (req, plen) in enumerate(picks):
+                    full_rows[i, :plen] = req.prompt_tokens[:plen]
+                toks, fresh, hist, hlen, self.cache = (
+                    self._prefill_paged_sampled_spec_cont(
+                        self.weights,
+                        jnp.asarray(tokens),
+                        self.cache,
+                        jnp.asarray(out_idx),
+                        jnp.asarray(tables),
+                        jnp.asarray(pos0),
+                        jnp.asarray(temps),
+                        jnp.asarray(topps),
+                        sub,
+                        jnp.asarray(slots_arr),
+                        jnp.asarray(fresh),
+                        jnp.asarray(spec_state["hist"]),
+                        jnp.asarray(spec_state["hlen"]),
+                        jnp.asarray(full_rows),
+                    )
+                )
+                spec_state["hist"] = hist
+                spec_state["hlen"] = hlen
+            else:
+                toks, fresh, self.cache = self._prefill_paged_sampled_cont(
+                    self.weights,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.asarray(out_idx),
+                    jnp.asarray(tables),
+                    jnp.asarray(pos0),
+                    jnp.asarray(temps),
+                    jnp.asarray(topps),
+                    sub,
+                    jnp.asarray(slots_arr),
+                    jnp.asarray(fresh),
+                )
+            for i, (req, plen) in enumerate(picks):
+                self._occupy(req, slots[i], plen)
+            pending.append({"toks": toks, "picks": picks})
+        else:
+            logits, self.cache = self._prefill_paged_cont(
+                self.weights,
+                jnp.asarray(tokens),
+                self.cache,
+                jnp.asarray(out_idx),
+                jnp.asarray(tables),
+                jnp.asarray(pos0),
+            )
+            logits_np = np.asarray(logits[:k])
+            for i, (req, plen) in enumerate(picks):
+                self._occupy(req, slots[i], plen)
+                self._first_token(req, req._sampler.sample(logits_np[i]), emitted)
+        if self.prefix_cache:
+            # Register only now that every prompt page's rows are written
+            # (chunks dispatch across steps — registering at partial start
+            # would let a concurrent admission adopt half-written pages).
+            for i, (req, plen) in enumerate(picks):
+                self.allocator.register_prefix(
+                    slots[i], req.prompt_tokens[:plen], self.page_size
+                )
+        return fresh
 
     def _occupy(self, req: Request, slot: int, s_real: int) -> None:
         """Bind an admitted request to its slot (its first token may still be
@@ -1483,6 +1753,11 @@ class ContinuousBatchingEngine:
                     "prefix_cached_pages": self.allocator.cached_pages,
                 }
                 if self.prefix_cache
+                else {}
+            ),
+            **(
+                {"prefill_waves": self._partial_waves}
+                if self.prefill_chunk is not None
                 else {}
             ),
         }
