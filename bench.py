@@ -39,6 +39,16 @@ HBM_BW_BY_KIND = {
     "cpu": 50e9,
 }
 
+# Peak bf16 MXU throughput (FLOP/s) — the prefill (compute-bound) roofline.
+PEAK_FLOPS_BY_KIND = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "cpu": 1e12,
+}
+
 
 def main() -> None:
     from qwen3_rs_tpu.utils import enable_compile_cache
@@ -294,6 +304,13 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
         times[k] = time.perf_counter() - t0
     per_prefill = (times[3] - times[1]) / 2
 
+    # vs_baseline: fraction of the compute (MXU) roofline achieved — same
+    # fraction-of-roofline semantics as the decode metric.
+    from qwen3_rs_tpu.testing import prefill_flops
+
+    device_kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS_BY_KIND.get(device_kind, 197e12)
+    achieved = prefill_flops(config, s, batch) / per_prefill
     print(
         json.dumps(
             {
@@ -301,9 +318,8 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
                 f"_s{s}_b{batch}",
                 "value": round(per_prefill * 1000, 2),
                 "unit": "ms",
-                "vs_baseline": round(
-                    (batch * s / per_prefill) / 1e6, 4
-                ),  # Mtok/s prefill throughput
+                "vs_baseline": round(achieved / peak, 4),
+                "tflops": round(achieved / 1e12, 1),
             }
         )
     )

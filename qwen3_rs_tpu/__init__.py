@@ -60,8 +60,9 @@ def run_inference(config: InferenceConfig) -> None:
             )
         if config.mode != "generate":
             raise ValueError("speculative decoding is generate-mode only")
-        # Greedy device sampling == greedy host sampling (both first-max
-        # argmax), so auto-enabling it changes nothing but the dispatch.
+        # Greedy device sampling == greedy host sampling (both last-max
+        # argmax, ops/sampling.py:argmax_last_jax matching the host's
+        # _argmax_last), so auto-enabling it changes nothing but dispatch.
         config.device_sampling = True
     engine = Engine(
         config.checkpoint_path,

@@ -112,7 +112,9 @@ def spec_round_batched(fwd, weights, carry, k: int, page_table, active):
     key, sub = jax.random.split(key)
 
     def greedy_all(l, _):
-        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+        from ..ops.sampling import argmax_last_jax
+
+        return argmax_last_jax(l)
 
     def sample_all(l, s):
         return sample_tokens_jax(
@@ -155,7 +157,9 @@ def spec_round(fwd, weights, carry, k: int):
     draft = ngram_draft(hist, hlen, cur[0], k)  # [k]
     window = jnp.concatenate([cur, jnp.maximum(draft, 0)])[None, :]  # [1, k+1]
     logits, cache = fwd(weights, window, cache, pos, return_all_logits=True)
-    preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [k+1]
+    from ..ops.sampling import argmax_last_jax
+
+    preds = argmax_last_jax(logits[0])  # [k+1]; last-max ties like the host
 
     # preds[i] is the model's greedy token after consuming window[:i+1];
     # draft[i] is accepted iff it equals preds[i] and everything before it

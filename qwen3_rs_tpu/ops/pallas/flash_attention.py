@@ -170,8 +170,8 @@ def flash_gqa_decode_stacked(
             pl.BlockSpec(
                 (1, 1, 1, hd), lambda i, j, l, p: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_all stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_all stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # k_all stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # v_all stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, 1, kv_mul, hd), lambda i, j, l, p: (i, j, 0, 0), memory_space=pltpu.VMEM

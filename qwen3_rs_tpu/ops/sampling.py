@@ -111,6 +111,15 @@ class Sampler:
         return int(order[pick])
 
 
+def argmax_last_jax(logits: jax.Array) -> jax.Array:
+    """Greedy pick over the last axis; ties resolve to the *last* occurrence,
+    matching the host sampler and Rust's ``Iterator::max_by``
+    (sampler.rs:57-59).  ``jnp.argmax`` alone is first-max — divergent on
+    ties, which synthetic-weight tests and speculative accept checks hit."""
+    v = logits.shape[-1]
+    return (v - 1 - jnp.argmax(jnp.flip(logits, axis=-1), axis=-1)).astype(jnp.int32)
+
+
 def sample_tokens_jax(
     logits: jax.Array,
     key: jax.Array,
@@ -129,7 +138,7 @@ def sample_tokens_jax(
     if scalar_params:
         # Scalar fast paths avoid the vocab sort entirely where possible.
         if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return argmax_last_jax(logits)
         scaled = logits.astype(jnp.float32) / temperature
         if topp <= 0.0 or topp >= 1.0:
             return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
@@ -142,7 +151,7 @@ def sample_tokens_jax(
     # Rows with topp outside (0,1) keep everything (effective topp 1.0).
     nucleus = (topp_arr > 0.0) & (topp_arr < 1.0)
     sampled = _topp_sample(scaled, key, jnp.where(nucleus, topp_arr, 1.0))
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = argmax_last_jax(logits)
     return jnp.where(temperature == 0.0, greedy, sampled)
 
 

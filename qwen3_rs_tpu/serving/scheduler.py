@@ -771,18 +771,22 @@ class ContinuousBatchingEngine:
                 hist_in, hlen_in = self._spec_host_hist()
                 spec_state = {"hist": hist_in, "hlen": hlen_in}
         pending: list[dict] = []
+        admitted = 0
         if self.prefill_chunk is not None:
             # Chunked prefill: advance every mid-prefill slot by one chunk
             # (and start new partials from the queue head) BEFORE group
             # admission, so short prompts still admit into the remaining
-            # free slots this step.
-            fresh = self._advance_partials(
+            # free slots this step.  New partial starts count against
+            # max_admissions_per_step — each adds a chunk-wide prefill to
+            # this step's stall, exactly what the budget exists to bound.
+            fresh, started = self._advance_partials(
                 emitted,
                 fresh,
                 pending if deferred else None,
                 spec_state,
+                budget=self.max_admissions_per_step,
             )
-        admitted = 0
+            admitted += started
         while True:
             budget = (
                 None
@@ -965,12 +969,25 @@ class ContinuousBatchingEngine:
                 self.active_count == 0
                 and self._inflight is None
                 and not self._partials
-                and not (
-                    self.prefill_chunk is not None
-                    and len(self.queue[0].prompt_tokens) > self.prefill_chunk
-                )
             ):
                 head = self.queue[0]
+                # Defer to _advance_partials only when IT would actually take
+                # the head — it routes by the prefix-adjusted suffix, so the
+                # suppression must use the same quantity (a head whose cached
+                # -prefix suffix fits one chunk is ours; swallowing its pool
+                # exhaustion here would livelock run()).
+                if self.prefill_chunk is not None:
+                    plen = min(
+                        max(len(head.prompt_tokens), 1), self.config.seq_len - 1
+                    )
+                    if self.prefix_cache:
+                        _, head_hrows = self.allocator.match_prefix(
+                            head.prompt_tokens[:plen], self.page_size
+                        )
+                    else:
+                        head_hrows = 0
+                    if plen - head_hrows > self.prefill_chunk:
+                        return 0, fresh  # chunked-prefill path owns this head
                 raise RuntimeError(
                     f"request {head.request_id} needs more KV pages than the "
                     f"pool holds ({self.allocator.n_pages}); raise n_pages "
@@ -1140,20 +1157,23 @@ class ContinuousBatchingEngine:
                 self._first_token(req, req._sampler.sample(logits_np[i]), emitted)
         return k, fresh
 
-    def _advance_partials(self, emitted, fresh, pending, spec_state):
+    def _advance_partials(self, emitted, fresh, pending, spec_state, *, budget=None):
         """Chunked prefill driver (``prefill_chunk`` set): start new partial
         prefills from the queue head and advance every partial by ONE chunk
         this step.  Intermediate chunks run the plain continued prefill
         (logits never fetched); a partial's final chunk goes through the
         same sampled/cont admission contract as ``_admit_group`` — so the
         feature composes with device sampling, speculative serving, and
-        prefix caching unchanged.  Returns the (possibly updated) fresh
-        vector."""
+        prefix caching unchanged.  ``budget`` caps NEW partial starts (the
+        max_admissions_per_step stall bound).  Returns (fresh, n_started)."""
         chunk = self.prefill_chunk
+        started = 0
         # Start new partials FCFS from the queue head.  Prompts whose
         # (suffix after a prefix-cache hit) fits one chunk stay queued for
         # the normal group admission.
         while self.queue:
+            if budget is not None and started >= budget:
+                break
             req = self.queue[0]
             prompt_len = min(
                 max(len(req.prompt_tokens), 1), self.config.seq_len - 1
@@ -1200,8 +1220,9 @@ class ContinuousBatchingEngine:
                 self._prefix_rows_reused += hrows
             self.allocator.ensure_capacity(slot, worst_rows, self.page_size)
             self._partials[slot] = {"req": req, "done": hrows, "plen": prompt_len}
+            started += 1
         if not self._partials:
-            return fresh
+            return fresh, started
         # One chunk per partial per step; same-phase partials batch into one
         # wave (intermediate chunks share the ``chunk`` window; final chunks
         # group by their suffix bucket).
@@ -1226,7 +1247,7 @@ class ContinuousBatchingEngine:
                 sorted(slots), b, final=True, fresh=fresh,
                 pending=pending, spec_state=spec_state, emitted=emitted,
             )
-        return fresh
+        return fresh, started
 
     def _partial_wave(
         self, slots, win, *, final, fresh, pending, spec_state, emitted

@@ -125,3 +125,52 @@ class TestChunkedPrefill:
         rng = np.random.default_rng(6)
         got = _run(eng, _prompts(rng, 2, 20, 40))
         assert all(len(v) == 6 for v in got.values())
+
+    def test_pool_exhaustion_with_cached_prefix_raises(self, setup):
+        """Livelock regression (ADVICE r1): a head whose cached-prefix
+        suffix fits one chunk but whose worst-case page need exceeds the
+        pool must raise the pool-exhaustion error, not spin forever —
+        _admit_group's raise-suppression must route by the same
+        prefix-adjusted suffix _advance_partials uses."""
+        eng = _engine(
+            setup, prefix_cache=True, prefill_chunk=8, n_pages=6, n_slots=2
+        )
+        shared = list(range(1, 25))  # 24 rows = 3 full pages once cached
+        eng.submit(
+            Request(request_id=0, prompt_tokens=shared, max_new_tokens=2)
+        )
+        eng.run()
+        # Same 24-row prefix (now cached) + short unique tail: suffix (4)
+        # fits one chunk, but worst-case rows (24 + bucket + 500 + 1,
+        # clamped to seq_len=64) need 8 pages > 6 in the pool.
+        eng.submit(
+            Request(
+                request_id=1,
+                prompt_tokens=shared + [30, 31, 32, 33],
+                max_new_tokens=500,
+            )
+        )
+        with pytest.raises(RuntimeError, match="KV pages"):
+            eng.run()
+
+    def test_max_admissions_caps_partial_starts(self, setup):
+        """max_admissions_per_step bounds NEW chunked-prefill starts per
+        step (ADVICE r1): 3 long prompts with budget 1 must not all start
+        partial prefills in the first step."""
+        eng = _engine(
+            setup, prefill_chunk=8, max_admissions_per_step=1, n_slots=4
+        )
+        rng = np.random.default_rng(9)
+        prompts = _prompts(rng, 3, 25, 40)  # all > chunk
+        for i, p in enumerate(prompts):
+            eng.submit(
+                Request(request_id=i, prompt_tokens=list(p), max_new_tokens=4)
+            )
+        eng.step()
+        assert len(eng._partials) == 1
+        eng.step()
+        assert len(eng._partials) == 2
+        # And the run still completes correctly.
+        got = {r.request_id: r.generated for r in (eng.run() or eng.completed)}
+        want = _run(_engine(setup), [list(p) for p in prompts], n=4)
+        assert got == want

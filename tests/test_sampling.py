@@ -164,3 +164,33 @@ class TestDeviceSamplingLargeVocab:
         np.testing.assert_array_equal(
             np.asarray(out), np.argmax(np.asarray(logits), axis=-1)
         )
+
+
+class TestArgmaxTieParity:
+    def test_device_greedy_matches_host_on_ties(self):
+        """Device greedy sampling must resolve ties to the LAST max index,
+        like the host sampler / Rust's Iterator::max_by (sampler.rs:57-59)."""
+        import jax
+        import jax.numpy as jnp
+
+        from qwen3_rs_tpu.ops.sampling import (
+            Sampler,
+            argmax_last_jax,
+            sample_tokens_jax,
+        )
+
+        logits = np.zeros((1, 7), np.float32)
+        logits[0, [1, 4, 5]] = 3.0  # three-way tie → index 5
+        host = Sampler(0.0, 0.9, seed=1).sample(logits[0])
+        dev = sample_tokens_jax(jnp.asarray(logits), jax.random.PRNGKey(0), 0.0, 0.9)
+        assert host == 5
+        assert int(dev[0]) == 5
+        assert int(argmax_last_jax(jnp.asarray(logits))[0]) == 5
+        # Per-request param form takes the same greedy path.
+        dev_b = sample_tokens_jax(
+            jnp.asarray(logits),
+            jax.random.PRNGKey(0),
+            jnp.zeros(1),
+            jnp.full(1, 0.9),
+        )
+        assert int(dev_b[0]) == 5
