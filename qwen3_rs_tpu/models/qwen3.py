@@ -254,6 +254,12 @@ def qwen3_forward(
     page_table: jax.Array | None = None,  # [B, max_pages] int32 — paged-cache mode
     fresh_prefill: bool = False,  # static: caller guarantees pos_start == 0
     allow_paged_flash: bool = True,  # static: see below — off under sharded pools
+    skip_head: bool = False,  # static: return the residual stream, not logits
+    tp_axis: str | None = None,  # static: running inside shard_map over this
+    # mesh axis — weights/cache are LOCAL shards (config must be the local
+    # config, parallel/tp.py), the embedding gather masks + psums, and the
+    # row-parallel projections (wo, w2) psum before the residual add.
+    # Returned logits are the local lm_head columns (caller reassembles).
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill when S>1, decode when S==1).
 
@@ -285,9 +291,22 @@ def qwen3_forward(
 
     # Token embedding: gather quantized rows + dequantize (exact same values
     # as the reference's up-front dequantized table, layers.rs:72-76).
-    emb_q = weights.embed.q[tokens]  # [B, S, dim] int8
-    emb_s = weights.embed.scales[tokens]  # [B, S, dim//g]
-    x = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32).astype(compute_dtype)
+    if tp_axis is None:
+        emb_q = weights.embed.q[tokens]  # [B, S, dim] int32
+        emb_s = weights.embed.scales[tokens]  # [B, S, dim//g]
+        x = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32).astype(compute_dtype)
+    else:
+        # Vocab rows are sharded over tp: gather from the local shard with
+        # out-of-range ids masked to zero, then psum the one hot shard's rows.
+        v_local = weights.embed.q.shape[0]
+        shard = jax.lax.axis_index(tp_axis)
+        lid = tokens - shard * v_local
+        ok = (lid >= 0) & (lid < v_local)
+        lid = jnp.clip(lid, 0, v_local - 1)
+        emb_q = weights.embed.q[lid]
+        emb_s = weights.embed.scales[lid]
+        x = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)
+        x = jax.lax.psum(x * ok[..., None], tp_axis).astype(compute_dtype)
 
     # Absolute positions and RoPE tables for this window.
     q_pos = pos_start[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]  # [B, S]
@@ -303,7 +322,6 @@ def qwen3_forward(
 
     use_flash_decode = (
         not paged
-        and not hasattr(cache, "k_scale")  # int8 cache: XLA path dequantizes
         and mode == "fast"
         and s == 1
         and pallas_ops.pallas_enabled()
@@ -336,6 +354,25 @@ def qwen3_forward(
         and paged_decode_supported(
             config.head_dim, cache.k.shape[3], cache.k.dtype
         )
+    )
+
+    # Fused-glue projections (decode / small windows): RMSNorm, SwiGLU and
+    # the residual adds ride the qmatmul kernels instead of standing XLA ops
+    # between pallas_call boundaries — see ops/pallas/qmatmul.py (fused).
+    from ..ops.pallas.qmatmul import fused_enabled, supports_shapes as _qm_supports
+
+    def _sup(w, n, d):
+        return _qm_supports(n, d, g, q4=isinstance(w, Q4Tensor))
+
+    use_fused_glue = (
+        mode == "fast"
+        and pallas_ops.pallas_enabled()
+        and fused_enabled()
+        and b * s <= 256
+        and _sup(lw_all.wqkv, config.dim, config.all_heads_dim + 2 * config.kv_dim)
+        and _sup(lw_all.wo, config.all_heads_dim, config.dim)
+        and _sup(lw_all.w13, config.dim, 2 * config.hidden_dim)
+        and _sup(lw_all.w2, config.hidden_dim, config.dim)
     )
 
     from ..ops.pallas.prefill_attention import splash_prefill_supported
@@ -375,9 +412,14 @@ def qwen3_forward(
         k_layer, v_layer = cache_layer.k, cache_layer.v
 
         # --- Attention block (models/qwen3.rs:131-156) ---
-        xn = rms_norm(x, rms_att_l, config.norm_eps)
-        xq = _maybe_quant(xn, g, mode)
-        qkv = _project_layer(xn, xq, lw_all.wqkv, idx, mode)
+        if use_fused_glue:
+            qkv = pallas_ops.qmatmul_pallas_stacked_fused(
+                x, lw_all.wqkv, idx, norm_w=lw_all.rms_att, eps=config.norm_eps
+            )
+        else:
+            xn = rms_norm(x, rms_att_l, config.norm_eps)
+            xq = _maybe_quant(xn, g, mode)
+            qkv = _project_layer(xn, xq, lw_all.wqkv, idx, mode)
         ah, kvd = config.all_heads_dim, config.kv_dim
         q = qkv[..., :ah].reshape(b, s, config.n_heads, config.head_dim)
         k = qkv[..., ah : ah + kvd].reshape(b, s, config.n_kv_heads, config.head_dim)
@@ -459,8 +501,9 @@ def qwen3_forward(
             from ..ops.pallas.flash_attention import flash_gqa_decode_stacked
 
             # Decode (S=1): the Pallas kernel reads only pos[b] cache rows
-            # per head (the XLA path scans the whole allocated window) and
-            # indexes the stacked cache by layer — no slice copies.
+            # per head (the XLA path scans in fixed chunks) and indexes the
+            # stacked cache by layer — no slice copies.  INT8 caches pass
+            # per-row scales; codes dequantize in the score/prob epilogues.
             att = flash_gqa_decode_stacked(
                 q[:, 0].astype(jnp.float32),
                 k[:, 0].astype(jnp.float32),
@@ -469,6 +512,8 @@ def qwen3_forward(
                 cache.v,
                 pos_start,
                 idx,
+                k_scale_all=getattr(cache, "k_scale", None),
+                v_scale_all=getattr(cache, "v_scale", None),
             )[:, None]
         else:
             att = gqa_attention_split(
@@ -483,8 +528,44 @@ def qwen3_forward(
                 v_scale_cache=getattr(cache_layer, "v_scale", None),
             )
         att = att.reshape(b, s, config.all_heads_dim)
+
+        # Row-parallel projections produce per-shard partial sums under tp:
+        # reduce across the axis before the residual add.
+        def _rowsum(y):
+            return y if tp_axis is None else jax.lax.psum(y, tp_axis)
+
+        if use_fused_glue:
+            # Under tp the psum sits between matmul and residual add, so the
+            # residual cannot ride the kernel accumulator there.
+            if tp_axis is None:
+                x = pallas_ops.qmatmul_pallas_stacked_fused(
+                    att, lw_all.wo, idx, residual=x
+                ).astype(compute_dtype)
+            else:
+                x = x + _rowsum(
+                    pallas_ops.qmatmul_pallas_stacked_fused(att, lw_all.wo, idx)
+                ).astype(compute_dtype)
+
+            # --- FFN block, fused (SwiGLU + residual in-kernel) ---
+            gate_up = pallas_ops.qmatmul_pallas_stacked_fused(
+                x, lw_all.w13, idx, norm_w=lw_all.rms_ffn, eps=config.norm_eps
+            )
+            if tp_axis is None:
+                x = pallas_ops.qmatmul_pallas_stacked_fused(
+                    gate_up, lw_all.w2, idx, swiglu=True, residual=x
+                ).astype(compute_dtype)
+            else:
+                x = x + _rowsum(
+                    pallas_ops.qmatmul_pallas_stacked_fused(
+                        gate_up, lw_all.w2, idx, swiglu=True
+                    )
+                ).astype(compute_dtype)
+            return x, (k, v)
+
         att_q = _maybe_quant(att, g, mode)
-        x = x + _project_layer(att, att_q, lw_all.wo, idx, mode).astype(compute_dtype)
+        x = x + _rowsum(
+            _project_layer(att, att_q, lw_all.wo, idx, mode)
+        ).astype(compute_dtype)
 
         # --- FFN block with SwiGLU (models/qwen3.rs:159-175, layers.rs:466-480) ---
         xn = rms_norm(x, rms_ffn_l, config.norm_eps)
@@ -494,7 +575,9 @@ def qwen3_forward(
         up = gate_up[..., config.hidden_dim :]
         h = (gate * jax.nn.sigmoid(gate) * up).astype(compute_dtype)
         h_q = _maybe_quant(h, g, mode)
-        x = x + _project_layer(h, h_q, lw_all.w2, idx, mode).astype(compute_dtype)
+        x = x + _rowsum(
+            _project_layer(h, h_q, lw_all.w2, idx, mode)
+        ).astype(compute_dtype)
 
         return x, (k, v)
 
@@ -615,6 +698,11 @@ def qwen3_forward(
             )
 
     # Final norm + classifier head (models/qwen3.rs:72-76).
+    if skip_head:
+        # Ablation / pipeline-stage mode: hand back the residual stream
+        # (profilers charge the head separately; non-final pipeline stages
+        # never run it).
+        return x, new_cache
     if not return_all_logits:
         if out_idx is None:
             x = x[:, -1:, :]
@@ -624,7 +712,10 @@ def qwen3_forward(
     xq = _maybe_quant(xn, g, mode)
     logits = _project(xn, xq, weights.lm_head, mode).astype(jnp.float32)
     # Drop tile padding on the vocab axis (zero-padded rows at load time).
-    logits = logits[..., : config.vocab_size]
+    # Under tp the logits are local vocab columns — the shard_map wrapper
+    # reassembles the global axis and slices there (parallel/tp.py).
+    if tp_axis is None:
+        logits = logits[..., : config.vocab_size]
     if not return_all_logits:
         logits = logits[:, 0, :]
     return logits, new_cache

@@ -45,6 +45,12 @@ def qmatmul_pallas_stacked_rows(x, w, layer_idx):
     return _impl(x, w, layer_idx)
 
 
+def qmatmul_pallas_stacked_fused(x, w, layer_idx, **kw):
+    from .qmatmul import qmatmul_pallas_stacked_fused as _impl
+
+    return _impl(x, w, layer_idx, **kw)
+
+
 def flash_gqa_attention(q, k, v, q_pos):
     from .flash_attention import flash_gqa_attention as _impl
 

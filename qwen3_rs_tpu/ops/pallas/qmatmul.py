@@ -51,13 +51,15 @@ def _accumulate_tile(
     x, wq, ws, out_ref, *, group_size: int, tile_groups: int, impl: str = "defer",
     k_axis: int = 1,
 ):
-    """See below; INT4 tiles route through ``_dequant_tile_q4`` first."""
+    """See below; INT4 tiles route through ``_dequant_tile_q4`` first.
+    ``k_axis=None``: the caller already initialized the accumulator."""
     if wq.dtype == jnp.uint8:
-        k = pl.program_id(k_axis)
+        if k_axis is not None:
+            k = pl.program_id(k_axis)
 
-        @pl.when(k == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            @pl.when(k == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
 
         wf = _dequant_tile_q4(wq, ws, group_size=group_size, tile_groups=tile_groups)
         out_ref[:] += jax.lax.dot_general(
@@ -90,11 +92,12 @@ def _accumulate_tile_i8(
     either way: an f32 LHS makes Mosaic run the MXU in multi-pass f32 mode
     (int8 codes are exact in bf16: |q| ≤ 127 < 2^8).
     """
-    k = pl.program_id(k_axis)
+    if k_axis is not None:
+        k = pl.program_id(k_axis)
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
     tile_n, tile_d = wq.shape
     b = x.shape[0]
@@ -233,6 +236,13 @@ def _pick_tiles(
     if best is None:
         return (fallback[1], fallback[2]) if fallback is not None else None
     return best[1], best[2]
+
+
+def fused_enabled() -> bool:
+    """A/B gate for the fused-glue decode variant."""
+    import os
+
+    return os.environ.get("QWEN3_TPU_DISABLE_FUSED", "0") != "1"
 
 
 def supports_shapes(n: int, d: int, group_size: int, q4: bool = False) -> bool:
@@ -381,6 +391,219 @@ def qmatmul_pallas_stacked(
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.float32)
     out = _qmatmul_stacked_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
+    return out.reshape(*batch_shape, w.q.shape[-1])
+
+
+# ------------------------------------------------------- fused decode variant
+# The decode step's XLA glue between kernels (RMSNorm writes, the SwiGLU
+# elementwise block, residual adds) costs op-dispatch boundaries that can't
+# fuse across pallas_call edges.  This variant folds them into the matmul:
+#
+#   prologue "rms":    x_tile × inv × γ_tile       (inv = rsqrt(mean x²+ε)
+#                      computed by the caller — one tiny XLA reduction that
+#                      replaces the full [b, N] normed-x materialization)
+#   prologue "swiglu": silu(gate_tile) ⊙ up_tile   (both tiles are views of
+#                      the same gate_up array via two block specs)
+#   epilogue residual: the f32 accumulator initializes to the residual
+#                      instead of zero on the first k block
+#
+# Numerics: identical bf16 dot inputs as the unfused path (bf16(f32 glue));
+# the residual add moves from bf16 (outside) to f32 (in-accumulator).
+
+
+def _kernel_stacked_fused(
+    layer_ref,
+    *refs,
+    group_size: int,
+    tile_groups: int,
+    impl: str,
+    norm: bool,
+    swiglu: bool,
+    residual: bool,
+    eps: float,
+):
+    it = iter(refs)
+    x_ref = next(it)
+    up_ref = next(it) if swiglu else None
+    wq_ref = next(it)
+    ws_ref = next(it)
+    nw_ref = next(it) if norm else None
+    inv_ref = next(it) if norm else None
+    res_ref = next(it) if residual else None
+    out_ref = next(it)
+
+    xt = x_ref[:]
+    if swiglu:
+        xt = xt * jax.nn.sigmoid(xt) * up_ref[:]
+    if norm:
+        xt = xt * inv_ref[:] * nw_ref[0]  # nw block [1, 1, tile_n] → [1, tile_n]
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = (
+            res_ref[:].astype(jnp.float32) if residual else jnp.zeros_like(out_ref)
+        )
+
+    _accumulate_tile(
+        xt,
+        wq_ref[0],
+        ws_ref[0],
+        out_ref,
+        group_size=group_size,
+        tile_groups=tile_groups,
+        impl=impl,
+        k_axis=None,  # init handled above
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "impl", "tiles", "swiglu", "eps"),
+)
+def _qmatmul_stacked_fused_2d(
+    x,
+    wq_all,
+    ws_all,
+    layer_idx,
+    nw_all=None,
+    residual=None,
+    *,
+    swiglu: bool = False,
+    eps: float = 1e-6,
+    interpret: bool = False,
+    impl: str | None = None,
+    tiles=None,
+):
+    """Fused-glue variant of :func:`_qmatmul_stacked_2d`.
+
+    x: [B, N] f32 (or [B, 2N] when ``swiglu`` — gate | up halves).
+    nw_all: [L, N] f32 RMSNorm weights (fuses normalization).
+    residual: [B, D] — initializes the accumulator.
+    """
+    b = x.shape[0]
+    _, n, d = wq_all.shape
+    g_count = ws_all.shape[1]
+    group_size = n // g_count
+    impl = impl or _default_impl()
+    norm = nw_all is not None
+
+    tiles = tiles or _pick_tiles(n, d, group_size, b, q4=wq_all.dtype == jnp.uint8)
+    if tiles is None:
+        raise ValueError(
+            f"unsupported shapes for pallas fused qmatmul: {x.shape} x {wq_all.shape}"
+        )
+    tile_n, tile_d = tiles
+    tile_groups = tile_n // group_size
+    w_rows = tile_n // 2 if wq_all.dtype == jnp.uint8 else tile_n
+    n_tiles = n // tile_n
+
+    in_specs = [
+        pl.BlockSpec((b, tile_n), lambda i, k, l: (0, k), memory_space=pltpu.VMEM),
+    ]
+    args = []
+    if swiglu:
+        # The up half is the same array, offset by n on the column axis.
+        in_specs.append(
+            pl.BlockSpec(
+                (b, tile_n),
+                lambda i, k, l, nt=n_tiles: (0, nt + k),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(x)  # passed twice; Pallas streams each spec's blocks
+    in_specs += [
+        pl.BlockSpec(
+            (1, w_rows, tile_d), lambda i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, tile_groups, tile_d),
+            lambda i, k, l: (l[0], k, i),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args += [wq_all, ws_all]
+    if norm:
+        xf = x.astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        # [L, 1, N] so the block's sublane dim (1) equals the array dim —
+        # Mosaic requires the last two block dims to be tile-legal.
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, tile_n), lambda i, k, l: (l[0], 0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((b, 1), lambda i, k, l: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [nw_all[:, None, :], inv]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((b, tile_d), lambda i, k, l: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(residual.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d // tile_d, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (b, tile_d), lambda i, k, l: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _kernel_stacked_fused,
+        group_size=group_size,
+        tile_groups=tile_groups,
+        impl=impl,
+        norm=norm,
+        swiglu=swiglu,
+        residual=residual is not None,
+        eps=eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, *args)
+
+
+def qmatmul_pallas_stacked_fused(
+    x: jax.Array,
+    w: QuantizedTensor,
+    layer_idx: jax.Array,
+    *,
+    norm_w: jax.Array | None = None,  # [L, N] — fuse RMSNorm prologue
+    eps: float = 1e-6,
+    residual: jax.Array | None = None,  # [..., D] — accumulator init
+    swiglu: bool = False,  # x is [..., 2N] gate|up
+    interpret: bool = False,
+    **opts,
+) -> jax.Array:
+    """Stacked qmatmul with fused RMSNorm / SwiGLU prologue and residual
+    epilogue (decode path; see module comment)."""
+    batch_shape = x.shape[:-1]
+    n_x = x.shape[-1]
+    x2 = x.reshape(-1, n_x).astype(jnp.float32)
+    res2 = None
+    if residual is not None:
+        res2 = residual.reshape(-1, residual.shape[-1])
+    out = _qmatmul_stacked_fused_2d(
+        x2,
+        w.q,
+        w.scales,
+        layer_idx,
+        norm_w,
+        res2,
+        swiglu=swiglu,
+        eps=eps,
+        interpret=interpret,
+        **opts,
+    )
     return out.reshape(*batch_shape, w.q.shape[-1])
 
 

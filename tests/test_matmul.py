@@ -246,3 +246,66 @@ def test_q4_pallas_rows_interpret(rng):
             qmatmul_pallas_stacked_rows(jnp.asarray(x), w_all, layer, interpret=True)
         )
         np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def _random_stacked(rng, L, n, d, gs):
+    import jax
+
+    qs, ss = [], []
+    for _ in range(L):
+        w = rng.normal(0, 0.3, (d, n)).astype(np.float32)
+        q, s, _ = quantize_weights_np(w, gs)
+        qs.append(q.T.copy())
+        ss.append(s.T.copy())
+    return QuantizedTensor(
+        jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(ss))
+    )
+
+
+def test_fused_rms_prologue_interpret(rng):
+    """Fused RMSNorm prologue == rms_norm then plain stacked kernel."""
+    from qwen3_rs_tpu.ops.norms import rms_norm
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        qmatmul_pallas_stacked,
+        qmatmul_pallas_stacked_fused,
+    )
+
+    L, n, d, gs, b = 2, 256, 128, 64, 4
+    w = _random_stacked(rng, L, n, d, gs)
+    nw = (1.0 + 0.1 * rng.normal(0, 1, (L, n))).astype(np.float32)
+    x = rng.normal(0, 1, (b, n)).astype(np.float32)
+    for layer in (0, 1):
+        fused = np.asarray(
+            qmatmul_pallas_stacked_fused(
+                jnp.asarray(x), w, layer, norm_w=jnp.asarray(nw), eps=1e-6,
+                interpret=True,
+            )
+        )
+        xn = rms_norm(jnp.asarray(x), jnp.asarray(nw[layer]), 1e-6)
+        ref = np.asarray(qmatmul_pallas_stacked(xn, w, layer, interpret=True))
+        np.testing.assert_allclose(fused, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_swiglu_residual_interpret(rng):
+    """Fused SwiGLU prologue + residual epilogue == XLA glue + kernel."""
+    import jax
+
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        qmatmul_pallas_stacked,
+        qmatmul_pallas_stacked_fused,
+    )
+
+    L, h, d, gs, b = 2, 256, 128, 64, 4
+    w = _random_stacked(rng, L, h, d, gs)  # contraction = hidden
+    gate_up = rng.normal(0, 1, (b, 2 * h)).astype(np.float32)
+    res = rng.normal(0, 1, (b, d)).astype(np.float32)
+    fused = np.asarray(
+        qmatmul_pallas_stacked_fused(
+            jnp.asarray(gate_up), w, 1, swiglu=True,
+            residual=jnp.asarray(res), interpret=True,
+        )
+    )
+    gate, up = gate_up[:, :h], gate_up[:, h:]
+    hh = jnp.asarray(gate) * jax.nn.sigmoid(jnp.asarray(gate)) * jnp.asarray(up)
+    ref = res + np.asarray(qmatmul_pallas_stacked(hh, w, 1, interpret=True))
+    np.testing.assert_allclose(fused, ref, rtol=2e-2, atol=2e-2)

@@ -278,3 +278,59 @@ def test_int4_forward_fast_tracks_f32(parity_setup):
     cache = init_kv_cache(config, 1, dtype=jnp.float32)
     with pytest.raises(ValueError, match="INT4"):
         qwen3_forward(config, w4, tokens, cache, jnp.zeros(1, jnp.int32), mode="exact")
+
+
+def test_fused_glue_path_matches_xla(rng, monkeypatch):
+    """Fused-glue decode projections (RMSNorm/SwiGLU/residual in-kernel)
+    produce the same forward as the XLA composition — branch wiring test;
+    kernel numerics are covered in test_matmul.py."""
+    import functools
+
+    import qwen3_rs_tpu.ops.pallas as pallas_pkg
+    from qwen3_rs_tpu.configuration import ARCHITECTURE_QWEN3, ModelConfig
+    from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas_stacked_fused
+
+    config = ModelConfig(
+        architecture_id=ARCHITECTURE_QWEN3,
+        dim=256,
+        hidden_dim=256,
+        n_layers=2,
+        n_heads=2,
+        n_kv_heads=1,
+        head_dim=128,
+        seq_len=64,
+        vocab_size=96,
+        group_size=64,
+        shared_classifier=True,
+    )
+    _, weights = make_weights(config, rng)
+    cache = init_kv_cache(config, batch=2, dtype=jnp.bfloat16)
+    tokens = jnp.asarray([[7], [9]], jnp.int32)
+    pos = jnp.asarray([3, 0], jnp.int32)
+
+    ref_logits, ref_cache = qwen3_forward(
+        config, weights, tokens, cache, pos, mode="fast"
+    )
+
+    calls = {"n": 0}
+
+    def fused_interp(x, w, idx, **kw):
+        calls["n"] += 1
+        return qmatmul_pallas_stacked_fused(x, w, idx, interpret=True, **kw)
+
+    monkeypatch.setattr(pallas_pkg, "pallas_enabled", lambda: True)
+    monkeypatch.setattr(pallas_pkg, "qmatmul_pallas_stacked_fused", fused_interp)
+    out_logits, out_cache = qwen3_forward(
+        config, weights, tokens, cache, pos, mode="fast"
+    )
+    assert calls["n"] == 4  # wqkv, wo, w13, w2 all routed through the kernel
+    np.testing.assert_allclose(
+        np.asarray(out_logits), np.asarray(ref_logits), rtol=0.0, atol=0.25
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cache.k, np.float32),
+        np.asarray(ref_cache.k, np.float32),
+        rtol=0.0,
+        atol=0.05,
+    )
