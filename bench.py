@@ -87,6 +87,10 @@ def main() -> None:
         _bench_serve(model_name, seq_len)
         return
 
+    if mode == "scaling":
+        _bench_scaling(model_name, seq_len)
+        return
+
     from qwen3_rs_tpu.models.qwen3 import cast_weight_scales
 
     def bench_decode(model: str) -> dict:
@@ -254,6 +258,41 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
                     if prefix_mode == "1"
                     else {}
                 ),
+            }
+        )
+    )
+
+
+def _bench_scaling(model_name: str, seq_len: int) -> None:
+    """Scaling-efficiency table over all visible devices (BENCH_MODE=scaling).
+
+    On a pod slice this produces the BASELINE ≥85% efficiency measurement
+    with no new code; on this machine's single chip (or a virtual CPU mesh
+    via XLA_FLAGS) it degrades to the available device counts.
+    ``vs_baseline`` = efficiency at the largest device count.
+    """
+    from qwen3_rs_tpu.models.qwen3 import cast_weight_scales
+    from qwen3_rs_tpu.parallel.distributed import scaling_report
+    from qwen3_rs_tpu.testing import qwen3_config, random_weights
+
+    config = qwen3_config(model_name, seq_len=seq_len)
+    weights = cast_weight_scales(random_weights(config))
+    tp = int(os.environ.get("BENCH_TP", "1"))
+    batch_per_dp = int(os.environ.get("BENCH_BATCH", "1"))
+    report = scaling_report(
+        config, weights, tp_per_group=tp, batch_per_dp=batch_per_dp
+    )
+    counts = sorted(report["throughput"])
+    top = counts[-1]
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_eff_qwen3_{model_name}_tp{tp}_bpd{batch_per_dp}",
+                "value": round(report["throughput"][top], 2),
+                "unit": "tokens/sec",
+                "vs_baseline": round(report["efficiency"][top], 4),
+                "throughput": {str(k): round(v, 2) for k, v in report["throughput"].items()},
+                "efficiency": {str(k): round(v, 4) for k, v in report["efficiency"].items()},
             }
         )
     )

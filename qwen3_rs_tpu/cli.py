@@ -171,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
         "latency under long-prompt admissions)",
     )
     sv.add_argument(
+        "--gateway", default=None, metavar="URL,URL",
+        help="cross-host gateway mode: run NO local engine; route requests "
+        "to these worker servers (each a normal `serve` process on its own "
+        "host/chips) with least-loaded + prefix-affinity routing. The "
+        "checkpoint argument supplies only the tokenizer/templates.",
+    )
+    sv.add_argument(
         "--tp", type=int, default=1,
         help="tensor-shard each replica's weights + KV over this many devices",
     )
@@ -313,6 +320,19 @@ def main(argv=None) -> int:
         from .inference.tokenizer import Tokenizer
         from .serving import ContinuousBatchingEngine
         from .serving.server import ServingFrontend, serve
+
+        if args.gateway:
+            # Cross-host gateway: tokenizer only, no weights / device work.
+            from .configuration import read_config
+            from .serving.remote import connect_workers
+
+            config = read_config(args.checkpoint)
+            tokenizer = Tokenizer(args.checkpoint, config.vocab_size)
+            frontend = connect_workers(
+                args.gateway.split(","), tokenizer, wait_s=600.0
+            )
+            serve(frontend, host=args.host, port=args.port)
+            return 0
 
         config, weights = load_checkpoint(args.checkpoint)
         tokenizer = Tokenizer(args.checkpoint, config.vocab_size)

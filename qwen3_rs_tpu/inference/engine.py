@@ -69,6 +69,8 @@ class Engine:
         mode: str = "fast",
         cache_dtype=jnp.float32,
         batch_size: int = 1,
+        sp_mesh=None,
+        sp_threshold: int = 4096,
     ):
         if checkpoint is not None:
             config, weights = load_checkpoint(checkpoint)
@@ -93,6 +95,23 @@ class Engine:
                 weights, tokens, cache, pos_start, out_idx=out_idx,
                 fresh_prefill=fresh,
             )
+
+        # Sequence-parallel prefill: fresh windows of >= sp_threshold rows
+        # that divide the sp axis run ring attention (parallel/context.py)
+        # — prompts whose score memory outgrows one chip shard over sp.
+        self.sp_mesh = sp_mesh
+        self.sp_threshold = sp_threshold
+        self._prefill_sp = None
+        if sp_mesh is not None:
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def _prefill_sp(weights, tokens, cache, pos_start, out_idx):
+                return fwd(
+                    weights, tokens, cache, pos_start, out_idx=out_idx,
+                    fresh_prefill=True, sp_mesh=sp_mesh,
+                )
+
+            self._prefill_sp = _prefill_sp
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(weights, tokens, cache, pos_start):
@@ -167,8 +186,17 @@ class Engine:
         a bucket; returns logits [B, V] at each row's last real token."""
         b, s_real = prompt_tokens.shape
         w = self.MAX_PREFILL_WINDOW
+        pos0 = np.asarray(pos_start, np.int32).reshape(b)
+        if (
+            self._prefill_sp is not None
+            and s_real >= self.sp_threshold
+            and bool((pos0 == 0).all())
+        ):
+            # Sequence-parallel prompt: one ring-attention prefill over the
+            # sp mesh instead of host-side window chunking.
+            return self._prefill_window(cache, prompt_tokens, pos0)
         if s_real > w:
-            pos_arr = np.asarray(pos_start, np.int32).reshape(b)
+            pos_arr = pos0
             logits = None
             for off in range(0, s_real, w):
                 logits, cache = self._prefill_window(
@@ -197,13 +225,27 @@ class Engine:
         padded = np.zeros((b, s_pad), np.int32)
         padded[:, :s_real] = prompt_tokens
         out_idx = np.full((b,), s_real - 1, np.int32)
+        fresh = bool((pos_arr == 0).all())
+        if (
+            fresh
+            and self._prefill_sp is not None
+            and s_pad >= self.sp_threshold
+            and s_pad % self.sp_mesh.shape.get("sp", 1) == 0
+        ):
+            return self._prefill_sp(
+                self.weights,
+                jnp.asarray(padded),
+                cache,
+                jnp.asarray(pos_arr),
+                jnp.asarray(out_idx),
+            )
         logits, cache = self._prefill(
             self.weights,
             jnp.asarray(padded),
             cache,
             jnp.asarray(pos_arr),
             jnp.asarray(out_idx),
-            bool((pos_arr == 0).all()),  # static: fresh prefill → splash path
+            fresh,  # static: fresh prefill → splash path
         )
         return logits, cache
 

@@ -211,8 +211,14 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
     (scalar prefetch) so no per-layer weight copy is ever materialized; other
     paths slice explicitly."""
     if mode == "fast":
+        import os
+
         from ..ops import pallas as pallas_ops
-        from ..ops.pallas.qmatmul import rows_supported, supports_shapes
+        from ..ops.pallas.qmatmul import (
+            rows_a8_supported,
+            rows_supported,
+            supports_shapes,
+        )
 
         _, n, d = w_all.q.shape
         q4 = isinstance(w_all, Q4Tensor)
@@ -227,10 +233,22 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
             # and output blocks live in VMEM.
             if batch_rows <= 256 and supports_shapes(n, d, group_size, q4=q4):
                 return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
-            # Long prefill: row-blocked kernel — dequantizes in VMEM, saving
-            # the XLA dense path's dequant round-trips (~2.1 GB/layer on 8B).
-            if batch_rows > 256 and rows_supported(n, d, group_size, batch_rows, q4=q4):
-                return pallas_ops.qmatmul_pallas_stacked_rows(x, w_all, idx)
+            if batch_rows > 256:
+                # Long prefill.  QWEN3_TPU_PREFILL_A8=1: W8A8 int8-MXU rows
+                # kernel (on-the-fly activation quantization, bounded extra
+                # quant error).  Default: bf16-dequant rows kernel (W8A16).
+                if (
+                    not q4
+                    and os.environ.get("QWEN3_TPU_PREFILL_A8", "0") == "1"
+                    and rows_a8_supported(n, d, group_size, batch_rows)
+                ):
+                    from ..ops.pallas.qmatmul import qmatmul_pallas_stacked_rows_a8
+
+                    return qmatmul_pallas_stacked_rows_a8(x, w_all, idx)
+                # Row-blocked kernel — dequantizes in VMEM, saving the XLA
+                # dense path's dequant round-trips (~2.1 GB/layer on 8B).
+                if rows_supported(n, d, group_size, batch_rows, q4=q4):
+                    return pallas_ops.qmatmul_pallas_stacked_rows(x, w_all, idx)
     return _project(x, xq, _slice_layer(w_all, idx), mode)
 
 
@@ -255,6 +273,9 @@ def qwen3_forward(
     fresh_prefill: bool = False,  # static: caller guarantees pos_start == 0
     allow_paged_flash: bool = True,  # static: see below — off under sharded pools
     skip_head: bool = False,  # static: return the residual stream, not logits
+    sp_mesh=None,  # static Mesh: fresh prefills whose window divides the sp
+    # axis run ring attention (parallel/context.py) — sequence parallelism
+    # for prompts that outgrow one chip's score memory.
     tp_axis: str | None = None,  # static: running inside shard_map over this
     # mesh axis — weights/cache are LOCAL shards (config must be the local
     # config, parallel/tp.py), the embedding gather masks + psums, and the
@@ -377,8 +398,19 @@ def qwen3_forward(
 
     from ..ops.pallas.prefill_attention import splash_prefill_supported
 
-    use_splash_prefill = (
+    # Sequence-parallel fresh prefill: ring attention over the sp mesh
+    # (each shard holds S/N rows; K/V blocks rotate via ppermute).
+    use_ring_prefill = (
         fresh_prefill
+        and sp_mesh is not None
+        and s > 1
+        and s % sp_mesh.shape.get("sp", 1) == 0
+        and sp_mesh.shape.get("sp", 1) > 1
+    )
+
+    use_splash_prefill = (
+        not use_ring_prefill
+        and fresh_prefill
         and mode == "fast"
         and s > 1
         and pallas_ops.pallas_enabled()
@@ -437,7 +469,16 @@ def qwen3_forward(
         # *read* here; the new rows are emitted from the scan and scattered
         # into the cache once afterwards — avoiding a full-cache restack per
         # layer per step.
-        if use_splash_prefill:
+        if use_ring_prefill:
+            from ..parallel.context import ring_prefill_attention_inner
+
+            att = ring_prefill_attention_inner(
+                q.astype(compute_dtype),
+                k.astype(compute_dtype),
+                v.astype(compute_dtype),
+                sp_mesh,
+            )
+        elif use_splash_prefill:
             from ..ops.pallas.prefill_attention import causal_prefill_attention
 
             # Fresh prefill (pos 0): pure causal window attention, score

@@ -46,6 +46,18 @@ def qmatmul_exact(x: QuantizedTensor, w: QuantizedTensor) -> jax.Array:
     group_size = n // g_count
 
     batch_shape = x.q.shape[:-1]
+    batch_rows = 1
+    for dim in batch_shape:
+        batch_rows *= dim
+    from . import pallas as pallas_ops
+
+    if pallas_ops.pallas_enabled():
+        from .pallas.qmatmul import qmatmul_pallas_stacked_rows_a8, rows_a8_supported
+
+        # Same math at MXU width: per-group int8 dots with the reference's
+        # epilogue scale order, one kernel instead of a G-step lax.scan.
+        if batch_rows >= 128 and rows_a8_supported(n, d, group_size, batch_rows):
+            return qmatmul_pallas_stacked_rows_a8(x, QuantizedTensor(w.q[None], w.scales[None]), 0)
     xq = x.q.reshape(-1, g_count, group_size)
     xs = x.scales.reshape(-1, g_count)
     wq = w.q.reshape(g_count, group_size, d)

@@ -761,3 +761,177 @@ def qmatmul_pallas_stacked_rows(
     x2 = x.reshape(-1, n).astype(jnp.bfloat16)
     out = _qmatmul_stacked_rows_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
     return out.reshape(*batch_shape, w.q.shape[-1])
+
+
+# ---------------------------------------------------------------- W8A8 rows
+# int8×int8→int32 MXU path for prefill: activations quantize per group
+# (reference semantics, tensor.rs:91-119) and the kernel runs one int8 dot
+# per (group, tile) with ``(dot · w_scale) · x_scale`` applied in the f32
+# epilogue — the reference hot loop's math (tensor.rs:45-61) at MXU width.
+# This is also what makes ``exact`` mode fast: qmatmul_exact's G-step
+# lax.scan becomes a single kernel (ops/matmul.py dispatches here).
+#
+# Activations are pre-quantized and pre-shaped [G, B, g] by the caller (an
+# in-kernel [B, N] → [B, G, g] reshape would lane-split and not lower);
+# the int8 activation stream is HALF the bytes of the bf16 rows kernel.
+
+
+def _pick_tiles_rows_a8(n: int, d: int, group_size: int, b: int):
+    """(tile_b, tile_n, tile_d): int8 codes double-buffered (2 B/elem) +
+    int8 activations (2·tile_b·tile_n) + int32 part / f32 out blocks
+    (8·tile_b·tile_d)."""
+    tile_b = None
+    for c in (_ROW_BLOCK, 256, 128):
+        if b % c == 0:
+            tile_b = c
+            break
+    if tile_b is None:
+        return None
+
+    def n_ok(c: int) -> bool:
+        groups = c // group_size
+        return c % group_size == 0 and (groups % 8 == 0 or c == n)
+
+    step_n = max(group_size, 256)
+    n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if n_ok(c)]
+    d_candidates = _divisor_tiles(d, 256, 8192)
+    if not n_candidates:
+        n_candidates = [c for c in _divisor_tiles(n, 128, 8192) if n_ok(c)]
+    if not d_candidates:
+        d_candidates = _divisor_tiles(d, 128, 8192)
+    if not n_candidates or not d_candidates:
+        return None
+    best = None
+    for tn in n_candidates:
+        for td in d_candidates:
+            est = 2 * tn * td + 2 * tile_b * tn + 8 * tile_b * td
+            if est > _ROWS_VMEM_CAP:
+                continue
+            blocks = (n // tn) * (d // td)
+            key = (blocks >= 2, tn * td, -blocks)
+            if best is None or key > best[0]:
+                best = (key, tn, td)
+    if best is None:
+        return None
+    return tile_b, best[1], best[2]
+
+
+def rows_a8_supported(n: int, d: int, group_size: int, b: int) -> bool:
+    return _pick_tiles_rows_a8(n, d, group_size, b) is not None
+
+
+def _kernel_stacked_rows_a8(
+    layer_ref, xq_ref, xs_ref, wq_ref, ws_ref, out_ref, *, tile_groups: int
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # Per-group int8 MXU dots, scales in the f32 epilogue — accumulation
+    # order matches the reference: ((dot as f32) · w_scale) · x_scale,
+    # summed across groups in f32 (tensor.rs:45-61).
+    for g in range(tile_groups):
+        part = jax.lax.dot_general(
+            xq_ref[g],
+            wq_ref[0, g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [tile_b, tile_d] int32
+        out_ref[:] += (
+            part.astype(jnp.float32) * ws_ref[0, g][None, :]
+        ) * xs_ref[g][:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
+def _qmatmul_stacked_rows_a8_2d(
+    xq, xs, wq_all, ws_all, layer_idx, *, interpret: bool = False, tiles=None
+):
+    """xq [G, B, g] int8, xs [G, B] f32, wq_all [L, N, D] int8,
+    ws_all [L, G, D] f32 → [B, D] f32."""
+    g_total, b, group_size = xq.shape
+    _, n, d = wq_all.shape
+    tiles = tiles or _pick_tiles_rows_a8(n, d, group_size, b)
+    if tiles is None:
+        raise ValueError(
+            f"unsupported shapes for pallas a8 qmatmul: {xq.shape} x {wq_all.shape}"
+        )
+    tile_b, tile_n, tile_d = tiles
+    tile_groups = tile_n // group_size
+    wq4 = wq_all.reshape(wq_all.shape[0], g_total, group_size, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // tile_b, d // tile_d, n // tile_n),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_groups, tile_b, group_size),
+                lambda r, i, k, l: (k, r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_groups, tile_b),
+                lambda r, i, k, l: (k, r),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_groups, group_size, tile_d),
+                lambda r, i, k, l: (l[0], k, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_groups, tile_d),
+                lambda r, i, k, l: (l[0], k, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, tile_d), lambda r, i, k, l: (r, i), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(_kernel_stacked_rows_a8, tile_groups=tile_groups)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xq, xs, wq4, ws_all)
+
+
+def qmatmul_pallas_stacked_rows_a8(
+    x: jax.Array | QuantizedTensor,
+    w: QuantizedTensor,
+    layer_idx: jax.Array,
+    *,
+    interpret: bool = False,
+    **opts,
+) -> jax.Array:
+    """W8A8 rows matmul at ``layer_idx`` of stacked weights.
+
+    ``x`` may be raw activations [..., N] (quantized here with the
+    reference's per-group round-half-away, ops/quant.py) or an
+    already-quantized ``QuantizedTensor`` (exact mode's activations)."""
+    from ..quant import quantize_activations
+
+    if not isinstance(x, QuantizedTensor):
+        n = x.shape[-1]
+        group_size = n // w.scales.shape[1]
+        x = quantize_activations(x, group_size)
+    batch_shape = x.q.shape[:-1]
+    n = x.q.shape[-1]
+    g_total = x.scales.shape[-1]
+    group_size = n // g_total
+    xq3 = jnp.moveaxis(
+        x.q.reshape(-1, g_total, group_size), 1, 0
+    )  # [G, B, g] int8
+    xs2 = jnp.moveaxis(x.scales.reshape(-1, g_total), 1, 0)  # [G, B]
+    out = _qmatmul_stacked_rows_a8_2d(
+        xq3, xs2, w.q, w.scales.astype(jnp.float32), layer_idx,
+        interpret=interpret, **opts,
+    )
+    return out.reshape(*batch_shape, w.q.shape[-1])

@@ -91,6 +91,36 @@ def _ring_body(q, k, v, *, axis_name: str, n_shards: int, scale: float):
     return out.astype(q.dtype)
 
 
+def ring_prefill_attention_inner(
+    q: jax.Array,  # [B, S, n_heads, hd]
+    k: jax.Array,  # [B, S, n_kv, hd]
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = SP_AXIS,
+) -> jax.Array:
+    """Jit-composable form: no device_put — usable inside a jitted forward
+    (models/qwen3.py routes fresh prefills here on an sp mesh); GSPMD
+    inserts any resharding the caller's layout requires."""
+    n_shards = mesh.shape[axis]
+    if q.shape[1] % n_shards:
+        raise ValueError(
+            f"sequence length {q.shape[1]} must divide over {axis}={n_shards}"
+        )
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    spec = P(None, axis, None, None)
+    fn = jax.shard_map(
+        functools.partial(
+            _ring_body, axis_name=axis, n_shards=n_shards, scale=scale
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
 def ring_prefill_attention(
     q: jax.Array,  # [B, S, n_heads, hd], S sharded over sp
     k: jax.Array,  # [B, S, n_kv, hd]

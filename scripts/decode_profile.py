@@ -23,6 +23,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,7 +49,8 @@ seq_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 steps = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 batch = int(os.environ.get("DP_BATCH", "1"))
 
-config = qwen3_config(model, seq_len=seq_len)
+n_layers = int(os.environ.get("DP_LAYERS", "0")) or None
+config = qwen3_config(model, seq_len=seq_len, n_layers=n_layers)
 weights = cast_weight_scales(random_weights(config))
 
 HBM_BW = 819e9  # v5e
@@ -137,20 +140,16 @@ def matsonly_make(with_head):
 
 
 n_long, n_short = steps, max(steps // 4, 1)
-results = {}
-for kind in ("full", "nohead"):
-    per = slope_time(variant_step(kind), n_long, n_short)
-    results[kind] = per
-for name, wh in (("matsonly+head", True), ("matsonly", False)):
-    per = slope_time(matsonly_make(wh), n_long, n_short)
-    results[name] = per
-
-print(f"\nmodel={model} b={batch} seq={seq_len} roofline={roofline_ms:.3f} ms/step")
-for k, v in results.items():
-    print(f"  {k:>14}: {v * 1e3:7.3f} ms/step   frac-of-roofline={roofline_ms / (v * 1e3):.3f}")
-full, nohead = results["full"], results["nohead"]
-mh, m = results["matsonly+head"], results["matsonly"]
-print(f"\n  head+argmax (full - nohead):        {(full - nohead) * 1e3:7.3f} ms")
-print(f"  bare lm_head (matsonly+head - matsonly): {(mh - m) * 1e3:7.3f} ms")
-print(f"  per-layer glue (nohead - matsonly): {(nohead - m) * 1e3:7.3f} ms "
-      f"({(nohead - m) * 1e6 / config.n_layers:.1f} us/layer)")
+variants = os.environ.get("DP_VARIANTS", "full,nohead,matsonly+head,matsonly").split(",")
+print(f"model={model} b={batch} seq={seq_len} roofline={roofline_ms:.3f} ms/step",
+      flush=True)
+makers = {
+    "full": lambda: variant_step("full"),
+    "nohead": lambda: variant_step("nohead"),
+    "matsonly+head": lambda: matsonly_make(True),
+    "matsonly": lambda: matsonly_make(False),
+}
+for kind in variants:
+    per = slope_time(makers[kind](), n_long, n_short)
+    print(f"  {kind:>14}: {per * 1e3:7.3f} ms/step   "
+          f"frac-of-roofline={roofline_ms / (per * 1e3):.3f}", flush=True)

@@ -69,3 +69,45 @@ def test_jit_compiles_under_mesh(rng):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_sp_prefill_matches_single_device(rng):
+    """Engine-level ring-attention prefill (sp mesh) produces the same
+    logits as the plain single-device fresh prefill (VERDICT r1 #10)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from test_model_parity import make_weights
+    from utils import TINY_CONFIG
+
+    from qwen3_rs_tpu.inference.engine import Engine
+    from qwen3_rs_tpu.parallel.context import SP_AXIS
+
+    _, weights = make_weights(TINY_CONFIG, rng)
+    prompt = np.asarray([[5, 9, 3, 11, 2, 7, 8, 1, 4, 6, 10, 12, 13, 14, 15, 16]],
+                        np.int32)
+    pos = np.zeros(1, np.int32)
+
+    base = Engine(config=TINY_CONFIG, weights=weights)
+    want, _ = base.prefill(base.new_cache(), prompt, pos)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), (SP_AXIS,))
+    eng = Engine(config=TINY_CONFIG, weights=weights, sp_mesh=mesh, sp_threshold=8)
+    got, got_cache = eng.prefill(eng.new_cache(), prompt, pos)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+    # And decode continues correctly from the sp-prefilled cache.
+    logits2, _ = eng.decode_step(
+        got_cache, jnp.asarray([3], jnp.int32), jnp.asarray([16], jnp.int32)
+    )
+    base_logits2, _ = base.decode_step(
+        (base.prefill(base.new_cache(), prompt, pos))[1],
+        jnp.asarray([3], jnp.int32),
+        jnp.asarray([16], jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(base_logits2), rtol=2e-4, atol=2e-4
+    )

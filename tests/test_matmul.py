@@ -309,3 +309,41 @@ def test_fused_swiglu_residual_interpret(rng):
     hh = jnp.asarray(gate) * jax.nn.sigmoid(jnp.asarray(gate)) * jnp.asarray(up)
     ref = res + np.asarray(qmatmul_pallas_stacked(hh, w, 1, interpret=True))
     np.testing.assert_allclose(fused, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_a8_rows_kernel_matches_exact(rng):
+    """W8A8 rows kernel (per-group int8 MXU dots + reference-order f32
+    epilogue) reproduces qmatmul_exact's scan numerics."""
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        qmatmul_pallas_stacked_rows_a8,
+        rows_a8_supported,
+    )
+
+    L, n, d, gs, b = 2, 256, 128, 64, 128
+    assert rows_a8_supported(n, d, gs, b)
+    w = _random_stacked(rng, L, n, d, gs)
+    x = rng.normal(0, 1, (b, n)).astype(np.float32)
+    xq = quantize_activations(jnp.asarray(x), gs)
+    for layer in (0, 1):
+        got = np.asarray(
+            qmatmul_pallas_stacked_rows_a8(xq, w, layer, interpret=True)
+        )
+        w_l = QuantizedTensor(w.q[layer], w.scales[layer])
+        want = np.asarray(qmatmul_exact(xq, w_l))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_a8_rows_kernel_from_raw_activations(rng):
+    """Raw-activation entry quantizes per group in the wrapper (reference
+    round-half-away) — equals quantize-then-exact."""
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas_stacked_rows_a8
+
+    L, n, d, gs, b = 1, 256, 128, 64, 128
+    w = _random_stacked(rng, L, n, d, gs)
+    x = rng.normal(0, 1, (b, n)).astype(np.float32)
+    got = np.asarray(
+        qmatmul_pallas_stacked_rows_a8(jnp.asarray(x), w, 0, interpret=True)
+    )
+    xq = quantize_activations(jnp.asarray(x), gs)
+    want = np.asarray(qmatmul_exact(xq, QuantizedTensor(w.q[0], w.scales[0])))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
