@@ -37,7 +37,7 @@ class PerplexityResult:
         return self.perplexity - other.perplexity
 
 
-def _window_nll(config, weights, mode, tokens_win, n_valid):
+def _window_nll(config, weights, tokens_win, n_valid, *, mode):
     """Sum of next-token NLLs over one [1, S] window (f32 log-softmax).
 
     ``n_valid`` counts the prediction targets: positions 1..n_valid predict
@@ -79,9 +79,10 @@ def compute_perplexity(
     if len(ids) < 2:
         raise ValueError("Need at least 2 tokens to evaluate perplexity")
 
-    fn = jax.jit(
-        functools.partial(_window_nll, config, weights, mode),
-    )
+    # Weights are a jit ARGUMENT: closing over them would embed the full
+    # pytree as compile-time constants (multi-GB programs; the axon relay's
+    # remote-compile rejects them outright).
+    fn = jax.jit(functools.partial(_window_nll, config, mode=mode))
 
     total_nll = 0.0
     total_count = 0
@@ -93,7 +94,7 @@ def compute_perplexity(
             break
         padded = np.zeros((1, window), np.int32)
         padded[0, : len(chunk)] = chunk
-        total_nll += float(fn(jnp.asarray(padded), jnp.asarray(n_valid)))
+        total_nll += float(fn(weights, jnp.asarray(padded), jnp.asarray(n_valid)))
         total_count += n_valid
         start += window - 1
 

@@ -258,6 +258,48 @@ def _maybe_quant(x, group_size: int, mode: str):
     return None
 
 
+def _scatter_dense(cache_full, new_rows, pos_start, write_mask):
+    """Scatter window K/V rows ([L, B, S, kv, hd]) into the dense cache
+    ([L, B, kv, T, hd]) at per-request offsets."""
+
+    def upd_b(cache_lb, new_lb, p):  # [kv,T,hd], [kv,S,hd]
+        return jax.lax.dynamic_update_slice(
+            cache_lb, new_lb.astype(cache_lb.dtype), (0, p, 0)
+        )
+
+    def upd_l(cache_l, new_l):  # [B,kv,T,hd], [B,S,kv,hd]
+        new_l = jnp.swapaxes(new_l, 1, 2)  # → [B,kv,S,hd]
+        updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
+        if write_mask is None:
+            return updated
+        return jnp.where(write_mask[:, None, None, None], updated, cache_l)
+
+    return jax.vmap(upd_l)(cache_full, new_rows)
+
+
+def _head(
+    config, weights, x, new_cache, mode, g,
+    return_all_logits, out_idx, skip_head, tp_axis,
+):
+    """Final norm + classifier (models/qwen3.rs:72-76), shared by the
+    scan path and the megakernel path."""
+    if skip_head:
+        return x, new_cache
+    if not return_all_logits:
+        if out_idx is None:
+            x = x[:, -1:, :]
+        else:
+            x = jnp.take_along_axis(x, out_idx[:, None, None].astype(jnp.int32), axis=1)
+    xn = rms_norm(x, weights.rms_final, config.norm_eps)
+    xq = _maybe_quant(xn, g, mode)
+    logits = _project(xn, xq, weights.lm_head, mode).astype(jnp.float32)
+    if tp_axis is None:
+        logits = logits[..., : config.vocab_size]
+    if not return_all_logits:
+        logits = logits[:, 0, :]
+    return logits, new_cache
+
+
 def qwen3_forward(
     config: ModelConfig,
     weights: Qwen3Weights,
@@ -340,6 +382,57 @@ def qwen3_forward(
 
     from ..ops import pallas as pallas_ops
     from ..ops.pallas.flash_attention import decode_supported
+    from ..ops.pallas.megakernel import megakernel_supported
+
+    # Whole-stack decode megakernel: the entire layer loop in ONE
+    # pallas_call (grid over layers, residual stream in VMEM scratch,
+    # weight DMAs never idle across phase/layer boundaries).  Engages for
+    # the single-stream dense-cache decode step; every other shape keeps
+    # the per-matrix kernels below.  See ops/pallas/megakernel.py.
+    use_megakernel = (
+        not paged
+        and mode == "fast"
+        and s == 1
+        and b == 1
+        and tp_axis is None
+        and not isinstance(lw_all.wqkv, Q4Tensor)
+        and not hasattr(cache, "k_scale")
+        and pallas_ops.pallas_enabled()
+        and megakernel_supported(config, cache.seq_len, cache.k.dtype)
+    )
+    if use_megakernel:
+        from ..ops.pallas.megakernel import decode_stack_megakernel
+
+        x_out, k_rows, v_rows = decode_stack_megakernel(
+            config,
+            x[:, 0, :],
+            lw_all.rms_att,
+            lw_all.rms_ffn,
+            lw_all.q_norm,
+            lw_all.k_norm,
+            cos[:, 0, 0, :],
+            sin[:, 0, 0, :],
+            lw_all.wqkv,
+            lw_all.wo,
+            lw_all.w13,
+            lw_all.w2,
+            cache.k,
+            cache.v,
+            pos_start,
+            eps=config.norm_eps,
+        )
+        x = x_out[:, None, :]
+        # [L, 1, n_kv, hd] → the scan's ys layout [L, B, S, n_kv, hd].
+        new_k = k_rows[:, :, None]
+        new_v = v_rows[:, :, None]
+        new_cache = cache._replace(
+            k=_scatter_dense(cache.k, new_k, pos_start, write_mask),
+            v=_scatter_dense(cache.v, new_v, pos_start, write_mask),
+        )
+        return _head(
+            config, weights, x, new_cache, mode, g,
+            return_all_logits, out_idx, skip_head, tp_axis,
+        )
 
     use_flash_decode = (
         not paged
@@ -687,19 +780,7 @@ def qwen3_forward(
         # head-major [L, B, kv, T, hd]) at per-request offsets — the only
         # cache write of the whole step.
         def scatter(cache_full, new_rows):
-            def upd_b(cache_lb, new_lb, p):  # [kv,T,hd], [kv,S,hd]
-                return jax.lax.dynamic_update_slice(
-                    cache_lb, new_lb.astype(cache_lb.dtype), (0, p, 0)
-                )
-
-            def upd_l(cache_l, new_l):  # [B,kv,T,hd], [B,S,kv,hd]
-                new_l = jnp.swapaxes(new_l, 1, 2)  # → [B,kv,S,hd]
-                updated = jax.vmap(upd_b)(cache_l, new_l, pos_start)
-                if write_mask is None:
-                    return updated
-                return jnp.where(write_mask[:, None, None, None], updated, cache_l)
-
-            return jax.vmap(upd_l)(cache_full, new_rows)
+            return _scatter_dense(cache_full, new_rows, pos_start, write_mask)
 
         def scatter_scale(cache_full, sc):  # [L,B,kv,T], [L,B,S,kv]
             def upd_b(cache_lb, new_lb, p):  # [kv,T], [kv,S]
@@ -738,25 +819,10 @@ def qwen3_forward(
                 k=scatter(cache.k, new_k), v=scatter(cache.v, new_v)
             )
 
-    # Final norm + classifier head (models/qwen3.rs:72-76).
-    if skip_head:
-        # Ablation / pipeline-stage mode: hand back the residual stream
-        # (profilers charge the head separately; non-final pipeline stages
-        # never run it).
-        return x, new_cache
-    if not return_all_logits:
-        if out_idx is None:
-            x = x[:, -1:, :]
-        else:
-            x = jnp.take_along_axis(x, out_idx[:, None, None].astype(jnp.int32), axis=1)
-    xn = rms_norm(x, weights.rms_final, config.norm_eps)
-    xq = _maybe_quant(xn, g, mode)
-    logits = _project(xn, xq, weights.lm_head, mode).astype(jnp.float32)
-    # Drop tile padding on the vocab axis (zero-padded rows at load time).
-    # Under tp the logits are local vocab columns — the shard_map wrapper
-    # reassembles the global axis and slices there (parallel/tp.py).
-    if tp_axis is None:
-        logits = logits[..., : config.vocab_size]
-    if not return_all_logits:
-        logits = logits[:, 0, :]
-    return logits, new_cache
+    # Final norm + classifier head (models/qwen3.rs:72-76).  Vocab-axis
+    # tile padding is dropped inside; under tp the logits stay as local
+    # vocab columns (the shard_map wrapper reassembles, parallel/tp.py).
+    return _head(
+        config, weights, x, new_cache, mode, g,
+        return_all_logits, out_idx, skip_head, tp_axis,
+    )

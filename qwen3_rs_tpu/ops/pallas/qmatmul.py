@@ -189,6 +189,32 @@ def _vmem_estimate(tn: int, td: int, b: int, q4: bool = False) -> int:
     return codes + 4 * b * (tn + td)
 
 
+# Measured tile table (scripts/tile_sweep.py + end-to-end bench A/B on
+# v5e): shapes where a sweep found a tiling materially faster than the
+# heuristic pick.  Keyed by (n, d); only consulted for decode-sized row
+# counts (b ≤ 256) where the activation/output blocks are small.
+_MEASURED_TILES: dict[tuple[int, int], tuple[int, int]] = {}
+
+
+def _env_tiles(n: int, d: int) -> tuple[int, int] | None:
+    """QWEN3_TPU_TILES="NxD:tnxtd,..." — per-shape override for A/B runs."""
+    import os
+
+    spec = os.environ.get("QWEN3_TPU_TILES", "")
+    if not spec:
+        return None
+    for part in spec.split(","):
+        try:
+            shape_s, tile_s = part.split(":")
+            ns, ds = (int(v) for v in shape_s.split("x"))
+            tn, td = (int(v) for v in tile_s.split("x"))
+        except ValueError:
+            continue
+        if (ns, ds) == (n, d):
+            return tn, td
+    return None
+
+
 def _pick_tiles(
     n: int, d: int, group_size: int, b: int = 16, q4: bool = False
 ) -> tuple[int, int] | None:
@@ -198,6 +224,10 @@ def _pick_tiles(
     the f32 [b, tile_d] output block counts against the scoped-VMEM limit."""
     if q4 and group_size % 2:
         return None  # nibble packing needs an even group split
+    if not q4 and b <= 256:
+        override = _env_tiles(n, d) or _MEASURED_TILES.get((n, d))
+        if override is not None:
+            return override
     def n_ok(c: int) -> bool:
         # The scales block is [c // group_size, tile_d]; its sublane dim must
         # be a multiple of 8 (or span the full group axis).

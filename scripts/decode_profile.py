@@ -73,30 +73,35 @@ def slope_time(make_fn, n_long, n_short):
 
 
 def variant_step(kind):
-    fwd = functools.partial(qwen3_forward, config, mode="fast")
-
-    def body(carry, _):
-        token, cache, pos = carry
-        if kind in ("full", "noattn"):
-            if kind == "noattn":
-                os.environ["QWEN3_TPU_SKIP_ATTN"] = "1"
-            logits, cache = fwd(weights, token, cache, pos)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-        elif kind == "nohead":
-            logits, cache = fwd(weights, token, cache, pos, skip_head=True)
-            nxt = (jnp.sum(logits) * 1e-30).astype(jnp.int32) + token
-        return (nxt, cache, pos + 1), ()
+    if kind == "noattn":
+        os.environ["QWEN3_TPU_SKIP_ATTN"] = "1"
 
     def make(n):
+        # Weights enter as a jit *argument* — closing over an 8 GB pytree
+        # embeds it as compile-time constants and the compile never returns.
         @jax.jit
-        def run():
+        def run(w):
+            def body(carry, _):
+                token, cache, pos = carry
+                if kind in ("full", "noattn"):
+                    logits, cache = qwen3_forward(
+                        config, w, token, cache, pos, mode="fast"
+                    )
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                else:  # nohead
+                    logits, cache = qwen3_forward(
+                        config, w, token, cache, pos, mode="fast", skip_head=True
+                    )
+                    nxt = (jnp.sum(logits) * 1e-30).astype(jnp.int32) + token
+                return (nxt, cache, pos + 1), ()
+
             cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
             tok = jnp.ones((batch, 1), jnp.int32)
             pos = jnp.zeros((batch,), jnp.int32)
             carry, _ = jax.lax.scan(body, (tok, cache, pos), None, length=n)
             return carry[0]
 
-        return run
+        return lambda: run(weights)
 
     return make
 
@@ -110,7 +115,7 @@ def matsonly_make(with_head):
 
     def make(n):
         @jax.jit
-        def run():
+        def run(lw, head):
             x0 = jnp.ones((batch, c.dim), jnp.float32)
 
             def tok_step(x, _):
@@ -127,14 +132,14 @@ def matsonly_make(with_head):
                     layer, x, jnp.arange(c.n_layers, dtype=jnp.int32)
                 )
                 if with_head:
-                    logits = qmatmul(x, weights.lm_head)
+                    logits = qmatmul(x, head)
                     x = x + jnp.sum(logits, axis=-1, keepdims=True) * 1e-30
                 return x * (1.0 + 1e-30), ()
 
             x, _ = jax.lax.scan(tok_step, x0, None, length=n)
             return x
 
-        return run
+        return lambda: run(weights.layers, weights.lm_head)
 
     return make
 

@@ -8,8 +8,11 @@ Usage: python scripts/kernel_microbench.py [model] [scale_dtype]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -129,7 +129,7 @@ def test_uneven_kv_mul_and_t_blocks(rng):
 
 def test_decode_supported_gates():
     assert decode_supported(16, 8, 128, 16384)
-    assert decode_supported(16, 8, 128, 1024)  # v2 engages from 1k windows
-    assert not decode_supported(16, 8, 128, 512)  # below MIN_SEQ_LEN
+    assert decode_supported(16, 8, 128, 512)  # v2 engages from 512 windows
+    assert not decode_supported(16, 8, 128, 256)  # below MIN_SEQ_LEN
     assert not decode_supported(16, 8, 64, 16384)  # head_dim not 128-lane
     assert not decode_supported(16, 8, 128, 1088)  # no supported DMA block
