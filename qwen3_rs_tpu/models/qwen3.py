@@ -401,9 +401,20 @@ def qwen3_forward(
         and megakernel_supported(config, cache.seq_len, cache.k.dtype)
     )
     if use_megakernel:
-        from ..ops.pallas.megakernel import decode_stack_megakernel
+        from ..ops.pallas.megakernel import (
+            decode_stack_megakernel,
+            head_phase_supported,
+        )
 
-        x_out, k_rows, v_rows = decode_stack_megakernel(
+        # Fuse final norm + classifier as the kernel's last phase when the
+        # head shape tiles cleanly: lm_head tiles stream right behind the
+        # last w2 tiles with no pallas_call boundary before the logits.
+        fuse_head = (
+            not skip_head
+            and not isinstance(weights.lm_head, Q4Tensor)
+            and head_phase_supported(config, weights.lm_head.q.shape[-1])
+        )
+        x_out, k_rows, v_rows, logits_pad = decode_stack_megakernel(
             config,
             x[:, 0, :],
             lw_all.rms_att,
@@ -419,6 +430,8 @@ def qwen3_forward(
             cache.k,
             cache.v,
             pos_start,
+            weights.rms_final if fuse_head else None,
+            weights.lm_head if fuse_head else None,
             eps=config.norm_eps,
         )
         x = x_out[:, None, :]
@@ -429,6 +442,11 @@ def qwen3_forward(
             k=_scatter_dense(cache.k, new_k, pos_start, write_mask),
             v=_scatter_dense(cache.v, new_v, pos_start, write_mask),
         )
+        if fuse_head:
+            logits = logits_pad[..., : config.vocab_size]
+            if return_all_logits:
+                logits = logits[:, None, :]
+            return logits, new_cache
         return _head(
             config, weights, x, new_cache, mode, g,
             return_all_logits, out_idx, skip_head, tp_axis,

@@ -45,8 +45,10 @@ from .flash_attention import _pick_blk
 # ~Codes bytes per weight tile. 1-2 MB tiles with the boundary-free stream
 # measured as fast as 3 MB tiles, and keep the double-buffered VMEM
 # footprint of four matrices + attention under the scoped limit.
-_TILE_BYTES = 2 * 1024 * 1024
-_VMEM_LIMIT = 100 * 1024 * 1024
+import os as _os
+
+_TILE_BYTES = int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
+_VMEM_LIMIT = int(_os.environ.get("QWEN3_TPU_MEGA_VMEM_LIMIT", 100 * 1024 * 1024))
 
 
 def _mk_tiles(n: int, d: int, g: int) -> tuple[int, int] | None:
@@ -100,6 +102,13 @@ def megakernel_supported(config, t: int, dtype) -> bool:
     return True
 
 
+def head_phase_supported(config, v_pad: int) -> bool:
+    """Whether the classifier matmul can run as the megakernel's final
+    phase (streamed right behind the last w2 tiles)."""
+    tiles = _mk_tiles(config.dim, v_pad, config.group_size)
+    return tiles is not None and (tiles[0] // config.group_size) % 8 == 0
+
+
 def _dequant(codes, scales, g: int):
     """int8 [tn, td] × group scales [tn//g, td] → bf16 [tn, td]."""
     tg = codes.shape[0] // g
@@ -109,7 +118,7 @@ def _dequant(codes, scales, g: int):
     return codes.astype(jnp.bfloat16) * sc
 
 
-def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
+def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
     dim = config.dim
     ah = config.all_heads_dim
     kvd = config.kv_dim
@@ -118,17 +127,22 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
     kv_mul = n_heads // n_kv
     g = config.group_size
     scale = 1.0 / (hd**0.5)
+    include_head = v_pad is not None
 
     # Per-matrix static tile plans: (tn, td, K, I).
-    plans = {}
-    for name, (n, d) in (
+    mats = [
         ("wqkv", (dim, ah + 2 * kvd)),
         ("wo", (ah, dim)),
         ("w13", (dim, 2 * hidden)),
         ("w2", (hidden, dim)),
-    ):
+    ]
+    if include_head:
+        mats.append(("head", (dim, v_pad)))
+    plans = {}
+    for name, (n, d) in mats:
         tn, td = tiles[name]
         plans[name] = (tn, td, n // tn, d // td)
+    mat_names = [m[0] for m in mats]
 
     def kernel(
         # scalar prefetch
@@ -141,30 +155,42 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
         kn_ref,  # [1, 1, hd] f32
         cos_ref,  # [1, hd//2] f32
         sin_ref,  # [1, hd//2] f32
-        wqkv_q, wqkv_s, wo_q, wo_s, w13_q, w13_s, w2_q, w2_s,  # HBM (ANY)
-        kc_ref, vc_ref,  # [L, 1, n_kv, T, hd] cache (HBM)
-        # outputs
-        xo_ref,  # [1, dim] f32
-        ko_ref,  # [1, 1, n_kv, hd] f32 (layer block)
-        vo_ref,
-        # scratch (persists across grid steps) — flat, regrouped below
-        *scr,
+        *rest,
     ):
+        it = iter(rest)
+        rfin_ref = next(it) if include_head else None  # [1, dim] rms_final
+        wqkv_q, wqkv_s = next(it), next(it)  # HBM (ANY)
+        wo_q, wo_s = next(it), next(it)
+        w13_q, w13_s = next(it), next(it)
+        w2_q, w2_s = next(it), next(it)
+        head_q, head_s = (next(it), next(it)) if include_head else (None, None)
+        kc_ref, vc_ref = next(it), next(it)  # [L, 1, n_kv, T, hd] cache
+        # outputs
+        xo_ref = next(it)  # [1, dim] f32
+        ko_ref = next(it)  # [1, 1, n_kv, hd] f32 (layer block)
+        vo_ref = next(it)
+        logits_ref = next(it) if include_head else None  # [1, v_pad] f32
+        # scratch (persists across grid steps) — flat, regrouped below
+        scr = list(it)
+        nm = len(mat_names)
         (x_vec, act, qkv, gu, acc) = scr[:5]
-        wbufs, sbufs = scr[5:9], scr[9:13]
-        wsems, ssems = scr[13:17], scr[17:21]
-        kbuf, vbuf, ksem, vsem = scr[21:25]
+        wbufs, sbufs = scr[5 : 5 + nm], scr[5 + nm : 5 + 2 * nm]
+        wsems = scr[5 + 2 * nm : 5 + 3 * nm]
+        ssems = scr[5 + 3 * nm : 5 + 4 * nm]
+        kbuf, vbuf, ksem, vsem = scr[5 + 4 * nm : 5 + 4 * nm + 4]
 
         layer = pl.program_id(0)
         p = pos_ref[0]
 
-        bufs = dict(zip(("wqkv", "wo", "w13", "w2"), zip(wbufs, sbufs, wsems, ssems)))
+        bufs = dict(zip(mat_names, zip(wbufs, sbufs, wsems, ssems)))
         refs = {
             "wqkv": (wqkv_q, wqkv_s),
             "wo": (wo_q, wo_s),
             "w13": (w13_q, w13_s),
             "w2": (w2_q, w2_s),
         }
+        if include_head:
+            refs["head"] = (head_q, head_s)
 
         def tile_copies(name, lyr, t, slot):
             tn, td, K, I = plans[name]
@@ -190,16 +216,21 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
             cw.start()
             cs.start()
 
-        def stream_phase(name, src_ref, dest, dest_residual, next_starts):
+        def stream_phase(
+            name, src_ref, dest, dest_residual, next_starts, lyr=None,
+            dest_rows=False,
+        ):
             """Run one matmul phase: dest[:, i·td] ← Σ_k x[k·tn] · W tile.
 
             ``next_starts``: list of thunks issuing the NEXT phase's first
             DMAs, called once at the loop's final tile so the following
-            stream is in flight before this one drains.
+            stream is in flight before this one drains.  ``lyr`` overrides
+            the weight stack's layer index (the classifier is [1, N, D]).
             """
             tn, td, K, I = plans[name]
             tg = tn // g
             wbuf, sbuf, wsem, ssem = bufs[name]
+            lyr = layer if lyr is None else lyr
 
             def body(t, _):
                 slot = jax.lax.rem(t, 2)
@@ -208,14 +239,14 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
 
                 @pl.when(t + 1 < K * I)
                 def _():
-                    start_tile(name, layer, t + 1, 1 - slot)
+                    start_tile(name, lyr, t + 1, 1 - slot)
 
                 @pl.when(t + 1 == K * I)
                 def _():
                     for s in next_starts:
                         s()
 
-                cw, cs = tile_copies(name, layer, t, slot)
+                cw, cs = tile_copies(name, lyr, t, slot)
                 cw.wait()
                 cs.wait()
 
@@ -235,7 +266,13 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
                 @pl.when(k == K - 1)
                 def _():
                     block = acc[:, pl.ds(0, td)]
-                    if dest_residual:
+                    if dest_rows:
+                        # dest is [I, td]: a dynamic SUBLANE store.  (A
+                        # dynamic-lane store into a very wide vector —
+                        # the padded vocab — measured ~15 µs each; the
+                        # row layout makes it free.  Caller reshapes.)
+                        dest[pl.ds(i, 1), :] = block
+                    elif dest_residual:
                         dest[:, pl.ds(i * td, td)] += block
                     else:
                         dest[:, pl.ds(i * td, td)] = block
@@ -381,17 +418,37 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers):
         up = gu[:, pl.ds(hidden, hidden)]
         act[:, pl.ds(0, hidden)] = gate * jax.nn.sigmoid(gate) * up
 
-        # ---- w2 stream (+residual); prefetch next layer's wqkv tile 0 ----
+        # ---- w2 stream (+residual); prefetch next layer's wqkv tile 0
+        # (or, on the last layer, the classifier's first tile) ----
         def start_next_wqkv():
             @pl.when(layer + 1 < n_layers)
             def _():
                 start_tile("wqkv", layer + 1, 0, 0)
+
+            if include_head:
+                @pl.when(layer + 1 == n_layers)
+                def _():
+                    start_tile("head", 0, 0, 0)
 
         stream_phase("w2", act, x_vec, True, [start_next_wqkv])
 
         @pl.when(layer == n_layers - 1)
         def _():
             xo_ref[:] = x_vec[:]
+
+        if include_head:
+            # ---- final norm + classifier stream (last grid step only):
+            # lm_head tiles follow the last w2 tiles with no kernel
+            # boundary, so the weight stream never drains before the
+            # logits are done (models/qwen3.rs:72-76 fused end-to-end).
+            @pl.when(layer == n_layers - 1)
+            def _():
+                xf3 = x_vec[:]
+                inv3 = jax.lax.rsqrt(
+                    jnp.mean(xf3 * xf3, axis=1, keepdims=True) + eps
+                )
+                act[:, pl.ds(0, dim)] = xf3 * inv3 * rfin_ref[:]
+                stream_phase("head", act, logits_ref, False, [], lyr=0, dest_rows=True)
 
     return kernel
 
@@ -413,12 +470,19 @@ def decode_stack_megakernel(
     k_cache,  # [L, 1, n_kv, T, hd]
     v_cache,
     pos,  # [1] int32
+    rms_final=None,  # [dim] f32 — with lm_head: fuse the classifier phase
+    lm_head=None,  # QuantizedTensor [dim, v_pad]
     *,
     eps: float = 1e-6,
     interpret: bool = False,
 ):
     """One full decode step over all layers → (x_out [1, dim] f32,
-    k_new [L, 1, n_kv, hd] f32, v_new [L, 1, n_kv, hd] f32)."""
+    k_new [L, 1, n_kv, hd] f32, v_new [L, 1, n_kv, hd] f32,
+    logits [1, v_pad] f32 | None).
+
+    With ``lm_head``/``rms_final`` the final norm + classifier run as the
+    kernel's last phase: the lm_head tiles stream immediately behind the
+    last layer's w2 tiles (no pallas_call boundary before the logits)."""
     L = wqkv.q.shape[0]
     dim = config.dim
     ah, kvd, hidden = config.all_heads_dim, config.kv_dim, config.hidden_dim
@@ -426,6 +490,7 @@ def decode_stack_megakernel(
     g = config.group_size
     t = k_cache.shape[3]
     blk = _pick_blk(t)
+    include_head = lm_head is not None
 
     tiles = {
         "wqkv": _mk_tiles(dim, ah + 2 * kvd, g),
@@ -433,12 +498,16 @@ def decode_stack_megakernel(
         "w13": _mk_tiles(dim, 2 * hidden, g),
         "w2": _mk_tiles(hidden, dim, g),
     }
+    v_pad = None
+    if include_head:
+        v_pad = lm_head.q.shape[-1]
+        tiles["head"] = _mk_tiles(dim, v_pad, g)
     td_max = max(v[1] for v in tiles.values())
 
-    kernel = _mk_kernel(config, tiles, blk, eps, k_cache.dtype, L)
+    kernel = _mk_kernel(config, tiles, blk, eps, k_cache.dtype, L, v_pad=v_pad)
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
-    names = ("wqkv", "wo", "w13", "w2")
+    names = ["wqkv", "wo", "w13", "w2"] + (["head"] if include_head else [])
     wbufs = [pltpu.VMEM((2, *tiles[n]), jnp.int8) for n in names]
     sbufs = [pltpu.VMEM((2, tiles[n][0] // g, tiles[n][1]), sdt) for n in names]
     scratch = (
@@ -451,7 +520,7 @@ def decode_stack_megakernel(
         ]
         + wbufs
         + sbufs
-        + [pltpu.SemaphoreType.DMA((2,)) for _ in range(8)]
+        + [pltpu.SemaphoreType.DMA((2,)) for _ in range(2 * len(names))]
         + [
             pltpu.VMEM((2, n_kv, blk, hd), k_cache.dtype),  # kbuf
             pltpu.VMEM((2, n_kv, blk, hd), v_cache.dtype),  # vbuf
@@ -460,46 +529,54 @@ def decode_stack_megakernel(
         ]
     )
 
-    num_scalar_prefetch = 1
+    vmem_specs = [
+        pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if include_head:
+        vmem_specs.append(
+            pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM)
+        )
+    n_any = 2 * len(names) + 2  # weight (codes, scales) pairs + k/v cache
+
+    out_specs = [
+        pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, n_kv, hd), lambda l, s: (l, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, n_kv, hd), lambda l, s: (l, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, n_kv, hd), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, n_kv, hd), jnp.float32),
+    ]
+    if include_head:
+        tn_h, td_h = tiles["head"]
+        i_head = v_pad // td_h
+        out_specs.append(
+            pl.BlockSpec(
+                (i_head, td_h), lambda l, s: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((i_head, td_h), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=num_scalar_prefetch,
+        num_scalar_prefetch=1,
         grid=(L,),
-        in_specs=[
-            pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-        ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 10,
-        out_specs=[
-            pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, n_kv, hd), lambda l, s: (l, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, n_kv, hd), lambda l, s: (l, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=vmem_specs + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
 
-    x_out, k_new, v_new = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, dim), jnp.float32),
-            jax.ShapeDtypeStruct((L, 1, n_kv, hd), jnp.float32),
-            jax.ShapeDtypeStruct((L, 1, n_kv, hd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(
+    args = [
         jnp.asarray(pos, jnp.int32).reshape(1),
         x.astype(jnp.float32),
         rms_att[:, None, :],
@@ -508,8 +585,27 @@ def decode_stack_megakernel(
         k_norm[:, None, :],
         cos.astype(jnp.float32),
         sin.astype(jnp.float32),
-        wqkv.q, wqkv.scales, wo.q, wo.scales,
-        w13.q, w13.scales, w2.q, w2.scales,
-        k_cache, v_cache,
-    )
-    return x_out, k_new, v_new
+    ]
+    if include_head:
+        args.append(rms_final[None, :].astype(jnp.float32))
+    args += [wqkv.q, wqkv.scales, wo.q, wo.scales, w13.q, w13.scales, w2.q, w2.scales]
+    if include_head:
+        args += [lm_head.q[None], lm_head.scales[None]]
+    args += [k_cache, v_cache]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*args)
+    if include_head:
+        x_out, k_new, v_new, logits = out
+        # [I, td] row-major == the vocab order; flatten for the caller.
+        return x_out, k_new, v_new, logits.reshape(1, v_pad)
+    x_out, k_new, v_new = out
+    return x_out, k_new, v_new, None

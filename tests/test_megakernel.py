@@ -56,7 +56,7 @@ def _mega_step(config, weights, token, cache, pos):
     cos = cos_t[pos]  # [1, hd/2]
     sin = sin_t[pos]
     lw = weights.layers
-    x_out, k_rows, v_rows = decode_stack_megakernel(
+    x_out, k_rows, v_rows, _ = decode_stack_megakernel(
         config,
         x,
         lw.rms_att,
@@ -185,7 +185,7 @@ def test_megakernel_matches_exact_emulation():
     x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
     cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
     lw = weights.layers
-    x_out, _, _ = decode_stack_megakernel(
+    x_out, _, _, _ = decode_stack_megakernel(
         config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
         cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
         cache.k, cache.v, pos, eps=config.norm_eps, interpret=True,
@@ -201,6 +201,44 @@ def test_megakernel_matches_exact_emulation():
     np.testing.assert_allclose(
         np.asarray(x_out[0]), np.asarray(ref_x), rtol=5e-3, atol=5e-3
     )
+
+
+def test_megakernel_fused_head_parity():
+    """The in-kernel classifier phase must match the external head path."""
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(1, config.vocab_size, (1, 19)), jnp.int32)
+    cache = init_kv_cache(config, batch=1, dtype=jnp.float32)
+    _, cache = qwen3_forward(
+        config, weights, prompt, cache, jnp.zeros(1, jnp.int32),
+        mode="fast", fresh_prefill=True,
+    )
+    pos = jnp.asarray([19], jnp.int32)
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    manual_logits, _, _ = _mega_step(config, weights, tok, cache, pos)
+
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
+
+    emb_q = weights.embed.q[tok]
+    emb_s = weights.embed.scales[tok]
+    x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
+    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    lw = weights.layers
+    _, _, _, logits_pad = decode_stack_megakernel(
+        config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+        cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+        cache.k, cache.v, pos, weights.rms_final, weights.lm_head,
+        eps=config.norm_eps, interpret=True,
+    )
+    assert logits_pad is not None
+    fused = np.asarray(logits_pad[:, : config.vocab_size], np.float32)
+    manual = np.asarray(manual_logits, np.float32)
+    # The manual head runs the XLA fallback qmatmul (f32 activations) —
+    # drift-bounded comparison, same rationale as the production parity.
+    assert np.abs(fused - manual).max() / max(1.0, np.abs(manual).max()) < 0.03
+    assert int(fused.argmax()) == int(manual.argmax())
 
 
 def test_tiles_exist_for_real_models():
