@@ -414,7 +414,7 @@ def qwen3_forward(
             and not isinstance(weights.lm_head, Q4Tensor)
             and head_phase_supported(config, weights.lm_head.q.shape[-1])
         )
-        x_out, k_rows, v_rows, logits_pad = decode_stack_megakernel(
+        x_out, new_k, new_v, logits_pad = decode_stack_megakernel(
             config,
             x[:, 0, :],
             lw_all.rms_att,
@@ -432,16 +432,14 @@ def qwen3_forward(
             pos_start,
             weights.rms_final if fuse_head else None,
             weights.lm_head if fuse_head else None,
+            write_mask,
             eps=config.norm_eps,
         )
         x = x_out[:, None, :]
-        # [L, 1, n_kv, hd] → the scan's ys layout [L, B, S, n_kv, hd].
-        new_k = k_rows[:, :, None]
-        new_v = v_rows[:, :, None]
-        new_cache = cache._replace(
-            k=_scatter_dense(cache.k, new_k, pos_start, write_mask),
-            v=_scatter_dense(cache.v, new_v, pos_start, write_mask),
-        )
+        # The kernel wrote the step's K/V rows into the cache in place
+        # (input_output_aliases) — no XLA scatter, which would copy the
+        # whole cache each step under a loop-varying position.
+        new_cache = cache._replace(k=new_k, v=new_v)
         if fuse_head:
             logits = logits_pad[..., : config.vocab_size]
             if return_all_logits:

@@ -146,7 +146,7 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
 
     def kernel(
         # scalar prefetch
-        pos_ref,  # [B] int32
+        pos_ref,  # [2] int32: (position, write gate)
         # inputs
         x_ref,  # [1, dim] f32
         ra_ref,  # [1, 1, dim] f32  (rms_att, layer block)
@@ -167,8 +167,8 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         kc_ref, vc_ref = next(it), next(it)  # [L, 1, n_kv, T, hd] cache
         # outputs
         xo_ref = next(it)  # [1, dim] f32
-        ko_ref = next(it)  # [1, 1, n_kv, hd] f32 (layer block)
-        vo_ref = next(it)
+        kco_ref = next(it)  # [L, 1, n_kv, T, hd] — ALIASES kc_ref
+        vco_ref = next(it)  # (in-place row write at the step position)
         logits_ref = next(it) if include_head else None  # [1, v_pad] f32
         # scratch (persists across grid steps) — flat, regrouped below
         scr = list(it)
@@ -178,9 +178,34 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         wsems = scr[5 + 2 * nm : 5 + 3 * nm]
         ssems = scr[5 + 3 * nm : 5 + 4 * nm]
         kbuf, vbuf, ksem, vsem = scr[5 + 4 * nm : 5 + 4 * nm + 4]
+        kblk, vblk, kisem, visem, kwsem, vwsem = scr[
+            5 + 4 * nm + 4 : 5 + 4 * nm + 10
+        ]
 
         layer = pl.program_id(0)
         p = pos_ref[0]
+        write_ok = pos_ref[1]
+
+        # ---- in-place K/V row write, part 1: block read-in ----
+        # Mosaic HBM slices must be sublane-tile aligned, so a single row
+        # at a dynamic position can't be DMA'd directly; instead the
+        # tile-aligned row block containing ``p`` is read in, the new row
+        # merged in VMEM after attention, and the block written back.
+        row_blk = kblk.shape[1]
+        pb = (p // row_blk) * row_blk
+        kv_in = (
+            pltpu.make_async_copy(
+                kc_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], kblk, kisem
+            ),
+            pltpu.make_async_copy(
+                vc_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], vblk, visem
+            ),
+        )
+
+        @pl.when(write_ok != 0)
+        def _():
+            for c in kv_in:
+                c.start()
 
         bufs = dict(zip(mat_names, zip(wbufs, sbufs, wsems, ssems)))
         refs = {
@@ -335,9 +360,6 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         q = rope(q)
         k_new = rope(k_new)
 
-        ko_ref[0, 0] = k_new
-        vo_ref[0, 0] = v_new
-
         # ---- flash attention over the cache prefix + self row ----
         qs = q * scale
         s_self = jax.lax.dot_general(
@@ -398,6 +420,35 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         att = a / denom  # [n_heads, hd]
         act[:, pl.ds(0, ah)] = att.reshape(1, ah)
 
+        # ---- in-place K/V row write, part 2: merge + write-back ----
+        # The cache outputs alias the inputs, so the step's rows land
+        # straight in the cache — no XLA scatter outside the kernel.  (A
+        # loop-varying dynamic_update_slice in the decode scan forced a
+        # full cache copy per step: ~1 ms at 8B.)  Merged only after the
+        # attention loop so every read of this layer's rows has completed;
+        # drained at the end of the grid step, overlapped with the
+        # wo/w13/w2 streams.
+        kv_write = (
+            pltpu.make_async_copy(
+                kblk, kco_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], kwsem
+            ),
+            pltpu.make_async_copy(
+                vblk, vco_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], vwsem
+            ),
+        )
+
+        @pl.when(write_ok != 0)
+        def _():
+            for c in kv_in:
+                c.wait()
+            r = jax.lax.broadcasted_iota(
+                jnp.int32, (n_kv, row_blk, hd), 1
+            ) == (p - pb)
+            kblk[...] = jnp.where(r, k_new[:, None, :].astype(kblk.dtype), kblk[...])
+            vblk[...] = jnp.where(r, v_new[:, None, :].astype(vblk.dtype), vblk[...])
+            for c in kv_write:
+                c.start()
+
         # ---- wo stream (+residual into x_vec); prefetch w13 tile 0 ----
         stream_phase(
             "wo", act, x_vec, True,
@@ -431,6 +482,11 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
                     start_tile("head", 0, 0, 0)
 
         stream_phase("w2", act, x_vec, True, [start_next_wqkv])
+
+        @pl.when(write_ok != 0)
+        def _():
+            for c in kv_write:
+                c.wait()
 
         @pl.when(layer == n_layers - 1)
         def _():
@@ -472,13 +528,19 @@ def decode_stack_megakernel(
     pos,  # [1] int32
     rms_final=None,  # [dim] f32 — with lm_head: fuse the classifier phase
     lm_head=None,  # QuantizedTensor [dim, v_pad]
+    write_ok=None,  # [1] bool/int — gate the cache row write (default on)
     *,
     eps: float = 1e-6,
     interpret: bool = False,
 ):
     """One full decode step over all layers → (x_out [1, dim] f32,
-    k_new [L, 1, n_kv, hd] f32, v_new [L, 1, n_kv, hd] f32,
+    k_cache' [L, 1, n_kv, T, hd], v_cache' [L, 1, n_kv, T, hd],
     logits [1, v_pad] f32 | None).
+
+    The returned caches are the inputs updated IN PLACE at ``pos``
+    (``input_output_aliases``): the step's K/V rows are DMA'd into the
+    cache inside the kernel, so the decode scan carries the cache with no
+    XLA scatter (a loop-varying scatter copies the whole cache per step).
 
     With ``lm_head``/``rms_final`` the final norm + classifier run as the
     kernel's last phase: the lm_head tiles stream immediately behind the
@@ -491,6 +553,7 @@ def decode_stack_megakernel(
     t = k_cache.shape[3]
     blk = _pick_blk(t)
     include_head = lm_head is not None
+    row_blk = 8 if k_cache.dtype == jnp.float32 else 16
 
     tiles = {
         "wqkv": _mk_tiles(dim, ah + 2 * kvd, g),
@@ -527,6 +590,16 @@ def decode_stack_megakernel(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        + [
+            # In-place row write staging: sublane tile × packing rows
+            # (f32: 8, bf16: 16) so the HBM slice is tile-aligned.
+            pltpu.VMEM((n_kv, row_blk, hd), k_cache.dtype),  # kblk
+            pltpu.VMEM((n_kv, row_blk, hd), v_cache.dtype),  # vblk
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
     )
 
     vmem_specs = [
@@ -546,17 +619,13 @@ def decode_stack_megakernel(
 
     out_specs = [
         pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (1, 1, n_kv, hd), lambda l, s: (l, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, 1, n_kv, hd), lambda l, s: (l, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
+        pl.BlockSpec(memory_space=pl.ANY),  # k_cache (aliases the input)
+        pl.BlockSpec(memory_space=pl.ANY),  # v_cache
     ]
     out_shape = [
         jax.ShapeDtypeStruct((1, dim), jnp.float32),
-        jax.ShapeDtypeStruct((L, 1, n_kv, hd), jnp.float32),
-        jax.ShapeDtypeStruct((L, 1, n_kv, hd), jnp.float32),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     ]
     if include_head:
         tn_h, td_h = tiles["head"]
@@ -576,8 +645,13 @@ def decode_stack_megakernel(
         scratch_shapes=scratch,
     )
 
+    ok = (
+        jnp.ones((1,), jnp.int32)
+        if write_ok is None
+        else jnp.asarray(write_ok).astype(jnp.int32).reshape(1)
+    )
     args = [
-        jnp.asarray(pos, jnp.int32).reshape(1),
+        jnp.concatenate([jnp.asarray(pos, jnp.int32).reshape(1), ok]),
         x.astype(jnp.float32),
         rms_att[:, None, :],
         rms_ffn[:, None, :],
@@ -592,11 +666,14 @@ def decode_stack_megakernel(
     if include_head:
         args += [lm_head.q[None], lm_head.scales[None]]
     args += [k_cache, v_cache]
+    # Alias indices are over the FLAT args (scalar prefetch included).
+    i_kc = len(args) - 2
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        input_output_aliases={i_kc: 1, i_kc + 1: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,

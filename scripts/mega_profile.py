@@ -1,9 +1,11 @@
 """Megakernel ablation: kernel-only step time vs the full decode step.
 
 Isolates where the decode step's remaining non-roofline time lives:
-  full      — qwen3_forward + argmax (bench.py parity; megakernel engaged)
-  megaonly  — the raw megakernel call chained through x (no embed gather,
-              no cache scatter, no head slice/argmax glue)
+  full      — qwen3_forward + argmax, dynamic scan-carried position
+              (bench.py parity; megakernel engaged)
+  fullfixed — same with the position frozen (isolates loop-varying costs)
+  megaonly  — the raw megakernel call chained through x + cache (fused
+              head, in-kernel KV writes, dynamic pos)
   megabody  — megaonly without the fused head phase
 
 Usage: python scripts/mega_profile.py [model] [seq_len] [steps] [pos]
@@ -84,123 +86,36 @@ def full_maker(fixed=False):
     return maker
 
 
-def mega_variant_maker(variant):
-    """megaonly plus ONE piece of the outside-the-kernel glue."""
+def mega_maker(with_head, fixed=True):
     cos_t, sin_t = rope_table(seq_len, config.head_dim, config.rope_theta)
-    pos = jnp.full((1,), fixed_pos, jnp.int32)
-    cos, sin = cos_t[pos], sin_t[pos]
+    pos0 = jnp.full((1,), fixed_pos, jnp.int32)
+    cos, sin = cos_t[pos0], sin_t[pos0]
 
     def maker(n):
-        from qwen3_rs_tpu.models.qwen3 import _scatter_dense
-        from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
-
         @jax.jit
         def run(w):
             lw = w.layers
             cache0 = init_kv_cache(config, batch=1, dtype=jnp.bfloat16)
             x0 = jnp.ones((1, config.dim), jnp.float32)
 
-            def body_pos(carry, _):
-                # pos carried (dynamic): isolates the loop-varying-index cost
-                x, cache, dpos = carry
-                x_out, k_r, v_r, logits = decode_stack_megakernel(
-                    config, x, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
-                    cos, sin, lw.wqkv, lw.wo, lw.w13, lw.w2,
-                    cache.k, cache.v,
-                    dpos if variant in ("allpos", "kernelpos") else pos,
-                    w.rms_final, w.lm_head, eps=config.norm_eps,
-                )
-                if variant in ("allpos", "scatterpos"):
-                    sp = dpos
-                else:
-                    sp = pos
-                cache = cache._replace(
-                    k=_scatter_dense(cache.k, k_r[:, :, None], sp, None),
-                    v=_scatter_dense(cache.v, v_r[:, :, None], sp, None),
-                )
-                x = x_out * 0.5 + jnp.sum(logits) * 1e-30
-                return (x, cache, dpos + 1), ()
-
-            if variant in ("allpos", "scatterpos", "kernelpos"):
-                carry, _ = jax.lax.scan(
-                    body_pos, (x0, cache0, pos), None, length=n
-                )
-                return carry[0]
-
             def body(carry, _):
-                x, cache = carry
-                x_out, k_r, v_r, logits = decode_stack_megakernel(
+                x, k, v, pos = carry
+                x_out, k, v, logits = decode_stack_megakernel(
                     config, x, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
                     cos, sin, lw.wqkv, lw.wo, lw.w13, lw.w2,
-                    cache.k, cache.v, pos, w.rms_final, w.lm_head,
-                    eps=config.norm_eps,
-                )
-                if variant == "scatter":
-                    cache = cache._replace(
-                        k=_scatter_dense(cache.k, k_r[:, :, None], pos, None),
-                        v=_scatter_dense(cache.v, v_r[:, :, None], pos, None),
-                    )
-                    x = x_out * 0.5 + jnp.sum(logits) * 1e-30
-                elif variant == "argmax":
-                    tok = jnp.argmax(logits[..., : config.vocab_size], axis=-1)
-                    x = x_out * 0.5 + tok[:, None].astype(jnp.float32) * 1e-30
-                elif variant == "embed":
-                    tok = jnp.ones((1, 1), jnp.int32)
-                    e = dequantize(
-                        QuantizedTensor(w.embed.q[tok], w.embed.scales[tok]),
-                        jnp.float32,
-                    )[:, 0, :]
-                    x = x_out * 0.5 + e * 1e-30 + jnp.sum(logits) * 1e-30
-                elif variant == "all":
-                    cache = cache._replace(
-                        k=_scatter_dense(cache.k, k_r[:, :, None], pos, None),
-                        v=_scatter_dense(cache.v, v_r[:, :, None], pos, None),
-                    )
-                    tok = jnp.argmax(logits[..., : config.vocab_size], axis=-1)
-                    e = dequantize(
-                        QuantizedTensor(
-                            w.embed.q[tok[:, None]], w.embed.scales[tok[:, None]]
-                        ),
-                        jnp.float32,
-                    )[:, 0, :]
-                    x = e + x_out * 1e-30
-                return (x, cache), ()
-
-            carry, _ = jax.lax.scan(body, (x0, cache0), None, length=n)
-            return carry[0]
-
-        return lambda: run(weights)
-
-    return maker
-
-
-def mega_maker(with_head):
-    cos_t, sin_t = rope_table(seq_len, config.head_dim, config.rope_theta)
-    lw = weights.layers
-    pos = jnp.full((1,), fixed_pos, jnp.int32)
-    cos, sin = cos_t[pos], sin_t[pos]
-
-    def maker(n):
-        @jax.jit
-        def run(w):
-            lw = w.layers
-            cache = init_kv_cache(config, batch=1, dtype=jnp.bfloat16)
-            x0 = jnp.ones((1, config.dim), jnp.float32)
-
-            def body(x, _):
-                x_out, k_r, v_r, logits = decode_stack_megakernel(
-                    config, x, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
-                    cos, sin, lw.wqkv, lw.wo, lw.w13, lw.w2,
-                    cache.k, cache.v, pos,
+                    k, v, pos0 if fixed else pos,
                     w.rms_final if with_head else None,
                     w.lm_head if with_head else None,
                     eps=config.norm_eps,
                 )
-                extra = jnp.sum(logits) if with_head else jnp.sum(k_r) + jnp.sum(v_r)
-                return x_out * 0.5 + extra * 1e-30, ()
+                extra = jnp.sum(logits) if with_head else 0.0
+                x = x_out * 0.5 + extra * 1e-30
+                return (x, k, v, pos + 1), ()
 
-            x, _ = jax.lax.scan(body, x0, None, length=n)
-            return x
+            carry, _ = jax.lax.scan(
+                body, (x0, cache0.k, cache0.v, pos0), None, length=n
+            )
+            return carry[0]
 
         return lambda: run(weights)
 
@@ -211,20 +126,14 @@ n_long, n_short = steps, max(steps // 4, 1)
 print(f"model={model} seq={seq_len} pos={fixed_pos} roofline={roofline_ms:.3f} ms/step",
       flush=True)
 variants = os.environ.get(
-    "MP_VARIANTS", "full,megaonly,megabody,+scatter,+argmax,+embed"
+    "MP_VARIANTS", "full,fullfixed,megaonly,megabody"
 ).split(",")
 makers = {
     "full": full_maker(False),
     "fullfixed": full_maker(True),
-    "megaonly": mega_maker(True),
-    "megabody": mega_maker(False),
-    "+scatter": mega_variant_maker("scatter"),
-    "+argmax": mega_variant_maker("argmax"),
-    "+embed": mega_variant_maker("embed"),
-    "+all": mega_variant_maker("all"),
-    "allpos": mega_variant_maker("allpos"),
-    "scatterpos": mega_variant_maker("scatterpos"),
-    "kernelpos": mega_variant_maker("kernelpos"),
+    "megaonly": mega_maker(True, fixed=False),
+    "megafixed": mega_maker(True, fixed=True),
+    "megabody": mega_maker(False, fixed=True),
 }
 for name, maker in ((v, makers[v]) for v in variants):
     per = slope(maker, n_long, n_short)

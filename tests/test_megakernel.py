@@ -56,7 +56,7 @@ def _mega_step(config, weights, token, cache, pos):
     cos = cos_t[pos]  # [1, hd/2]
     sin = sin_t[pos]
     lw = weights.layers
-    x_out, k_rows, v_rows, _ = decode_stack_megakernel(
+    x_out, new_k, new_v, _ = decode_stack_megakernel(
         config,
         x,
         lw.rms_att,
@@ -77,7 +77,9 @@ def _mega_step(config, weights, token, cache, pos):
     )
     xn = rms_norm(x_out[:, None, :], weights.rms_final, config.norm_eps)
     logits = qmatmul(xn, weights.lm_head)[..., : config.vocab_size][:, 0]
-    return logits, k_rows, v_rows
+    # The kernel wrote the step's rows into the cache in place.
+    p = int(pos[0])
+    return logits, new_k[:, 0, :, p, :], new_v[:, 0, :, p, :]
 
 
 def _mega_ref_step(config, weights, token, cache, pos):
@@ -193,10 +195,10 @@ def test_megakernel_matches_exact_emulation():
     ref_x, ref_k, ref_v = _mega_ref_step(config, weights, tok, cache, pos)
 
     np.testing.assert_allclose(
-        np.asarray(k_rows[:, 0]), np.asarray(ref_k), rtol=2e-3, atol=2e-3
+        np.asarray(k_rows), np.asarray(ref_k), rtol=2e-3, atol=2e-3
     )
     np.testing.assert_allclose(
-        np.asarray(v_rows[:, 0]), np.asarray(ref_v), rtol=2e-3, atol=2e-3
+        np.asarray(v_rows), np.asarray(ref_v), rtol=2e-3, atol=2e-3
     )
     np.testing.assert_allclose(
         np.asarray(x_out[0]), np.asarray(ref_x), rtol=5e-3, atol=5e-3
@@ -304,7 +306,7 @@ def test_megakernel_decode_parity(cache_dtype):
         (v_rows, ref_cache.v[:, 0, :, 17, :]),
     ):
         r = np.asarray(ref_rows, np.float32)
-        d = np.abs(np.asarray(got_rows[:, 0], np.float32) - r)
+        d = np.abs(np.asarray(got_rows, np.float32) - r)
         assert d.max() / max(1.0, np.abs(r).max()) < 0.03
 
 
