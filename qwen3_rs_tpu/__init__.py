@@ -42,6 +42,9 @@ class InferenceConfig:
     device_sampling: bool = False  # sample on device instead of host xorshift
     kv_int8: bool = False  # INT8 KV cache (per-row scales; halves KV reads)
     speculative: int = 0  # n-gram draft length k (greedy-exact; 0 = off)
+    sp: int = 1  # sequence-parallel devices: fresh prefills >= sp_threshold
+    # rows run ring attention over an sp mesh (parallel/context.py)
+    sp_threshold: int = 4096  # min prompt rows to engage the sp prefill
 
     def __post_init__(self):
         if self.seed is None:
@@ -64,11 +67,31 @@ def run_inference(config: InferenceConfig) -> None:
         # argmax, ops/sampling.py:argmax_last_jax matching the host's
         # _argmax_last), so auto-enabling it changes nothing but dispatch.
         config.device_sampling = True
+    engine_kwargs = {}
+    if config.kv_int8:
+        engine_kwargs["cache_dtype"] = "int8"
+    if config.sp > 1:
+        # Sequence-parallel prefill mesh: prompts past sp_threshold rows
+        # shard over these devices via ring attention; decode and short
+        # prefills stay single-chip.
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from .parallel.context import SP_AXIS
+
+        n_dev = len(jax.devices())
+        if config.sp > n_dev:
+            raise ValueError(f"--sp {config.sp} needs {config.sp} devices, have {n_dev}")
+        engine_kwargs["sp_mesh"] = Mesh(
+            np.asarray(jax.devices()[: config.sp]), (SP_AXIS,)
+        )
+        engine_kwargs["sp_threshold"] = config.sp_threshold
     engine = Engine(
         config.checkpoint_path,
         ctx_length=config.ctx_length,
         mode=config.engine_mode,
-        **({"cache_dtype": "int8"} if config.kv_int8 else {}),
+        **engine_kwargs,
     )
     tokenizer = Tokenizer(
         config.checkpoint_path, engine.config.vocab_size, config.enable_thinking

@@ -85,6 +85,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="n-gram speculative decoding with K-token drafts (greedy-exact; "
         "requires -t 0, generate mode; device sampling is auto-enabled)",
     )
+    inf.add_argument(
+        "--sp", type=int, default=1, metavar="N",
+        help="sequence-parallel prefill over N devices: prompts of at least "
+        "--sp-threshold rows run ring attention over an sp mesh (long "
+        "prompts whose score memory outgrows one chip); decode stays "
+        "single-chip",
+    )
+    inf.add_argument(
+        "--sp-threshold", type=int, default=4096, metavar="ROWS",
+        help="minimum prompt rows to engage the sequence-parallel prefill",
+    )
 
     # batch: continuous-batching throughput runner (serving surface).
     bt = sub.add_parser("batch", help="Serve a batch of prompts with continuous batching")
@@ -430,6 +441,8 @@ def main(argv=None) -> int:
             device_sampling=args.device_sampling,
             kv_int8=args.kv_int8,
             speculative=args.spec,
+            sp=args.sp,
+            sp_threshold=args.sp_threshold,
         )
         run_inference(config)
         return 0

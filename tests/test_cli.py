@@ -60,6 +60,32 @@ class TestSubcommands:
         assert rc == 0
         assert "hello" in capsys.readouterr().out
 
+    def test_generate_sp_matches_single_chip(self, ckpt, capsys, monkeypatch):
+        """--sp routes long-enough fresh prefills through ring attention on
+        a CPU sp mesh; greedy output must match the single-chip run."""
+        import qwen3_rs_tpu.parallel.context as ctx
+
+        _, _, out = ckpt
+        prompt = "hello world " * 4  # encodes past the tiny threshold below
+        base_args = ["inference", str(out), "-m", "generate", "-i", prompt,
+                     "-t", "0.0", "-s", "1", "--engine-mode", "fast"]
+        assert main(base_args) == 0
+        want = capsys.readouterr().out
+
+        calls = {"n": 0}
+        ring_inner = ctx.ring_prefill_attention_inner
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return ring_inner(*a, **kw)
+
+        monkeypatch.setattr(ctx, "ring_prefill_attention_inner", counting)
+        assert main(base_args + ["--sp", "4", "--sp-threshold", "8"]) == 0
+        got = capsys.readouterr().out
+        assert calls["n"] > 0, "--sp never reached the ring prefill path"
+        assert got == want
+        assert prompt in got
+
     def test_batch(self, ckpt):
         tmp, _, out = ckpt
         pf = tmp / "prompts.txt"
