@@ -725,24 +725,37 @@ def _kernel_stacked_rows(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "impl", "tiles"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "impl", "tiles", "out_cols")
+)
 def _qmatmul_stacked_rows_2d(
     x, wq_all, ws_all, layer_idx, *, interpret: bool = False, impl: str | None = None,
-    tiles=None,
+    tiles=None, out_cols: tuple[int, int] | None = None,
 ):
-    """x [B, N] bf16 (B large), stacked weights at ``layer_idx`` → [B, D] f32."""
+    """x [B, N] bf16 (B large), stacked weights at ``layer_idx`` → [B, D] f32.
+
+    ``out_cols=(c0, dc)`` computes only output columns [c0, c0+dc): the
+    weight index map offsets the out-tile axis, so the kernel DMAs exactly
+    those columns — no sliced weight copy in HBM.  Used by the tensor-
+    parallel overlap path (models/qwen3.py): a row-parallel projection is
+    split into column chunks whose psums overlap the next chunk's matmul.
+    """
     b, n = x.shape
     _, _, d = wq_all.shape
     g_count = ws_all.shape[1]
     group_size = n // g_count
     impl = impl or _default_impl()
 
-    tiles = tiles or _pick_tiles_rows(n, d, group_size, b, q4=wq_all.dtype == jnp.uint8)
+    c0, dc = out_cols if out_cols is not None else (0, d)
+    tiles = tiles or _pick_tiles_rows(n, dc, group_size, b, q4=wq_all.dtype == jnp.uint8)
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas rows qmatmul: {x.shape} x {wq_all.shape}"
         )
     tile_b, tile_n, tile_d = tiles
+    if c0 % tile_d:
+        raise ValueError(f"out_cols offset {c0} must align to tile_d={tile_d}")
+    off = c0 // tile_d
     tile_groups = tile_n // group_size
     w_rows = tile_n // 2 if wq_all.dtype == jnp.uint8 else tile_n
 
@@ -750,15 +763,17 @@ def _qmatmul_stacked_rows_2d(
         num_scalar_prefetch=1,
         # k innermost: the out block (r, i) stays VMEM-resident across the
         # accumulation sweep; weight blocks re-stream once per row block.
-        grid=(b // tile_b, d // tile_d, n // tile_n),
+        grid=(b // tile_b, dc // tile_d, n // tile_n),
         in_specs=[
             pl.BlockSpec((tile_b, tile_n), lambda r, i, k, l: (r, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, w_rows, tile_d), lambda r, i, k, l: (l[0], k, i), memory_space=pltpu.VMEM
+                (1, w_rows, tile_d),
+                lambda r, i, k, l: (l[0], k, off + i),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, tile_groups, tile_d),
-                lambda r, i, k, l: (l[0], k, i),
+                lambda r, i, k, l: (l[0], k, off + i),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -772,7 +787,7 @@ def _qmatmul_stacked_rows_2d(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, dc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT_BYTES,
@@ -782,15 +797,20 @@ def _qmatmul_stacked_rows_2d(
 
 
 def qmatmul_pallas_stacked_rows(
-    x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False, **opts
+    x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False,
+    out_cols: tuple[int, int] | None = None, **opts
 ) -> jax.Array:
     """Prefill counterpart of :func:`qmatmul_pallas_stacked` (rows > decode
-    cap).  Activations stream as bf16 — the dot runs in bf16 either way."""
+    cap).  Activations stream as bf16 — the dot runs in bf16 either way.
+    ``out_cols=(c0, dc)``: compute only that output-column slice."""
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.bfloat16)
-    out = _qmatmul_stacked_rows_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
-    return out.reshape(*batch_shape, w.q.shape[-1])
+    out = _qmatmul_stacked_rows_2d(
+        x2, w.q, w.scales, layer_idx, interpret=interpret, out_cols=out_cols, **opts
+    )
+    d_out = out_cols[1] if out_cols is not None else w.q.shape[-1]
+    return out.reshape(*batch_shape, d_out)
 
 
 # ---------------------------------------------------------------- W8A8 rows

@@ -123,20 +123,34 @@ class ContinuousBatchingEngine:
 
             weights = cast_weight_scales(weights)
         # Tensor-parallel serving: weights + KV shard over the mesh's tp
-        # axis and GSPMD propagates through every step function.  Data
+        # axis and every step function runs the forward INSIDE shard_map
+        # (parallel/tp.py) — each shard sees local arrays with ordinary
+        # shapes, so the Pallas paged/flash kernels engage per shard and
+        # the collectives are the explicit Megatron psums.  Data
         # parallelism is request-level — run one engine per dp replica
         # (COMPONENTS.md §2.4) — so the mesh here must be tp-only.
         self.mesh = mesh
+        tp = 1
         if mesh is not None:
-            from ..parallel.mesh import DP_AXIS
-            from ..parallel.sharding import shard_weights
+            from ..parallel.mesh import DP_AXIS, TP_AXIS
 
             if dict(mesh.shape).get(DP_AXIS, 1) != 1:
                 raise ValueError(
                     "serving engine shards tensor-parallel only; run one "
                     "engine per dp replica for data parallelism"
                 )
-            weights = shard_weights(weights, mesh, self.config)
+            tp = dict(mesh.shape).get(TP_AXIS, 1)
+            if tp > 1:
+                from ..parallel.tp import shard_weights_tp
+
+                weights = shard_weights_tp(weights, mesh, self.config)
+            else:
+                # Single-device mesh: only pins the replica's arrays to its
+                # own device (no resharding, no shard_map overhead).
+                from ..parallel.sharding import shard_weights
+
+                weights = shard_weights(weights, mesh, self.config)
+        self._tp = tp
         self.weights = weights
         self.n_slots = n_slots
         self.mode = mode
@@ -219,27 +233,13 @@ class ContinuousBatchingEngine:
                 self.config, n_pages, page_size, dtype=cache_dtype
             )
             if mesh is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
-                from ..parallel.mesh import TP_AXIS
-
                 # Pool [L, P, n_kv, page, hd]: kv heads on tp, like the
                 # dense cache (GQA keeps attention tp-local).  The INT8
                 # pool's per-row scales [L, P, n_kv, page] shard the same
-                # kv axis.
-                self.cache = jax.tree.map(
-                    lambda leaf: jax.device_put(
-                        leaf,
-                        NamedSharding(
-                            mesh,
-                            P(None, None, TP_AXIS, None, None)
-                            if leaf.ndim == 5
-                            else P(None, None, TP_AXIS, None),
-                        ),
-                    ),
-                    self.cache,
-                )
+                # kv axis — matching the shard_map forward's cache specs.
+                from ..parallel.tp import shard_cache_tp
+
+                self.cache = shard_cache_tp(self.cache, mesh)
             self.allocator = PageAllocator(n_pages, n_slots, max_pages_per_slot)
             self.page_size = page_size
             self._scratch_cache = None
@@ -252,10 +252,10 @@ class ContinuousBatchingEngine:
             self.cache = init_kv_cache(config, n_slots, dtype=cache_dtype)
             self._scratch_cache: KVCache = init_kv_cache(config, 1, dtype=cache_dtype)
             if mesh is not None:
-                from ..parallel.sharding import shard_cache
+                from ..parallel.tp import shard_cache_tp
 
-                self.cache = shard_cache(self.cache, mesh)
-                self._scratch_cache = shard_cache(self._scratch_cache, mesh)
+                self.cache = shard_cache_tp(self.cache, mesh)
+                self._scratch_cache = shard_cache_tp(self._scratch_cache, mesh)
             self.allocator = None
         else:
             raise ValueError(f"unknown kv_layout: {kv_layout!r}")
@@ -286,16 +286,15 @@ class ContinuousBatchingEngine:
         # results are still on device.
         self._inflight: Optional[dict] = None
 
-        fwd = functools.partial(
-            qwen3_forward,
-            self.config,
-            mode=mode,
-            # The paged flash kernel has no GSPMD partitioning spec: under a
-            # multi-device (tp) mesh it would force the sharded pool to be
-            # replicated per layer — keep the sharding-propagating XLA
-            # gather path there (models/qwen3.py use_paged_flash).
-            allow_paged_flash=(mesh is None or mesh.size == 1),
-        )
+        if tp > 1:
+            # shard_map forward: kernels see LOCAL pool/weight shards, so
+            # the paged flash kernels run under tensor parallelism (no
+            # GSPMD replication — the r2 allow_paged_flash gate is gone).
+            from ..parallel.tp import make_tp_forward
+
+            fwd = make_tp_forward(self.config, mesh, mode=mode)
+        else:
+            fwd = functools.partial(qwen3_forward, self.config, mode=mode)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(weights, tokens, cache, pos, active):

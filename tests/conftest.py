@@ -12,6 +12,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["QWEN3_TPU_DISABLE_PALLAS"] = "1"
+# Keep tests hermetic: the CLI enables the persistent XLA compilation cache
+# (utils/compile_cache.py) in-process, and on this machine cache entries may
+# have been produced by a remote-compile service targeting a different x86
+# feature set — loading those AOT artifacts into the test process triggers
+# "machine type doesn't match" warnings and can mis-execute (SIGILL class).
+os.environ["QWEN3_TPU_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 

@@ -136,6 +136,30 @@ def test_pallas_rows_interpret_matches_fast(rng):
         np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
 
 
+def test_pallas_rows_out_cols_matches_full(rng):
+    """out_cols=(c0, dc) computes exactly that column slice of the full
+    kernel output — the tp collective-matmul overlap building block."""
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas_stacked_rows
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor
+
+    n, d, gs, b, L = 256, 512, 64, 256, 2
+    stacks = [_random_qw(rng, d, n, gs) for _ in range(L)]
+    w_all = QuantizedTensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    x = jnp.asarray(rng.normal(0, 1, (b, n)).astype(np.float32))
+    full = np.asarray(
+        qmatmul_pallas_stacked_rows(x, w_all, 1, interpret=True, impl="scale_w")
+    )
+    for c0, dc in ((0, 256), (256, 256), (128, 128)):
+        part = np.asarray(
+            qmatmul_pallas_stacked_rows(
+                x, w_all, 1, interpret=True, impl="scale_w", out_cols=(c0, dc)
+            )
+        )
+        np.testing.assert_array_equal(part, full[:, c0 : c0 + dc])
+
+
 def test_rows_supported_gates():
     from qwen3_rs_tpu.ops.pallas.qmatmul import rows_supported
 

@@ -215,19 +215,6 @@ def test_forward_branch_wiring(rng, monkeypatch):
         atol=0.05,
     )
 
-    # allow_paged_flash=False (sharded-pool callers) must keep the kernel
-    # out even with every other gate open.
-    def boom(*a, **k):
-        raise AssertionError("paged flash kernel must not engage")
-
-    monkeypatch.setattr(pa, "paged_gqa_decode_stacked", boom)
-    off_logits, _ = qwen3_forward(
-        config, weights, tokens, cache, pos, mode="fast", page_table=tables,
-        allow_paged_flash=False,
-    )
-    np.testing.assert_allclose(
-        np.asarray(off_logits), np.asarray(ref_logits), rtol=0.0, atol=1e-4
-    )
 
 
 def test_supported_gates():

@@ -502,6 +502,74 @@ class TestPagedKV:
             outs[name] = {r.request_id: r.generated for r in eng.run()}
         assert outs["plain"] == outs["tp2"]
 
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_tp_serving_runs_paged_kernel(self, tp, monkeypatch):
+        """serve --tp dispatches the shard_map forward, where the paged
+        flash decode kernel engages per shard (interpret mode here) — the
+        r2 allow_paged_flash mesh gate is gone.  Greedy stream must match
+        the plain single-device engine."""
+        import functools
+
+        import jax
+
+        import qwen3_rs_tpu.ops.pallas as pallas_pkg
+        import qwen3_rs_tpu.ops.pallas.paged_attention as pa
+        import qwen3_rs_tpu.ops.pallas.qmatmul as qmm
+        from qwen3_rs_tpu.configuration import ARCHITECTURE_QWEN3, ModelConfig
+        from qwen3_rs_tpu.parallel.mesh import create_mesh
+        from qwen3_rs_tpu.testing import random_weights
+
+        if len(jax.devices()) < tp:
+            pytest.skip(f"needs >= {tp} devices")
+        # head_dim=128 + page_size=128: the paged decode kernel's gates.
+        config = ModelConfig(
+            architecture_id=ARCHITECTURE_QWEN3,
+            dim=64, hidden_dim=128, n_layers=2, n_heads=4, n_kv_heads=4,
+            head_dim=128, seq_len=512, vocab_size=256, group_size=16,
+            shared_classifier=True,
+        ).validate()
+        weights = random_weights(config)
+
+        calls = {"decode": 0}
+        orig_decode = pa.paged_gqa_decode_stacked
+
+        def decode_interp(*a, **kw):
+            calls["decode"] += 1
+            return orig_decode(*a, interpret=True, **kw)
+
+        window_interp = functools.partial(
+            pa.paged_gqa_window_stacked, interpret=True
+        )
+        monkeypatch.setattr(pallas_pkg, "pallas_enabled", lambda: True)
+        # Keep the matmul kernels out (slow in interpret mode; covered by
+        # test_tp_shardmap) — only the paged attention kernels run.
+        monkeypatch.setattr(qmm, "supports_shapes", lambda *a, **k: False)
+        monkeypatch.setattr(qmm, "rows_supported", lambda *a, **k: False)
+        monkeypatch.setattr(qmm, "fused_enabled", lambda: False)
+
+        def run(mesh):
+            eng = ContinuousBatchingEngine(
+                config=config, weights=weights, n_slots=2, mode="fast",
+                prefill_buckets=(8,), kv_layout="paged", page_size=128,
+                n_pages=9, sampling="device", decode_chunk_steps=2, mesh=mesh,
+            )
+            for i in range(2):
+                eng.submit(Request(request_id=i, prompt_tokens=[3, 7 + i],
+                                   max_new_tokens=4))
+            return {r.request_id: r.generated for r in eng.run()}
+
+        monkeypatch.setattr(pa, "paged_gqa_decode_stacked", decode_interp)
+        monkeypatch.setattr(pa, "paged_gqa_window_stacked", window_interp)
+
+        mesh = create_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+        got = run(mesh)
+        assert calls["decode"] > 0, "paged decode kernel never engaged under tp"
+
+        calls["decode"] = 0
+        want = run(None)
+        assert calls["decode"] > 0
+        assert got == want
+
     def test_tp_sharded_engine_rejects_dp(self, setup):
         import jax
 

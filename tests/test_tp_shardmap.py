@@ -191,6 +191,49 @@ def test_kernel_path_engages_in_shards(setup, monkeypatch):
     )
 
 
+def test_collective_matmul_overlap_parity(monkeypatch):
+    """With overlap forced on (chunked row-parallel projections, one psum
+    per chunk), the tp prefill matches the single-device forward — the
+    chunked psum path reassembles exactly."""
+    config = ModelConfig(
+        architecture_id=ARCHITECTURE_QWEN3,
+        dim=256,
+        hidden_dim=512,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=64,
+        seq_len=64,
+        vocab_size=96,
+        group_size=32,
+        shared_classifier=True,
+    ).validate()
+    rng = np.random.default_rng(11)
+    _, weights = make_weights(config, rng)
+    tokens = jnp.asarray(np.arange(16, dtype=np.int32).reshape(2, 8) % 96)
+    pos = jnp.zeros(2, jnp.int32)
+
+    ref_logits, _ = qwen3_forward(
+        config, weights, tokens, init_kv_cache(config, batch=2), pos,
+        mode="fast", return_all_logits=True,
+    )
+
+    monkeypatch.setenv("QWEN3_TPU_TP_OVERLAP_MIN_ROWS", "1")
+    monkeypatch.setenv("QWEN3_TPU_TP_OVERLAP_CHUNKS", "2")  # dim=256 → 2×128
+    mesh = tp_mesh(2)
+    fwd = make_tp_forward(config, mesh)
+    out_logits, _ = fwd(
+        shard_weights_tp(weights, mesh, config),
+        tokens,
+        shard_cache_tp(init_kv_cache(config, batch=2), mesh),
+        pos,
+        return_all_logits=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_interleave_roundtrip(setup):
     """Interleaved wqkv columns concatenated across shards reproduce the
     per-shard q|k|v layout."""
