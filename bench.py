@@ -93,6 +93,11 @@ def main() -> None:
 
     from qwen3_rs_tpu.models.qwen3 import cast_weight_scales
 
+    # KV cache storage: bf16 (default), int8 (per-row scales — halves the
+    # KV stream, the long-context decode bottleneck), or f32.
+    kv = os.environ.get("BENCH_KV", "bf16")
+    kv_dtype = {"bf16": jnp.bfloat16, "int8": "int8", "f32": jnp.float32}[kv]
+
     def bench_decode(model: str) -> dict:
         config = qwen3_config(model, seq_len=seq_len)
         # bf16 scales: what the fast engine streams (testing.py/engine.py).
@@ -112,12 +117,12 @@ def main() -> None:
 
         def timed(n_steps: int) -> float:
             f = jax.jit(functools.partial(decode_n, n_steps=n_steps), donate_argnums=(2,))
-            cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
+            cache = init_kv_cache(config, batch=batch, dtype=kv_dtype)
             tok = jnp.ones((batch, 1), jnp.int32)
             pos = jnp.full((batch,), start_pos, jnp.int32)
             toks, _ = f(weights, tok, cache, pos)
             np.asarray(toks)  # warm: compile + transfer path
-            cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
+            cache = init_kv_cache(config, batch=batch, dtype=kv_dtype)
             t0 = time.perf_counter()
             toks, _ = f(weights, tok, cache, pos)
             np.asarray(toks)  # materialization is the only reliable barrier here
@@ -130,12 +135,22 @@ def main() -> None:
 
         device_kind = jax.devices()[0].device_kind
         bw = HBM_BW_BY_KIND.get(device_kind, 819e9)
-        roofline = (
-            bw / weight_bytes_per_decode_token(config, scale_bytes=2, bits=bits) * batch
-        )
+        # Bytes streamed per decode step: the weight stream (batch-invariant)
+        # plus, at long contexts, the per-request KV read — ~avg_pos rows ×
+        # 2 (K+V) × n_kv × hd per layer (+4B/row scales for the INT8 cache).
+        step_bytes = weight_bytes_per_decode_token(config, scale_bytes=2, bits=bits)
+        if start_pos:
+            kv_el = {"bf16": 2, "int8": 1, "f32": 4}[kv]
+            avg_pos = start_pos + (steps_long + steps_short) / 4
+            row = config.n_kv_heads * config.head_dim * kv_el
+            if kv == "int8":
+                row += config.n_kv_heads * 4  # f32 scale per (row, head)
+            step_bytes += batch * 2 * config.n_layers * avg_pos * row
+        roofline = bw / step_bytes * batch
         ctx = f"_ctx{start_pos}" if start_pos else ""
+        kvs = f"_kv{kv}" if kv != "bf16" else ""
         return {
-            "metric": f"decode_tok_s_qwen3_{model}_int{bits}g64_b{batch}{ctx}",
+            "metric": f"decode_tok_s_qwen3_{model}_int{bits}g64_b{batch}{ctx}{kvs}",
             "value": round(tok_per_sec, 2),
             "unit": "tokens/sec",
             "vs_baseline": round(tok_per_sec / roofline, 4),
@@ -196,6 +211,12 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     # sampled-acceptance speculative rounds vs greedy ones).
     temp_env = os.environ.get("BENCH_TEMP")
 
+    # BENCH_SERVE_KV=dense: slot-dense cache layout — batched decode runs
+    # the whole-stack megakernel (ops/pallas/megakernel.py); the default
+    # paged layout runs the paged flash kernels.  A/B the two to measure
+    # the megakernel's batched-serving win.
+    kv_layout = os.environ.get("BENCH_SERVE_KV", "paged")
+
     config = qwen3_config(model_name, seq_len=seq_len)
     weights = cast_weight_scales(random_weights(config))
     engine = ContinuousBatchingEngine(
@@ -203,7 +224,7 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         weights=weights,
         n_slots=n_slots,
         sampling="device",
-        kv_layout="paged",
+        kv_layout=kv_layout,
         decode_chunk_steps=16,
         prefill_buckets=(128,),
         spec_k=spec_k,
@@ -244,6 +265,7 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         json.dumps(
             {
                 "metric": f"serve_tok_s_qwen3_{model_name}_int8g64_slots{n_slots}"
+                + (f"_{kv_layout}" if kv_layout != "paged" else "")
                 + (f"_spec{spec_k}" if spec_k else "")
                 + (f"_prefix{prefix_mode}" if prefix_mode else "")
                 + (f"_t{temperature}" if temp_env else ""),

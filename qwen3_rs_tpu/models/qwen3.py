@@ -258,6 +258,59 @@ def _maybe_quant(x, group_size: int, mode: str):
     return None
 
 
+def _tp_overlap_chunks(rows: int, d_out: int) -> int:
+    """Column chunks for row-parallel projections under tensor parallelism.
+
+    Splitting the projection's out axis into chunks and psumming each chunk
+    as soon as it is computed lets XLA's async all-reduce overlap chunk i's
+    ICI transfer with chunk i+1's matmul (collective matmul — the SURVEY
+    §2.4 TP requirement).  Only worth it when the psum payload is large:
+    decode-sized psums ([B≤256, dim] ≲ 4 MB) are latency-bound and chunking
+    would just add kernel boundaries, so overlap engages at prefill row
+    counts.  Tunables for A/B: QWEN3_TPU_TP_OVERLAP_CHUNKS (0/1 disables),
+    QWEN3_TPU_TP_OVERLAP_MIN_ROWS."""
+    import os
+
+    c = int(os.environ.get("QWEN3_TPU_TP_OVERLAP_CHUNKS", "4"))
+    min_rows = int(os.environ.get("QWEN3_TPU_TP_OVERLAP_MIN_ROWS", "512"))
+    if c <= 1 or rows < min_rows:
+        return 1
+    while c > 1 and d_out % (c * 128):
+        c //= 2
+    return c
+
+
+def _project_layer_cols(x, xq, w_all, idx, mode: str, c0: int, dc: int):
+    """One projection against out columns [c0, c0+dc) of stacked weights.
+
+    The Pallas rows kernel takes the slice as an index-map offset (no
+    weight copy in HBM); other paths slice the (codes, scales) pair — an
+    explicit copy, acceptable on the XLA fallback which materializes a
+    dequantized matrix anyway."""
+    if mode == "fast" and not isinstance(w_all, Q4Tensor):
+        from ..ops import pallas as pallas_ops
+        from ..ops.pallas.qmatmul import rows_supported
+
+        _, n, _ = w_all.q.shape
+        group_size = n // w_all.scales.shape[1]
+        batch_rows = 1
+        for dim in x.shape[:-1]:
+            batch_rows *= dim
+        if (
+            pallas_ops.pallas_enabled()
+            and batch_rows > 256
+            and rows_supported(n, dc, group_size, batch_rows)
+        ):
+            from ..ops.pallas.qmatmul import qmatmul_pallas_stacked_rows
+
+            return qmatmul_pallas_stacked_rows(x, w_all, idx, out_cols=(c0, dc))
+    w_sl = type(w_all)(
+        jax.lax.slice_in_dim(w_all.q, c0, c0 + dc, axis=-1),
+        jax.lax.slice_in_dim(w_all.scales, c0, c0 + dc, axis=-1),
+    )
+    return _project(x, xq, _slice_layer(w_sl, idx), mode)
+
+
 def _scatter_dense(cache_full, new_rows, pos_start, write_mask):
     """Scatter window K/V rows ([L, B, S, kv, hd]) into the dense cache
     ([L, B, kv, T, hd]) at per-request offsets."""
@@ -313,7 +366,6 @@ def qwen3_forward(
     write_mask: jax.Array | None = None,  # [B] bool — per-request cache-write gate
     page_table: jax.Array | None = None,  # [B, max_pages] int32 — paged-cache mode
     fresh_prefill: bool = False,  # static: caller guarantees pos_start == 0
-    allow_paged_flash: bool = True,  # static: see below — off under sharded pools
     skip_head: bool = False,  # static: return the residual stream, not logits
     sp_mesh=None,  # static Mesh: fresh prefills whose window divides the sp
     # axis run ring attention (parallel/context.py) — sequence parallelism
@@ -387,18 +439,17 @@ def qwen3_forward(
     # Whole-stack decode megakernel: the entire layer loop in ONE
     # pallas_call (grid over layers, residual stream in VMEM scratch,
     # weight DMAs never idle across phase/layer boundaries).  Engages for
-    # the single-stream dense-cache decode step; every other shape keeps
-    # the per-matrix kernels below.  See ops/pallas/megakernel.py.
+    # the dense-cache decode step (single-stream OR batched slots, bf16/f32
+    # OR INT8 cache); every other shape keeps the per-matrix kernels below.
+    # See ops/pallas/megakernel.py.
     use_megakernel = (
         not paged
         and mode == "fast"
         and s == 1
-        and b == 1
         and tp_axis is None
         and not isinstance(lw_all.wqkv, Q4Tensor)
-        and not hasattr(cache, "k_scale")
         and pallas_ops.pallas_enabled()
-        and megakernel_supported(config, cache.seq_len, cache.k.dtype)
+        and megakernel_supported(config, cache.seq_len, cache.k.dtype, b)
     )
     if use_megakernel:
         from ..ops.pallas.megakernel import (
@@ -414,7 +465,7 @@ def qwen3_forward(
             and not isinstance(weights.lm_head, Q4Tensor)
             and head_phase_supported(config, weights.lm_head.q.shape[-1])
         )
-        x_out, new_k, new_v, logits_pad = decode_stack_megakernel(
+        x_out, cache_out, logits_pad = decode_stack_megakernel(
             config,
             x[:, 0, :],
             lw_all.rms_att,
@@ -433,13 +484,23 @@ def qwen3_forward(
             weights.rms_final if fuse_head else None,
             weights.lm_head if fuse_head else None,
             write_mask,
+            k_scale=getattr(cache, "k_scale", None),
+            v_scale=getattr(cache, "v_scale", None),
             eps=config.norm_eps,
         )
         x = x_out[:, None, :]
         # The kernel wrote the step's K/V rows into the cache in place
         # (input_output_aliases) — no XLA scatter, which would copy the
-        # whole cache each step under a loop-varying position.
-        new_cache = cache._replace(k=new_k, v=new_v)
+        # whole cache each step under a loop-varying position.  INT8
+        # caches quantize the rows in-kernel and update scales the same
+        # way.
+        if hasattr(cache, "k_scale"):
+            new_cache = cache._replace(
+                k=cache_out[0], v=cache_out[1],
+                k_scale=cache_out[2], v_scale=cache_out[3],
+            )
+        else:
+            new_cache = cache._replace(k=cache_out[0], v=cache_out[1])
         if fuse_head:
             logits = logits_pad[..., : config.vocab_size]
             if return_all_logits:
@@ -470,13 +531,12 @@ def qwen3_forward(
     # materialization, no per-layer pool slices) — see ops/pallas/
     # paged_attention.py.  Unlike the dense flash kernel it wins at ordinary
     # window sizes because the XLA alternative pays the gather round-trip.
-    # ``allow_paged_flash`` must be False when the pool is sharded over a
-    # multi-device mesh (tp serving): the kernel is a plain pallas_call with
-    # no partitioning spec, so GSPMD would replicate (all-gather) the whole
-    # pool per layer — the XLA gather path propagates shardings instead.
+    # Under tensor parallelism the caller must run this forward INSIDE
+    # shard_map (tp_axis=..., parallel/tp.py) so the kernel sees the local
+    # pool shard — a plain pallas_call has no GSPMD partitioning spec and
+    # auto-partitioning would replicate the whole pool per layer.
     use_paged_flash = (
         paged
-        and allow_paged_flash
         and mode == "fast"
         and s == 1
         and pallas_ops.pallas_enabled()
@@ -533,7 +593,6 @@ def qwen3_forward(
     # partials that merge with the in-window causal attention in XLA.
     use_paged_flash_window = (
         paged
-        and allow_paged_flash
         and not use_splash_prefill
         and mode == "fast"
         and s > 1
@@ -684,6 +743,33 @@ def qwen3_forward(
         def _rowsum(y):
             return y if tp_axis is None else jax.lax.psum(y, tp_axis)
 
+        def _row_parallel(src, src_q, w_all):
+            """Row-parallel projection + reduction, with collective-matmul
+            overlap at prefill widths: the out axis splits into chunks and
+            each chunk's psum is issued as soon as its matmul finishes, so
+            the ICI all-reduce of chunk i hides behind chunk i+1's compute
+            (chunks are independent — XLA's async collectives interleave
+            them)."""
+            if tp_axis is None:
+                return _project_layer(src, src_q, w_all, idx, mode)
+            d_out = w_all.q.shape[-1]
+            chunks = _tp_overlap_chunks(b * s, d_out)
+            if chunks == 1:
+                return jax.lax.psum(
+                    _project_layer(src, src_q, w_all, idx, mode), tp_axis
+                )
+            dc = d_out // chunks
+            return jnp.concatenate(
+                [
+                    jax.lax.psum(
+                        _project_layer_cols(src, src_q, w_all, idx, mode, ci * dc, dc),
+                        tp_axis,
+                    )
+                    for ci in range(chunks)
+                ],
+                axis=-1,
+            )
+
         if use_fused_glue:
             # Under tp the psum sits between matmul and residual add, so the
             # residual cannot ride the kernel accumulator there.
@@ -713,9 +799,7 @@ def qwen3_forward(
             return x, (k, v)
 
         att_q = _maybe_quant(att, g, mode)
-        x = x + _rowsum(
-            _project_layer(att, att_q, lw_all.wo, idx, mode)
-        ).astype(compute_dtype)
+        x = x + _row_parallel(att, att_q, lw_all.wo).astype(compute_dtype)
 
         # --- FFN block with SwiGLU (models/qwen3.rs:159-175, layers.rs:466-480) ---
         xn = rms_norm(x, rms_ffn_l, config.norm_eps)
@@ -725,9 +809,7 @@ def qwen3_forward(
         up = gate_up[..., config.hidden_dim :]
         h = (gate * jax.nn.sigmoid(gate) * up).astype(compute_dtype)
         h_q = _maybe_quant(h, g, mode)
-        x = x + _rowsum(
-            _project_layer(h, h_q, lw_all.w2, idx, mode)
-        ).astype(compute_dtype)
+        x = x + _row_parallel(h, h_q, lw_all.w2).astype(compute_dtype)
 
         return x, (k, v)
 

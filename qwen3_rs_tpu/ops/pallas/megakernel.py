@@ -21,14 +21,25 @@ phase is prefetched during the PREVIOUS phase (and the next layer's first
 wqkv tile during w2), so the weight stream never goes idle across phase or
 layer boundaries — the property the per-matrix kernels could not have.
 
+Batching (B ≤ 16): the residual stream, matmul phases and cache writes are
+[B, ...]-vectorized; attention runs per batch row with per-row positions
+(a Python loop — B is static), the next row's first cache block DMA'd one
+row ahead into row-parity buffers so the cache stream stays busy across
+rows.  The weight stream — the decode bottleneck — is batch-invariant:
+a b=8 step costs nearly the same HBM time as b=1, which is the whole
+point of engaging the megakernel for batched serving decode.
+
+INT8 KV cache: codes stream with per-row scales folded into the scores
+(K) and probabilities (V) exactly like flash v2; the step's new K/V rows
+are quantized in-kernel (symmetric per head row) and both codes and scales
+are written back in place.
+
 Numerics match the fused qmatmul path: bf16 dequant (codes exact in bf16),
 bf16 dot inputs, f32 accumulation, f32 residual stream (the unfused path
 carries bf16 residuals; parity tests use bf16-level tolerances).
 
 Replaces the reference inner loops tensor.rs:23-62 + layers.rs:287-420 for
-the single-stream decode case (S=1, dense cache).  B is currently limited
-to 1 (the flagship single-stream benchmark shape); batched decode keeps
-the per-matrix kernels.
+the dense-cache decode step (S=1).
 """
 
 from __future__ import annotations
@@ -49,6 +60,14 @@ import os as _os
 
 _TILE_BYTES = int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
 _VMEM_LIMIT = int(_os.environ.get("QWEN3_TPU_MEGA_VMEM_LIMIT", 100 * 1024 * 1024))
+
+# Scale-row staging width for the INT8 cache: the scale arrays' last axis
+# (T) is the lane axis, so the read-modify-write block must span 128 lanes.
+_SCALE_BLK = 128
+
+
+def max_megakernel_batch() -> int:
+    return int(_os.environ.get("QWEN3_TPU_MEGA_MAX_B", "8"))
 
 
 def _mk_tiles(n: int, d: int, g: int) -> tuple[int, int] | None:
@@ -73,17 +92,21 @@ def _mk_tiles(n: int, d: int, g: int) -> tuple[int, int] | None:
     return None if best is None else (best[1], best[2])
 
 
-def megakernel_supported(config, t: int, dtype) -> bool:
+def megakernel_supported(config, t: int, dtype, batch: int = 1) -> bool:
     """Static dims check for the whole-stack decode kernel."""
     import os
 
     if os.environ.get("QWEN3_TPU_DISABLE_MEGAKERNEL", "0") == "1":
         return False
-    if dtype not in (jnp.bfloat16, jnp.float32):
+    if dtype not in (jnp.bfloat16, jnp.float32, jnp.int8):
+        return False
+    if batch > max_megakernel_batch():
         return False
     if config.head_dim != 128 or config.n_heads % config.n_kv_heads:
         return False
     if _pick_blk(t) is None:
+        return False
+    if dtype == jnp.int8 and (t % _SCALE_BLK or _pick_blk(t) % _SCALE_BLK):
         return False
     g = config.group_size
     dims = [
@@ -118,7 +141,7 @@ def _dequant(codes, scales, g: int):
     return codes.astype(jnp.bfloat16) * sc
 
 
-def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
+def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None):
     dim = config.dim
     ah = config.all_heads_dim
     kvd = config.kv_dim
@@ -128,6 +151,8 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
     g = config.group_size
     scale = 1.0 / (hd**0.5)
     include_head = v_pad is not None
+    quant = cache_dtype == jnp.int8
+    B = batch
 
     # Per-matrix static tile plans: (tn, td, K, I).
     mats = [
@@ -146,15 +171,15 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
 
     def kernel(
         # scalar prefetch
-        pos_ref,  # [2] int32: (position, write gate)
+        pos_ref,  # [2B] int32: positions [B], then write gates [B]
         # inputs
-        x_ref,  # [1, dim] f32
+        x_ref,  # [B, dim] f32
         ra_ref,  # [1, 1, dim] f32  (rms_att, layer block)
         rf_ref,  # [1, 1, dim] f32  (rms_ffn)
         qn_ref,  # [1, 1, hd] f32
         kn_ref,  # [1, 1, hd] f32
-        cos_ref,  # [1, hd//2] f32
-        sin_ref,  # [1, hd//2] f32
+        cos_ref,  # [B, hd//2] f32
+        sin_ref,  # [B, hd//2] f32
         *rest,
     ):
         it = iter(rest)
@@ -164,48 +189,80 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         w13_q, w13_s = next(it), next(it)
         w2_q, w2_s = next(it), next(it)
         head_q, head_s = (next(it), next(it)) if include_head else (None, None)
-        kc_ref, vc_ref = next(it), next(it)  # [L, 1, n_kv, T, hd] cache
+        kc_ref, vc_ref = next(it), next(it)  # [L, B, n_kv, T, hd] cache
+        ksc_ref = next(it) if quant else None  # [L, B, n_kv, T] f32
+        vsc_ref = next(it) if quant else None
         # outputs
-        xo_ref = next(it)  # [1, dim] f32
-        kco_ref = next(it)  # [L, 1, n_kv, T, hd] — ALIASES kc_ref
-        vco_ref = next(it)  # (in-place row write at the step position)
-        logits_ref = next(it) if include_head else None  # [1, v_pad] f32
+        xo_ref = next(it)  # [B, dim] f32
+        kco_ref = next(it)  # ALIASES kc_ref (in-place row write at pos)
+        vco_ref = next(it)
+        ksco_ref = next(it) if quant else None  # ALIASES ksc_ref
+        vsco_ref = next(it) if quant else None
+        logits_ref = next(it) if include_head else None  # [I, B, td] f32
         # scratch (persists across grid steps) — flat, regrouped below
         scr = list(it)
         nm = len(mat_names)
         (x_vec, act, qkv, gu, acc) = scr[:5]
-        wbufs, sbufs = scr[5 : 5 + nm], scr[5 + nm : 5 + 2 * nm]
-        wsems = scr[5 + 2 * nm : 5 + 3 * nm]
-        ssems = scr[5 + 3 * nm : 5 + 4 * nm]
-        kbuf, vbuf, ksem, vsem = scr[5 + 4 * nm : 5 + 4 * nm + 4]
-        kblk, vblk, kisem, visem, kwsem, vwsem = scr[
-            5 + 4 * nm + 4 : 5 + 4 * nm + 10
-        ]
+        scr = scr[5:]
+        wbufs, sbufs = scr[:nm], scr[nm : 2 * nm]
+        wsems, ssems = scr[2 * nm : 3 * nm], scr[3 * nm : 4 * nm]
+        scr = scr[4 * nm :]
+        kbuf, vbuf, ksem, vsem = scr[:4]
+        scr = scr[4:]
+        if quant:
+            ksbuf, vsbuf, kssem, vssem = scr[:4]
+            scr = scr[4:]
+        kblk, vblk, kisem, visem, kwsem, vwsem = scr[:6]
+        scr = scr[6:]
+        if quant:
+            ksblk, vsblk, ksisem, vsisem, kswsem, vswsem = scr[:6]
 
         layer = pl.program_id(0)
-        p = pos_ref[0]
-        write_ok = pos_ref[1]
 
-        # ---- in-place K/V row write, part 1: block read-in ----
+        def pos_b(b):
+            return pos_ref[b]
+
+        def write_b(b):
+            return pos_ref[B + b]
+
+        # ---- in-place K/V row write, part 1: block read-in (per row) ----
         # Mosaic HBM slices must be sublane-tile aligned, so a single row
         # at a dynamic position can't be DMA'd directly; instead the
         # tile-aligned row block containing ``p`` is read in, the new row
         # merged in VMEM after attention, and the block written back.
-        row_blk = kblk.shape[1]
-        pb = (p // row_blk) * row_blk
-        kv_in = (
-            pltpu.make_async_copy(
-                kc_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], kblk, kisem
-            ),
-            pltpu.make_async_copy(
-                vc_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], vblk, visem
-            ),
-        )
+        row_blk = kblk.shape[2]
 
-        @pl.when(write_ok != 0)
-        def _():
-            for c in kv_in:
-                c.start()
+        def kv_in_copies(b):
+            pb = (pos_b(b) // row_blk) * row_blk
+            copies = [
+                pltpu.make_async_copy(
+                    kc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                    kblk.at[b], kisem.at[b],
+                ),
+                pltpu.make_async_copy(
+                    vc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                    vblk.at[b], visem.at[b],
+                ),
+            ]
+            if quant:
+                pbs = (pos_b(b) // _SCALE_BLK) * _SCALE_BLK
+                copies += [
+                    pltpu.make_async_copy(
+                        ksc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                        ksblk.at[b], ksisem.at[b],
+                    ),
+                    pltpu.make_async_copy(
+                        vsc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                        vsblk.at[b], vsisem.at[b],
+                    ),
+                ]
+            return copies
+
+        for b in range(B):
+            @pl.when(write_b(b) != 0)
+            def _(b=b):
+                for c in kv_in_copies(b):
+                    c.start()
 
         bufs = dict(zip(mat_names, zip(wbufs, sbufs, wsems, ssems)))
         refs = {
@@ -280,11 +337,11 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
                 part = jax.lax.dot_general(
                     xt, wf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [1, td]
+                )  # [B, td]
 
                 @pl.when(k == 0)
                 def _():
-                    acc[:, pl.ds(0, td)] = jnp.zeros((1, td), jnp.float32)
+                    acc[:, pl.ds(0, td)] = jnp.zeros((B, td), jnp.float32)
 
                 acc[:, pl.ds(0, td)] += part
 
@@ -292,11 +349,11 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
                 def _():
                     block = acc[:, pl.ds(0, td)]
                     if dest_rows:
-                        # dest is [I, td]: a dynamic SUBLANE store.  (A
+                        # dest is [I, B, td]: a dynamic SUBLANE store.  (A
                         # dynamic-lane store into a very wide vector —
                         # the padded vocab — measured ~15 µs each; the
                         # row layout makes it free.  Caller reshapes.)
-                        dest[pl.ds(i, 1), :] = block
+                        dest[pl.ds(i, 1), :, :] = block[None]
                     elif dest_residual:
                         dest[:, pl.ds(i * td, td)] += block
                     else:
@@ -316,30 +373,63 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
         act[:, pl.ds(0, dim)] = xf * inv * ra_ref[0]
 
+        # ---- attention cache-block DMAs.  Buffers are [row-parity, slot]:
+        # the next row's block 0 is issued one row ahead (different parity,
+        # no clash with the current row's double buffering).
+        def start_kv(b, j, slot):
+            rp = b % 2
+            pltpu.make_async_copy(
+                kc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                kbuf.at[rp, slot], ksem.at[rp, slot],
+            ).start()
+            pltpu.make_async_copy(
+                vc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                vbuf.at[rp, slot], vsem.at[rp, slot],
+            ).start()
+            if quant:
+                pltpu.make_async_copy(
+                    ksc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                    ksbuf.at[rp, slot], kssem.at[rp, slot],
+                ).start()
+                pltpu.make_async_copy(
+                    vsc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                    vsbuf.at[rp, slot], vssem.at[rp, slot],
+                ).start()
+
+        def wait_kv(b, j, slot):
+            rp = b % 2
+            pltpu.make_async_copy(
+                kc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                kbuf.at[rp, slot], ksem.at[rp, slot],
+            ).wait()
+            pltpu.make_async_copy(
+                vc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                vbuf.at[rp, slot], vsem.at[rp, slot],
+            ).wait()
+            if quant:
+                pltpu.make_async_copy(
+                    ksc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                    ksbuf.at[rp, slot], kssem.at[rp, slot],
+                ).wait()
+                pltpu.make_async_copy(
+                    vsc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                    vsbuf.at[rp, slot], vssem.at[rp, slot],
+                ).wait()
+
         # ---- wqkv stream (prefetches attention block 0 + wo tile 0) ----
         def start_attn_dmas():
-            @pl.when(p > 0)
+            @pl.when(pos_b(0) > 0)
             def _():
-                start_kv(0, 0)
+                start_kv(0, 0, 0)
 
             start_tile("wo", layer, 0, 0)
 
-        def start_kv(j, slot):
-            pltpu.make_async_copy(
-                kc_ref.at[layer, 0, :, pl.ds(j * blk, blk), :],
-                kbuf.at[slot], ksem.at[slot],
-            ).start()
-            pltpu.make_async_copy(
-                vc_ref.at[layer, 0, :, pl.ds(j * blk, blk), :],
-                vbuf.at[slot], vsem.at[slot],
-            ).start()
-
         stream_phase("wqkv", act, qkv, False, [start_attn_dmas])
 
-        # ---- QK-norm + RoPE ----
-        q = qkv[:, pl.ds(0, ah)].reshape(n_heads, hd)
-        k_new = qkv[:, pl.ds(ah, kvd)].reshape(n_kv, hd)
-        v_new = qkv[:, pl.ds(ah + kvd, kvd)].reshape(n_kv, hd)
+        # ---- QK-norm + RoPE (vectorized over the batch) ----
+        q = qkv[:, pl.ds(0, ah)].reshape(B * n_heads, hd)
+        k_new = qkv[:, pl.ds(ah, kvd)].reshape(B * n_kv, hd)
+        v_new = qkv[:, pl.ds(ah + kvd, kvd)].reshape(B * n_kv, hd)
 
         def rms_rows(m, w_row):
             inv = jax.lax.rsqrt(jnp.mean(m * m, axis=1, keepdims=True) + eps)
@@ -349,76 +439,100 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
             q = rms_rows(q, qn_ref[0])
             k_new = rms_rows(k_new, kn_ref[0])
 
-        cos = cos_ref[:]  # [1, hd/2]
+        cos = cos_ref[:]  # [B, hd/2]
         sin = sin_ref[:]
 
-        def rope(m):
+        def rope(m, heads):
+            c = jnp.broadcast_to(
+                cos[:, None, :], (B, heads, hd // 2)
+            ).reshape(B * heads, hd // 2)
+            s = jnp.broadcast_to(
+                sin[:, None, :], (B, heads, hd // 2)
+            ).reshape(B * heads, hd // 2)
             m1 = m[:, : hd // 2]
             m2 = m[:, hd // 2 :]
-            return jnp.concatenate([m1 * cos - m2 * sin, m1 * sin + m2 * cos], axis=1)
+            return jnp.concatenate([m1 * c - m2 * s, m1 * s + m2 * c], axis=1)
 
-        q = rope(q)
-        k_new = rope(k_new)
+        q = rope(q, n_heads)
+        k_new = rope(k_new, n_kv)
+        qs_all = q * scale
 
-        # ---- flash attention over the cache prefix + self row ----
-        qs = q * scale
-        s_self = jax.lax.dot_general(
-            qs, k_new, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [n_heads, n_kv]
+        # ---- flash attention over the cache prefix + self row, per batch
+        # row (positions differ per request; B is static) ----
         self_shape = (n_heads, n_kv)
         r_kv0 = jax.lax.broadcasted_iota(jnp.int32, self_shape, 0) // kv_mul
         c_kv0 = jax.lax.broadcasted_iota(jnp.int32, self_shape, 1)
-        m0 = jnp.sum(jnp.where(r_kv0 == c_kv0, s_self, 0.0), axis=1, keepdims=True)
-        denom0 = jnp.ones_like(m0)
-        acc0 = (
-            jnp.broadcast_to(v_new[:, None, :], (n_kv, kv_mul, hd))
-            .reshape(n_heads, hd)
-            .astype(jnp.float32)
-        )
-
         shape_blk = (n_heads, n_kv * blk)
         row_kv = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 0) // kv_mul
         col_kv = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 1) // blk
         col_t = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 1) % blk
-        n_blocks = pl.cdiv(p, blk)
 
-        def att_step(j, carry):
-            m, denom, a = carry
-            slot = jax.lax.rem(j, 2)
+        for b in range(B):
+            p = pos_b(b)
+            n_blocks = pl.cdiv(p, blk)
+            qs = qs_all[b * n_heads : (b + 1) * n_heads]
+            kn_b = k_new[b * n_kv : (b + 1) * n_kv]
+            vn_b = v_new[b * n_kv : (b + 1) * n_kv]
 
-            @pl.when(j + 1 < n_blocks)
-            def _():
-                start_kv(j + 1, 1 - slot)
+            # One row ahead: the next row's first block streams while this
+            # row computes (distinct row-parity buffers).
+            if b + 1 < B:
+                @pl.when(pos_b(b + 1) > 0)
+                def _(b=b):
+                    start_kv(b + 1, 0, 0)
 
-            pltpu.make_async_copy(
-                kc_ref.at[layer, 0, :, pl.ds(j * blk, blk), :],
-                kbuf.at[slot], ksem.at[slot],
-            ).wait()
-            pltpu.make_async_copy(
-                vc_ref.at[layer, 0, :, pl.ds(j * blk, blk), :],
-                vbuf.at[slot], vsem.at[slot],
-            ).wait()
-
-            k2 = kbuf[slot].reshape(n_kv * blk, hd).astype(jnp.float32)
-            scores = jax.lax.dot_general(
-                qs, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            ok = (row_kv == col_kv) & (j * blk + col_t < p)
-            scores = jnp.where(ok, scores, -jnp.inf)
-            m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
-            corr = jnp.exp(m - m_new)
-            probs = jnp.exp(scores - m_new)
-            denom = denom * corr + jnp.sum(probs, axis=1, keepdims=True)
-            v2 = vbuf[slot].reshape(n_kv * blk, hd).astype(jnp.float32)
-            a = a * corr + jax.lax.dot_general(
-                probs, v2, (((1,), (0,)), ((), ())),
+            s_self = jax.lax.dot_general(
+                qs, kn_b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )  # [n_heads, n_kv]
+            m0 = jnp.sum(
+                jnp.where(r_kv0 == c_kv0, s_self, 0.0), axis=1, keepdims=True
             )
-            return m_new, denom, a
+            denom0 = jnp.ones_like(m0)
+            acc0 = (
+                jnp.broadcast_to(vn_b[:, None, :], (n_kv, kv_mul, hd))
+                .reshape(n_heads, hd)
+                .astype(jnp.float32)
+            )
 
-        m, denom, a = jax.lax.fori_loop(0, n_blocks, att_step, (m0, denom0, acc0))
-        att = a / denom  # [n_heads, hd]
-        act[:, pl.ds(0, ah)] = att.reshape(1, ah)
+            def att_step(j, carry, b=b, p=p, n_blocks=n_blocks, qs=qs):
+                m, denom, a = carry
+                slot = jax.lax.rem(j, 2)
+                rp = b % 2
+
+                @pl.when(j + 1 < n_blocks)
+                def _():
+                    start_kv(b, j + 1, 1 - slot)
+
+                wait_kv(b, j, slot)
+
+                k2 = kbuf[rp, slot].reshape(n_kv * blk, hd).astype(jnp.float32)
+                scores = jax.lax.dot_general(
+                    qs, k2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if quant:
+                    scores = scores * ksbuf[rp, slot].reshape(1, n_kv * blk)
+                ok = (row_kv == col_kv) & (j * blk + col_t < p)
+                scores = jnp.where(ok, scores, -jnp.inf)
+                m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
+                corr = jnp.exp(m - m_new)
+                probs = jnp.exp(scores - m_new)
+                denom = denom * corr + jnp.sum(probs, axis=1, keepdims=True)
+                if quant:
+                    probs = probs * vsbuf[rp, slot].reshape(1, n_kv * blk)
+                v2 = vbuf[rp, slot].reshape(n_kv * blk, hd).astype(jnp.float32)
+                a = a * corr + jax.lax.dot_general(
+                    probs, v2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return m_new, denom, a
+
+            m, denom, a = jax.lax.fori_loop(
+                0, n_blocks, att_step, (m0, denom0, acc0)
+            )
+            att = a / denom  # [n_heads, hd]
+            act[pl.ds(b, 1), pl.ds(0, ah)] = att.reshape(1, ah)
 
         # ---- in-place K/V row write, part 2: merge + write-back ----
         # The cache outputs alias the inputs, so the step's rows land
@@ -428,26 +542,79 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
         # attention loop so every read of this layer's rows has completed;
         # drained at the end of the grid step, overlapped with the
         # wo/w13/w2 streams.
-        kv_write = (
-            pltpu.make_async_copy(
-                kblk, kco_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], kwsem
-            ),
-            pltpu.make_async_copy(
-                vblk, vco_ref.at[layer, 0, :, pl.ds(pb, row_blk), :], vwsem
-            ),
-        )
+        def kv_out_copies(b):
+            pb = (pos_b(b) // row_blk) * row_blk
+            copies = [
+                pltpu.make_async_copy(
+                    kblk.at[b],
+                    kco_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                    kwsem.at[b],
+                ),
+                pltpu.make_async_copy(
+                    vblk.at[b],
+                    vco_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                    vwsem.at[b],
+                ),
+            ]
+            if quant:
+                pbs = (pos_b(b) // _SCALE_BLK) * _SCALE_BLK
+                copies += [
+                    pltpu.make_async_copy(
+                        ksblk.at[b],
+                        ksco_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                        kswsem.at[b],
+                    ),
+                    pltpu.make_async_copy(
+                        vsblk.at[b],
+                        vsco_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                        vswsem.at[b],
+                    ),
+                ]
+            return copies
 
-        @pl.when(write_ok != 0)
-        def _():
-            for c in kv_in:
-                c.wait()
-            r = jax.lax.broadcasted_iota(
-                jnp.int32, (n_kv, row_blk, hd), 1
-            ) == (p - pb)
-            kblk[...] = jnp.where(r, k_new[:, None, :].astype(kblk.dtype), kblk[...])
-            vblk[...] = jnp.where(r, v_new[:, None, :].astype(vblk.dtype), vblk[...])
-            for c in kv_write:
-                c.start()
+        for b in range(B):
+            @pl.when(write_b(b) != 0)
+            def _(b=b):
+                p = pos_b(b)
+                pb = (p // row_blk) * row_blk
+                for c in kv_in_copies(b):
+                    c.wait()
+                kn_b = k_new[b * n_kv : (b + 1) * n_kv]
+                vn_b = v_new[b * n_kv : (b + 1) * n_kv]
+                if quant:
+                    # Symmetric per-(head, row) quantization, matching the
+                    # XLA scatter path (models/qwen3.py quant_rows).
+                    k_amax = jnp.max(jnp.abs(kn_b), axis=1, keepdims=True)
+                    v_amax = jnp.max(jnp.abs(vn_b), axis=1, keepdims=True)
+                    k_sc = k_amax / 127.0
+                    v_sc = v_amax / 127.0
+                    k_safe = jnp.where(k_sc == 0.0, 1.0, k_sc)
+                    v_safe = jnp.where(v_sc == 0.0, 1.0, v_sc)
+                    k_codes = jnp.round(kn_b / k_safe).astype(jnp.int8)
+                    v_codes = jnp.round(vn_b / v_safe).astype(jnp.int8)
+                    r = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_kv, row_blk, hd), 1
+                    ) == (p - pb)
+                    kblk[b] = jnp.where(r, k_codes[:, None, :], kblk[b])
+                    vblk[b] = jnp.where(r, v_codes[:, None, :], vblk[b])
+                    pbs = (p // _SCALE_BLK) * _SCALE_BLK
+                    rs = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_kv, _SCALE_BLK), 1
+                    ) == (p - pbs)
+                    ksblk[b] = jnp.where(rs, k_sc, ksblk[b])
+                    vsblk[b] = jnp.where(rs, v_sc, vsblk[b])
+                else:
+                    r = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_kv, row_blk, hd), 1
+                    ) == (p - pb)
+                    kblk[b] = jnp.where(
+                        r, kn_b[:, None, :].astype(kblk.dtype), kblk[b]
+                    )
+                    vblk[b] = jnp.where(
+                        r, vn_b[:, None, :].astype(vblk.dtype), vblk[b]
+                    )
+                for c in kv_out_copies(b):
+                    c.start()
 
         # ---- wo stream (+residual into x_vec); prefetch w13 tile 0 ----
         stream_phase(
@@ -483,10 +650,11 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
 
         stream_phase("w2", act, x_vec, True, [start_next_wqkv])
 
-        @pl.when(write_ok != 0)
-        def _():
-            for c in kv_write:
-                c.wait()
+        for b in range(B):
+            @pl.when(write_b(b) != 0)
+            def _(b=b):
+                for c in kv_out_copies(b):
+                    c.wait()
 
         @pl.when(layer == n_layers - 1)
         def _():
@@ -512,48 +680,57 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, v_pad=None):
 @functools.partial(jax.jit, static_argnames=("config", "eps", "interpret"))
 def decode_stack_megakernel(
     config,
-    x,  # [1, dim] f32 — embedded token (residual stream input)
+    x,  # [B, dim] f32 — embedded tokens (residual stream input)
     rms_att,  # [L, dim] f32
     rms_ffn,  # [L, dim]
     q_norm,  # [L, hd]
     k_norm,  # [L, hd]
-    cos,  # [1, hd//2] f32 — RoPE row for the current position
-    sin,  # [1, hd//2]
+    cos,  # [B, hd//2] f32 — RoPE rows for each request's position
+    sin,  # [B, hd//2]
     wqkv,  # QuantizedTensor [L, dim, ah+2kvd]
     wo,
     w13,
     w2,
-    k_cache,  # [L, 1, n_kv, T, hd]
+    k_cache,  # [L, B, n_kv, T, hd]
     v_cache,
-    pos,  # [1] int32
+    pos,  # [B] int32
     rms_final=None,  # [dim] f32 — with lm_head: fuse the classifier phase
     lm_head=None,  # QuantizedTensor [dim, v_pad]
-    write_ok=None,  # [1] bool/int — gate the cache row write (default on)
+    write_ok=None,  # [B] bool/int — per-row cache-write gates (default on)
+    k_scale=None,  # [L, B, n_kv, T] f32 — INT8 cache per-row scales
+    v_scale=None,
     *,
     eps: float = 1e-6,
     interpret: bool = False,
 ):
-    """One full decode step over all layers → (x_out [1, dim] f32,
-    k_cache' [L, 1, n_kv, T, hd], v_cache' [L, 1, n_kv, T, hd],
-    logits [1, v_pad] f32 | None).
+    """One full decode step over all layers → (x_out [B, dim] f32,
+    (k_cache', v_cache'[, k_scale', v_scale']), logits [B, v_pad] | None).
 
     The returned caches are the inputs updated IN PLACE at ``pos``
     (``input_output_aliases``): the step's K/V rows are DMA'd into the
     cache inside the kernel, so the decode scan carries the cache with no
     XLA scatter (a loop-varying scatter copies the whole cache per step).
+    INT8 caches (``k_scale`` given) quantize the new rows in-kernel and
+    update the scale arrays in place the same way.
 
     With ``lm_head``/``rms_final`` the final norm + classifier run as the
     kernel's last phase: the lm_head tiles stream immediately behind the
     last layer's w2 tiles (no pallas_call boundary before the logits)."""
     L = wqkv.q.shape[0]
-    dim = config.dim
+    B, dim = x.shape
     ah, kvd, hidden = config.all_heads_dim, config.kv_dim, config.hidden_dim
     hd, n_kv = config.head_dim, config.n_kv_heads
     g = config.group_size
     t = k_cache.shape[3]
     blk = _pick_blk(t)
     include_head = lm_head is not None
-    row_blk = 8 if k_cache.dtype == jnp.float32 else 16
+    quant = k_scale is not None
+    if k_cache.dtype == jnp.int8:
+        row_blk = 32
+    elif k_cache.dtype == jnp.float32:
+        row_blk = 8
+    else:
+        row_blk = 16
 
     tiles = {
         "wqkv": _mk_tiles(dim, ah + 2 * kvd, g),
@@ -567,7 +744,9 @@ def decode_stack_megakernel(
         tiles["head"] = _mk_tiles(dim, v_pad, g)
     td_max = max(v[1] for v in tiles.values())
 
-    kernel = _mk_kernel(config, tiles, blk, eps, k_cache.dtype, L, v_pad=v_pad)
+    kernel = _mk_kernel(
+        config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad
+    )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
     names = ["wqkv", "wo", "w13", "w2"] + (["head"] if include_head else [])
@@ -575,67 +754,100 @@ def decode_stack_megakernel(
     sbufs = [pltpu.VMEM((2, tiles[n][0] // g, tiles[n][1]), sdt) for n in names]
     scratch = (
         [
-            pltpu.VMEM((1, dim), jnp.float32),  # x_vec
-            pltpu.VMEM((1, max(dim, ah, hidden)), jnp.float32),  # act
-            pltpu.VMEM((1, ah + 2 * kvd), jnp.float32),  # qkv
-            pltpu.VMEM((1, 2 * hidden), jnp.float32),  # gu
-            pltpu.VMEM((1, td_max), jnp.float32),  # acc
+            pltpu.VMEM((B, dim), jnp.float32),  # x_vec
+            pltpu.VMEM((B, max(dim, ah, hidden)), jnp.float32),  # act
+            pltpu.VMEM((B, ah + 2 * kvd), jnp.float32),  # qkv
+            pltpu.VMEM((B, 2 * hidden), jnp.float32),  # gu
+            pltpu.VMEM((B, td_max), jnp.float32),  # acc
         ]
         + wbufs
         + sbufs
         + [pltpu.SemaphoreType.DMA((2,)) for _ in range(2 * len(names))]
         + [
-            pltpu.VMEM((2, n_kv, blk, hd), k_cache.dtype),  # kbuf
-            pltpu.VMEM((2, n_kv, blk, hd), v_cache.dtype),  # vbuf
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            # Attention cache blocks: [row-parity, slot] double buffering.
+            pltpu.VMEM((2, 2, n_kv, blk, hd), k_cache.dtype),  # kbuf
+            pltpu.VMEM((2, 2, n_kv, blk, hd), v_cache.dtype),  # vbuf
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ]
+        + (
+            [
+                pltpu.VMEM((2, 2, n_kv, blk), jnp.float32),  # ksbuf
+                pltpu.VMEM((2, 2, n_kv, blk), jnp.float32),  # vsbuf
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]
+            if quant
+            else []
+        )
         + [
             # In-place row write staging: sublane tile × packing rows
-            # (f32: 8, bf16: 16) so the HBM slice is tile-aligned.
-            pltpu.VMEM((n_kv, row_blk, hd), k_cache.dtype),  # kblk
-            pltpu.VMEM((n_kv, row_blk, hd), v_cache.dtype),  # vblk
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            # (f32: 8, bf16: 16, int8: 32) so the HBM slice is tile-aligned.
+            pltpu.VMEM((B, n_kv, row_blk, hd), k_cache.dtype),  # kblk
+            pltpu.VMEM((B, n_kv, row_blk, hd), v_cache.dtype),  # vblk
+            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA((B,)),
         ]
+        + (
+            [
+                pltpu.VMEM((B, n_kv, _SCALE_BLK), jnp.float32),  # ksblk
+                pltpu.VMEM((B, n_kv, _SCALE_BLK), jnp.float32),  # vsblk
+                pltpu.SemaphoreType.DMA((B,)),
+                pltpu.SemaphoreType.DMA((B,)),
+                pltpu.SemaphoreType.DMA((B,)),
+                pltpu.SemaphoreType.DMA((B,)),
+            ]
+            if quant
+            else []
+        )
     )
 
     vmem_specs = [
-        pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
     ]
     if include_head:
         vmem_specs.append(
             pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM)
         )
-    n_any = 2 * len(names) + 2  # weight (codes, scales) pairs + k/v cache
+    # Weight (codes, scales) pairs + cache arrays stay in HBM (ANY).
+    n_any = 2 * len(names) + (4 if quant else 2)
 
     out_specs = [
-        pl.BlockSpec((1, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # k_cache (aliases the input)
         pl.BlockSpec(memory_space=pl.ANY),  # v_cache
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((B, dim), jnp.float32),
         jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     ]
+    if quant:
+        out_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),  # k_scale (aliases)
+            pl.BlockSpec(memory_space=pl.ANY),  # v_scale
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+        ]
     if include_head:
         tn_h, td_h = tiles["head"]
         i_head = v_pad // td_h
         out_specs.append(
             pl.BlockSpec(
-                (i_head, td_h), lambda l, s: (0, 0), memory_space=pltpu.VMEM
+                (i_head, B, td_h), lambda l, s: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        out_shape.append(jax.ShapeDtypeStruct((i_head, td_h), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((i_head, B, td_h), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -646,12 +858,12 @@ def decode_stack_megakernel(
     )
 
     ok = (
-        jnp.ones((1,), jnp.int32)
+        jnp.ones((B,), jnp.int32)
         if write_ok is None
-        else jnp.asarray(write_ok).astype(jnp.int32).reshape(1)
+        else jnp.asarray(write_ok).astype(jnp.int32).reshape(B)
     )
     args = [
-        jnp.concatenate([jnp.asarray(pos, jnp.int32).reshape(1), ok]),
+        jnp.concatenate([jnp.asarray(pos, jnp.int32).reshape(B), ok]),
         x.astype(jnp.float32),
         rms_att[:, None, :],
         rms_ffn[:, None, :],
@@ -666,23 +878,34 @@ def decode_stack_megakernel(
     if include_head:
         args += [lm_head.q[None], lm_head.scales[None]]
     args += [k_cache, v_cache]
+    if quant:
+        args += [
+            jnp.asarray(k_scale, jnp.float32),
+            jnp.asarray(v_scale, jnp.float32),
+        ]
     # Alias indices are over the FLAT args (scalar prefetch included).
-    i_kc = len(args) - 2
+    aliases = {}
+    n_cache = 4 if quant else 2
+    i_kc = len(args) - n_cache
+    for off in range(n_cache):
+        aliases[i_kc + off] = 1 + off
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={i_kc: 1, i_kc + 1: 2},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(*args)
+    x_out = out[0]
+    cache_out = tuple(out[1 : 1 + n_cache])
+    logits = None
     if include_head:
-        x_out, k_new, v_new, logits = out
-        # [I, td] row-major == the vocab order; flatten for the caller.
-        return x_out, k_new, v_new, logits.reshape(1, v_pad)
-    x_out, k_new, v_new = out
-    return x_out, k_new, v_new, None
+        # [I, B, td] → [B, I·td] == the vocab order per row.
+        raw = out[1 + n_cache]
+        logits = jnp.swapaxes(raw, 0, 1).reshape(B, v_pad)
+    return x_out, cache_out, logits

@@ -100,7 +100,7 @@ def mega_maker(with_head, fixed=True):
 
             def body(carry, _):
                 x, k, v, pos = carry
-                x_out, k, v, logits = decode_stack_megakernel(
+                x_out, (k, v), logits = decode_stack_megakernel(
                     config, x, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
                     cos, sin, lw.wqkv, lw.wo, lw.w13, lw.w2,
                     k, v, pos0 if fixed else pos,

@@ -45,18 +45,18 @@ CFG = ModelConfig(
 ).validate()
 
 
-def _mega_step(config, weights, token, cache, pos):
+def _mega_step(config, weights, token, cache, pos, write_mask=None):
     """One decode step through the megakernel (interpret) + shared head."""
-    emb_q = weights.embed.q[token]  # [1, 1, dim]
+    emb_q = weights.embed.q[token]  # [B, 1, dim]
     emb_s = weights.embed.scales[token]
     from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
 
     x = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
     cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
-    cos = cos_t[pos]  # [1, hd/2]
+    cos = cos_t[pos]  # [B, hd/2]
     sin = sin_t[pos]
     lw = weights.layers
-    x_out, new_k, new_v, _ = decode_stack_megakernel(
+    x_out, cache_out, _ = decode_stack_megakernel(
         config,
         x,
         lw.rms_att,
@@ -72,9 +72,13 @@ def _mega_step(config, weights, token, cache, pos):
         cache.k,
         cache.v,
         pos,
+        write_ok=write_mask,
+        k_scale=getattr(cache, "k_scale", None),
+        v_scale=getattr(cache, "v_scale", None),
         eps=config.norm_eps,
         interpret=True,
     )
+    new_k, new_v = cache_out[0], cache_out[1]
     xn = rms_norm(x_out[:, None, :], weights.rms_final, config.norm_eps)
     logits = qmatmul(xn, weights.lm_head)[..., : config.vocab_size][:, 0]
     # The kernel wrote the step's rows into the cache in place.
@@ -187,7 +191,7 @@ def test_megakernel_matches_exact_emulation():
     x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
     cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
     lw = weights.layers
-    x_out, _, _, _ = decode_stack_megakernel(
+    x_out, _, _ = decode_stack_megakernel(
         config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
         cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
         cache.k, cache.v, pos, eps=config.norm_eps, interpret=True,
@@ -228,7 +232,7 @@ def test_megakernel_fused_head_parity():
     x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
     cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
     lw = weights.layers
-    _, _, _, logits_pad = decode_stack_megakernel(
+    _, _, logits_pad = decode_stack_megakernel(
         config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
         cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
         cache.k, cache.v, pos, weights.rms_final, weights.lm_head,
@@ -261,7 +265,10 @@ def test_supported_gates():
         assert megakernel_supported(big, 1024, jnp.dtype(jnp.float32)), name
     big = qwen3_config("8b", seq_len=1024)
     assert not megakernel_supported(big, 100, jnp.dtype(jnp.bfloat16))  # T % blk
-    assert not megakernel_supported(big, 1024, jnp.dtype(jnp.int8))
+    # INT8 cache variant (batched too), up to the batch cap.
+    assert megakernel_supported(big, 1024, jnp.dtype(jnp.int8))
+    assert megakernel_supported(big, 1024, jnp.dtype(jnp.bfloat16), batch=8)
+    assert not megakernel_supported(big, 1024, jnp.dtype(jnp.bfloat16), batch=32)
     bad = dataclasses.replace(big, head_dim=64, dim=2048)
     assert not megakernel_supported(bad, 1024, jnp.dtype(jnp.bfloat16))
     # Tiny test dims: group rows per tile < 8 → interpret-mode only.
@@ -308,6 +315,133 @@ def test_megakernel_decode_parity(cache_dtype):
         r = np.asarray(ref_rows, np.float32)
         d = np.abs(np.asarray(got_rows, np.float32) - r)
         assert d.max() / max(1.0, np.abs(r).max()) < 0.03
+
+
+def test_megakernel_batched_parity():
+    """Batched decode (per-row positions + write mask) matches the XLA
+    batched forward: logits per row, rows written at each pos, masked rows
+    untouched."""
+    from qwen3_rs_tpu.models.qwen3 import KVCache
+
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    rng = np.random.default_rng(7)
+    B = 3
+    shape = (config.n_layers, B, config.n_kv_heads, config.seq_len, config.head_dim)
+    cache = KVCache(
+        jnp.asarray(rng.normal(0, 1, shape), jnp.float32),
+        jnp.asarray(rng.normal(0, 1, shape), jnp.float32),
+    )
+    pos = jnp.asarray([17, 3, 40], jnp.int32)
+    mask = jnp.asarray([True, True, False])
+    toks = jnp.asarray([[42], [7], [9]], jnp.int32)
+
+    ref_logits, ref_cache = qwen3_forward(
+        config, weights, toks, cache, pos, mode="fast", write_mask=mask
+    )
+    got_logits, _, _ = _mega_step(config, weights, toks, cache, pos, write_mask=mask)
+
+    # Re-run the raw kernel to inspect the cache (the _mega_step helper
+    # only returns row-b=0 slices).
+    emb_q = weights.embed.q[toks]
+    emb_s = weights.embed.scales[toks]
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
+
+    x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
+    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    lw = weights.layers
+    _, cache_out, _ = decode_stack_megakernel(
+        config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+        cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+        cache.k, cache.v, pos, write_ok=mask,
+        eps=config.norm_eps, interpret=True,
+    )
+    new_k, new_v = cache_out
+
+    ref = np.asarray(ref_logits, np.float32)
+    got = np.asarray(got_logits, np.float32)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 0.03
+    for b in range(B):
+        assert int(np.argmax(got[b])) == int(np.argmax(ref[b])), b
+
+    # Written rows match the XLA scatter's rows; masked row untouched.
+    for b, p in ((0, 17), (1, 3)):
+        for pool, ref_pool in ((new_k, ref_cache.k), (new_v, ref_cache.v)):
+            r = np.asarray(ref_pool[:, b, :, p, :], np.float32)
+            d = np.abs(np.asarray(pool[:, b, :, p, :], np.float32) - r)
+            assert d.max() / max(1.0, np.abs(r).max()) < 0.03, b
+    np.testing.assert_array_equal(
+        np.asarray(new_k[:, 2]), np.asarray(cache.k[:, 2])
+    )
+
+
+def test_megakernel_int8_cache_parity():
+    """INT8 dense cache: in-kernel dequant attention + in-kernel row
+    quantization match the XLA INT8 path."""
+    from qwen3_rs_tpu.models.qwen3 import QuantizedKVCache
+
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=4))
+    rng = np.random.default_rng(9)
+    B = 2
+    shape = (config.n_layers, B, config.n_kv_heads, config.seq_len, config.head_dim)
+    cache = QuantizedKVCache(
+        jnp.asarray(rng.integers(-127, 128, shape), jnp.int8),
+        jnp.asarray(rng.integers(-127, 128, shape), jnp.int8),
+        jnp.asarray(rng.uniform(0.005, 0.02, shape[:-1]), jnp.float32),
+        jnp.asarray(rng.uniform(0.005, 0.02, shape[:-1]), jnp.float32),
+    )
+    pos = jnp.asarray([130, 5], jnp.int32)
+    toks = jnp.asarray([[42], [7]], jnp.int32)
+
+    ref_logits, ref_cache = qwen3_forward(
+        config, weights, toks, cache, pos, mode="fast"
+    )
+
+    emb_q = weights.embed.q[toks]
+    emb_s = weights.embed.scales[toks]
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
+
+    x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
+    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    lw = weights.layers
+    x_out, cache_out, _ = decode_stack_megakernel(
+        config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+        cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+        cache.k, cache.v, pos,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
+        eps=config.norm_eps, interpret=True,
+    )
+    new_k, new_v, new_ks, new_vs = cache_out
+    xn = rms_norm(x_out[:, None, :], weights.rms_final, config.norm_eps)
+    got_logits = qmatmul(xn, weights.lm_head)[..., : config.vocab_size][:, 0]
+
+    ref = np.asarray(ref_logits, np.float32)
+    got = np.asarray(got_logits, np.float32)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 0.03
+    for b in range(B):
+        assert int(np.argmax(got[b])) == int(np.argmax(ref[b])), b
+
+    # In-kernel row quantization matches the XLA quant_rows scatter:
+    # codes within ±1 (independent rounding of near-identical values),
+    # scales tight.
+    for b, p in ((0, 130), (1, 5)):
+        for pool, ref_pool in ((new_k, ref_cache.k), (new_v, ref_cache.v)):
+            d = np.abs(
+                np.asarray(pool[:, b, :, p, :], np.int32)
+                - np.asarray(ref_pool[:, b, :, p, :], np.int32)
+            )
+            # The kernel's bf16 matmul numerics shift the pre-quantization
+            # row values by up to ~3% of amax vs the f32 XLA path (same
+            # drift bound as the logits check above) → a few code units.
+            assert d.max() <= 4, (b, d.max())
+            assert (d <= 1).mean() > 0.9, (b, (d <= 1).mean())
+        for sc, ref_sc in ((new_ks, ref_cache.k_scale), (new_vs, ref_cache.v_scale)):
+            r = np.asarray(ref_sc[:, b, :, p], np.float32)
+            g = np.asarray(sc[:, b, :, p], np.float32)
+            np.testing.assert_allclose(g, r, rtol=0.02, atol=1e-5)
 
 
 def test_megakernel_pos0_parity():
