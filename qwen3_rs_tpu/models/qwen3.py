@@ -234,12 +234,17 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
             if batch_rows <= 256 and supports_shapes(n, d, group_size, q4=q4):
                 return pallas_ops.qmatmul_pallas_stacked(x, w_all, idx)
             if batch_rows > 256:
-                # Long prefill.  QWEN3_TPU_PREFILL_A8=1: W8A8 int8-MXU rows
-                # kernel (on-the-fly activation quantization, bounded extra
-                # quant error).  Default: bf16-dequant rows kernel (W8A16).
+                # Long prefill.  The W8A8 int8-MXU rows kernel quantizes
+                # activations on the fly (int8×int8→int32 MXU dots, scale
+                # fixup in the f32 epilogue — reference semantics
+                # tensor.rs:45-61 at MXU speed) and auto-engages where the
+                # A/B measured it faster than the bf16-dequant W8A16 rows
+                # kernel (scripts/prefill_a8_ab.py; table in
+                # docs/kernels.md).  QWEN3_TPU_PREFILL_A8=1 forces it on,
+                # =0 forces it off (bounded extra quant error vs W8A16).
                 if (
                     not q4
-                    and os.environ.get("QWEN3_TPU_PREFILL_A8", "0") == "1"
+                    and _a8_prefill_wins(batch_rows, os.environ.get("QWEN3_TPU_PREFILL_A8", "auto"))
                     and rows_a8_supported(n, d, group_size, batch_rows)
                 ):
                     from ..ops.pallas.qmatmul import qmatmul_pallas_stacked_rows_a8
@@ -250,6 +255,22 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
                 if rows_supported(n, d, group_size, batch_rows, q4=q4):
                     return pallas_ops.qmatmul_pallas_stacked_rows(x, w_all, idx)
     return _project(x, xq, _slice_layer(w_all, idx), mode)
+
+
+# Measured crossover for on-the-fly activation quantization at prefill
+# (scripts/prefill_a8_ab.py, v5e, 8B matrices; full table in
+# docs/kernels.md): pending calibration — until the committed A/B shows a
+# win region, "auto" keeps the proven W8A16 rows kernel.
+_A8_PREFILL_MIN_ROWS: int | None = None  # None = A8 never wins / uncalibrated
+
+
+def _a8_prefill_wins(rows: int, env: str) -> bool:
+    """Whether the W8A8 rows kernel should take this projection."""
+    if env == "1":
+        return True
+    if env == "0" or _A8_PREFILL_MIN_ROWS is None:
+        return False
+    return rows >= _A8_PREFILL_MIN_ROWS
 
 
 def _maybe_quant(x, group_size: int, mode: str):
@@ -447,9 +468,14 @@ def qwen3_forward(
         and mode == "fast"
         and s == 1
         and tp_axis is None
-        and not isinstance(lw_all.wqkv, Q4Tensor)
         and pallas_ops.pallas_enabled()
-        and megakernel_supported(config, cache.seq_len, cache.k.dtype, b)
+        and megakernel_supported(
+            config,
+            cache.seq_len,
+            cache.k.dtype,
+            b,
+            q4=isinstance(lw_all.wqkv, Q4Tensor),
+        )
     )
     if use_megakernel:
         from ..ops.pallas.megakernel import (

@@ -70,29 +70,38 @@ def max_megakernel_batch() -> int:
     return int(_os.environ.get("QWEN3_TPU_MEGA_MAX_B", "8"))
 
 
-def _mk_tiles(n: int, d: int, g: int) -> tuple[int, int] | None:
+def _mk_tiles(n: int, d: int, g: int, q4: bool = False) -> tuple[int, int] | None:
     """(tn, td) dividing (n, d): tn%g==0 with 8-aligned group rows (or
-    tn==n), td%256==0 (or td==d, 128-aligned), codes ≤ _TILE_BYTES."""
+    tn==n), td%256==0 (or td==d, 128-aligned), code bytes ≤ _TILE_BYTES.
+    ``q4``: codes are nibble-packed [n/2, d] uint8 — a tile streams
+    tn·td/2 bytes, so tiles can span twice the logical rows."""
     tn_cands = [
         c
         for c in range(g, n + 1, g)
         if n % c == 0 and ((c // g) % 8 == 0 or c == n) and c <= 1024
     ] or ([n] if n % g == 0 else [])
+    if q4:
+        # Packed sublane slices: tn/2 byte rows must stay 32-aligned
+        # (uint8 tiling) for the HBM DMA offset k·tn/2.
+        tn_cands = [c for c in tn_cands if c % 2 == 0 and (c // 2) % 32 == 0]
     td_cands = [c for c in range(256, d + 1, 256) if d % c == 0 and c <= 4096]
     if not td_cands and d % 128 == 0:
         td_cands = [d]
     best = None
     for tn in tn_cands:
         for td in td_cands:
-            if tn * td > _TILE_BYTES:
+            code_bytes = tn * td // 2 if q4 else tn * td
+            if code_bytes > _TILE_BYTES:
                 continue
-            key = (tn * td, -((n // tn) * (d // td)))
+            key = (code_bytes, -((n // tn) * (d // td)))
             if best is None or key > best[0]:
                 best = (key, tn, td)
     return None if best is None else (best[1], best[2])
 
 
-def megakernel_supported(config, t: int, dtype, batch: int = 1) -> bool:
+def megakernel_supported(
+    config, t: int, dtype, batch: int = 1, q4: bool = False
+) -> bool:
     """Static dims check for the whole-stack decode kernel."""
     import os
 
@@ -109,6 +118,8 @@ def megakernel_supported(config, t: int, dtype, batch: int = 1) -> bool:
     if dtype == jnp.int8 and (t % _SCALE_BLK or _pick_blk(t) % _SCALE_BLK):
         return False
     g = config.group_size
+    if q4 and g % 2:
+        return False
     dims = [
         (config.dim, config.all_heads_dim + 2 * config.kv_dim),
         (config.all_heads_dim, config.dim),
@@ -116,7 +127,7 @@ def megakernel_supported(config, t: int, dtype, batch: int = 1) -> bool:
         (config.hidden_dim, config.dim),
     ]
     for n, d in dims:
-        tiles = _mk_tiles(n, d, g)
+        tiles = _mk_tiles(n, d, g, q4=q4)
         # Mosaic requires the scale block's sublane extent (groups per
         # tile) 8-aligned for the HBM slice; tiny test dims only run in
         # interpret mode.
@@ -141,7 +152,9 @@ def _dequant(codes, scales, g: int):
     return codes.astype(jnp.bfloat16) * sc
 
 
-def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None):
+def _mk_kernel(
+    config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False
+):
     dim = config.dim
     ah = config.all_heads_dim
     kvd = config.kv_dim
@@ -281,8 +294,12 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None
             i = t // K
             k = jax.lax.rem(t, K)
             tg = tn // g
+            # INT4 layer matrices: codes are nibble-packed [n/2, d] uint8,
+            # so the tile's byte rows are [k·tn/2, (k+1)·tn/2) — packing is
+            # group split-half, and tn % g == 0 keeps tiles group-whole.
+            tnb = tn // 2 if (q4 and name != "head") else tn
             cw = pltpu.make_async_copy(
-                wq_ref.at[lyr, pl.ds(k * tn, tn), pl.ds(i * td, td)],
+                wq_ref.at[lyr, pl.ds(k * tnb, tnb), pl.ds(i * td, td)],
                 wbuf.at[slot],
                 wsem.at[slot],
             )
@@ -333,7 +350,14 @@ def _mk_kernel(config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None
                 cs.wait()
 
                 xt = src_ref[:, pl.ds(k * tn, tn)].astype(jnp.bfloat16)
-                wf = _dequant(wbuf[slot], sbuf[slot], g)
+                if q4 and name != "head":
+                    from .qmatmul import _dequant_tile_q4
+
+                    wf = _dequant_tile_q4(
+                        wbuf[slot], sbuf[slot], group_size=g, tile_groups=tg
+                    )
+                else:
+                    wf = _dequant(wbuf[slot], sbuf[slot], g)
                 part = jax.lax.dot_general(
                     xt, wf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -732,11 +756,15 @@ def decode_stack_megakernel(
     else:
         row_blk = 16
 
+    # INT4 linear layers: nibble-packed uint8 codes (the classifier stays
+    # INT8 — docs/quantization.md); the weight stream halves, which is the
+    # whole decode win.
+    q4 = wqkv.q.dtype == jnp.uint8
     tiles = {
-        "wqkv": _mk_tiles(dim, ah + 2 * kvd, g),
-        "wo": _mk_tiles(ah, dim, g),
-        "w13": _mk_tiles(dim, 2 * hidden, g),
-        "w2": _mk_tiles(hidden, dim, g),
+        "wqkv": _mk_tiles(dim, ah + 2 * kvd, g, q4=q4),
+        "wo": _mk_tiles(ah, dim, g, q4=q4),
+        "w13": _mk_tiles(dim, 2 * hidden, g, q4=q4),
+        "w2": _mk_tiles(hidden, dim, g, q4=q4),
     }
     v_pad = None
     if include_head:
@@ -745,12 +773,17 @@ def decode_stack_megakernel(
     td_max = max(v[1] for v in tiles.values())
 
     kernel = _mk_kernel(
-        config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad
+        config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
     names = ["wqkv", "wo", "w13", "w2"] + (["head"] if include_head else [])
-    wbufs = [pltpu.VMEM((2, *tiles[n]), jnp.int8) for n in names]
+    wbufs = [
+        pltpu.VMEM((2, tiles[n][0] // 2, tiles[n][1]), jnp.uint8)
+        if q4 and n != "head"
+        else pltpu.VMEM((2, *tiles[n]), jnp.int8)
+        for n in names
+    ]
     sbufs = [pltpu.VMEM((2, tiles[n][0] // g, tiles[n][1]), sdt) for n in names]
     scratch = (
         [

@@ -371,3 +371,21 @@ def test_a8_rows_kernel_from_raw_activations(rng):
     xq = quantize_activations(jnp.asarray(x), gs)
     want = np.asarray(qmatmul_exact(xq, QuantizedTensor(w.q[0], w.scales[0])))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_a8_prefill_autoselect():
+    """The auto policy engages the A8 rows kernel exactly at/above the
+    measured crossover and respects the force-on/off overrides."""
+    from qwen3_rs_tpu.models import qwen3 as m
+
+    assert m._a8_prefill_wins(10_000, "1")
+    assert not m._a8_prefill_wins(10_000, "0")
+    orig = m._A8_PREFILL_MIN_ROWS
+    try:
+        m._A8_PREFILL_MIN_ROWS = None
+        assert not m._a8_prefill_wins(1 << 20, "auto")
+        m._A8_PREFILL_MIN_ROWS = 1024
+        assert m._a8_prefill_wins(1024, "auto")
+        assert not m._a8_prefill_wins(1023, "auto")
+    finally:
+        m._A8_PREFILL_MIN_ROWS = orig

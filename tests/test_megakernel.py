@@ -459,3 +459,57 @@ def test_megakernel_pos0_parity():
     got = np.asarray(got_logits, np.float32)
     assert np.abs(got - ref).max() / max(1.0, np.abs(ref).max()) < 0.03
     assert int(np.argmax(got)) == int(np.argmax(ref))
+
+
+def test_q4_tiles_and_gates():
+    """INT4 layer matrices tile at real model dims and the dispatch gate
+    admits them (the classifier stays INT8 — docs/quantization.md)."""
+    from qwen3_rs_tpu.testing import qwen3_config
+
+    for dims in [
+        (4096, 6144), (4096, 4096), (4096, 24576), (12288, 4096),  # 8B
+        (1024, 4096), (2048, 1024), (1024, 6144), (3072, 1024),  # 0.6B
+    ]:
+        assert _mk_tiles(*dims, 64, q4=True) is not None, dims
+    for name in ("0.6b", "4b", "8b"):
+        big = qwen3_config(name, seq_len=1024)
+        assert megakernel_supported(big, 1024, jnp.dtype(jnp.bfloat16), q4=True), name
+    # Odd group size can't nibble-pack.
+    odd = dataclasses.replace(qwen3_config("8b", seq_len=1024), group_size=63)
+    assert not megakernel_supported(odd, 1024, jnp.dtype(jnp.bfloat16), q4=True)
+
+
+def test_megakernel_q4_decode_parity():
+    """INT4 linear weights through the megakernel (interpret) match the
+    per-matrix Q4 path: same unpack (group split-half nibbles), same
+    bf16-dequant numerics."""
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=5, bits=4))
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(1, config.vocab_size, (1, 9)), jnp.int32)
+
+    cache = init_kv_cache(config, batch=1, dtype=jnp.bfloat16)
+    _, cache = qwen3_forward(
+        config, weights, prompt, cache, jnp.zeros(1, jnp.int32),
+        mode="fast", fresh_prefill=True,
+    )
+    pos = jnp.asarray([9], jnp.int32)
+    tok = jnp.asarray([[3]], jnp.int32)
+
+    ref_logits, ref_cache = qwen3_forward(
+        config, weights, tok, cache, pos, mode="fast"
+    )
+    got_logits, k_rows, v_rows = _mega_step(config, weights, tok, cache, pos)
+
+    ref = np.asarray(ref_logits, np.float32)
+    got = np.asarray(got_logits, np.float32)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 0.03
+    assert int(np.argmax(got)) == int(np.argmax(ref))
+    for got_rows, ref_rows in (
+        (k_rows, ref_cache.k[:, 0, :, 9, :]),
+        (v_rows, ref_cache.v[:, 0, :, 9, :]),
+    ):
+        r = np.asarray(ref_rows, np.float32)
+        d = np.abs(np.asarray(got_rows, np.float32) - r)
+        assert d.max() / max(1.0, np.abs(r).max()) < 0.03
