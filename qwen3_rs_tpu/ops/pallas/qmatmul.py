@@ -175,10 +175,25 @@ def _divisor_tiles(dim: int, step: int, cap: int) -> list[int]:
 _SCOPED_VMEM_LIMIT = _VMEM_LIMIT_BYTES - 1024 * 1024
 
 
-def _vmem_estimate(tn: int, td: int, b: int, q4: bool = False) -> int:
+def _vmem_estimate(
+    tn: int,
+    td: int,
+    b: int,
+    q4: bool = False,
+    extra_n_streams: int = 0,
+    extra_d_streams: int = 0,
+) -> int:
     """Scoped-VMEM bytes for one block: int8 codes double-buffered (2×) +
     the dequantized bf16 tile (2 B/elem) + f32 activation/output blocks
     (double-buffered).  Calibrated against observed compile accounting.
+
+    ``extra_n_streams``/``extra_d_streams``: additional f32 [b, tn] /
+    [b, td] activation blocks beyond the base x/out pair — the fused
+    SwiGLU variant streams a second [b, tn] half (double-buffered along
+    the k grid axis: 8 B/elem) and a residual [b, td] block.  Measured
+    miss without this: the w2 fused-glue kernel at b=165 (ragged
+    prefix-tail prefill) picked (1536, 2048) at est 14.9 MB and Mosaic
+    allocated 16.86 MB — exactly the uncounted up-half stream.
 
     INT4 blocks stream half the code bytes but spend more on unpack temps
     (gi/lo/hi int32 on the packed tile ≈ 6 B per unpacked elem, + bf16
@@ -186,7 +201,12 @@ def _vmem_estimate(tn: int, td: int, b: int, q4: bool = False) -> int:
     estimate — smaller tiles always compile, calibration can only raise
     it."""
     codes = 8 * tn * td if q4 else 4 * tn * td
-    return codes + 4 * b * (tn + td)
+    return (
+        codes
+        + 4 * b * (tn + td)
+        + extra_n_streams * 8 * b * tn
+        + extra_d_streams * 4 * b * td
+    )
 
 
 # Measured tile table (scripts/tile_sweep.py + end-to-end bench A/B on
@@ -216,7 +236,13 @@ def _env_tiles(n: int, d: int) -> tuple[int, int] | None:
 
 
 def _pick_tiles(
-    n: int, d: int, group_size: int, b: int = 16, q4: bool = False
+    n: int,
+    d: int,
+    group_size: int,
+    b: int = 16,
+    q4: bool = False,
+    extra_n_streams: int = 0,
+    extra_d_streams: int = 0,
 ) -> tuple[int, int] | None:
     """(tile_n, tile_d) dividing (n, d): maximize block size within the VMEM
     budget (per-block fixed costs ~1-2 µs amortize over DMA time), preferring
@@ -248,7 +274,7 @@ def _pick_tiles(
     fallback = None  # min-VMEM combo, used if nothing fits the scoped limit
     for tn in n_candidates:
         for td in d_candidates:
-            est = _vmem_estimate(tn, td, b, q4)
+            est = _vmem_estimate(tn, td, b, q4, extra_n_streams, extra_d_streams)
             if fallback is None or est < fallback[0]:
                 fallback = (est, tn, td)
             # The budget caps streamed CODE BYTES per block (the quantity the
@@ -519,7 +545,15 @@ def _qmatmul_stacked_fused_2d(
     impl = impl or _default_impl()
     norm = nw_all is not None
 
-    tiles = tiles or _pick_tiles(n, d, group_size, b, q4=wq_all.dtype == jnp.uint8)
+    tiles = tiles or _pick_tiles(
+        n,
+        d,
+        group_size,
+        b,
+        q4=wq_all.dtype == jnp.uint8,
+        extra_n_streams=1 if swiglu else 0,
+        extra_d_streams=1 if residual is not None else 0,
+    )
     if tiles is None:
         raise ValueError(
             f"unsupported shapes for pallas fused qmatmul: {x.shape} x {wq_all.shape}"
