@@ -152,6 +152,41 @@ def _dequant(codes, scales, g: int):
     return codes.astype(jnp.bfloat16) * sc
 
 
+def _mk_plans(config, tiles, v_pad=None):
+    """Per-matrix static tile plans: name → (tn, td, K, I)."""
+    mats = [
+        ("wqkv", (config.dim, config.all_heads_dim + 2 * config.kv_dim)),
+        ("wo", (config.all_heads_dim, config.dim)),
+        ("w13", (config.dim, 2 * config.hidden_dim)),
+        ("w2", (config.hidden_dim, config.dim)),
+    ]
+    if v_pad is not None:
+        mats.append(("head", (config.dim, v_pad)))
+    plans = {}
+    for name, (n, d) in mats:
+        tn, td = tiles[name]
+        plans[name] = (tn, td, n // tn, d // td)
+    return plans
+
+
+def _buf_slots(plans) -> dict[str, int]:
+    """Weight-buffer slot count per matrix.  Everything double-buffers
+    except wo, which gets 4 slots: its first tiles are pre-started before
+    the attention phase — the only stretch of the layer where no matmul
+    phase is streaming — so the weight stream stays busy through
+    attention's compute bubble (measured ~0.93 of roofline for the kernel
+    body at 8B with one wo tile in flight; one 2 MB tile covers ~2.5 µs
+    of a ~10 µs/layer bubble)."""
+    out = {}
+    for name, (tn, td, K, I) in plans.items():
+        total = K * I
+        ns = 2 if total >= 2 else 1
+        if name == "wo" and total >= 4:
+            ns = 4
+        out[name] = ns
+    return out
+
+
 def _mk_kernel(
     config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False
 ):
@@ -167,20 +202,11 @@ def _mk_kernel(
     quant = cache_dtype == jnp.int8
     B = batch
 
-    # Per-matrix static tile plans: (tn, td, K, I).
-    mats = [
-        ("wqkv", (dim, ah + 2 * kvd)),
-        ("wo", (ah, dim)),
-        ("w13", (dim, 2 * hidden)),
-        ("w2", (hidden, dim)),
-    ]
-    if include_head:
-        mats.append(("head", (dim, v_pad)))
-    plans = {}
-    for name, (n, d) in mats:
-        tn, td = tiles[name]
-        plans[name] = (tn, td, n // tn, d // td)
-    mat_names = [m[0] for m in mats]
+    plans = _mk_plans(config, tiles, v_pad)
+    mat_names = list(plans)
+    n_slots = _buf_slots(plans)
+    # wo tiles pre-started before the attention phase (see start_attn_dmas).
+    wo_pre = min(n_slots["wo"], plans["wo"][2] * plans["wo"][3])
 
     def kernel(
         # scalar prefetch
@@ -317,7 +343,7 @@ def _mk_kernel(
 
         def stream_phase(
             name, src_ref, dest, dest_residual, next_starts, lyr=None,
-            dest_rows=False,
+            dest_rows=False, pre=1,
         ):
             """Run one matmul phase: dest[:, i·td] ← Σ_k x[k·tn] · W tile.
 
@@ -325,20 +351,29 @@ def _mk_kernel(
             DMAs, called once at the loop's final tile so the following
             stream is in flight before this one drains.  ``lyr`` overrides
             the weight stack's layer index (the classifier is [1, N, D]).
+            ``pre``: how many of this phase's tiles the caller already
+            started (into slots 0..pre-1); the loop begins issuing at tile
+            ``pre``.
             """
             tn, td, K, I = plans[name]
             tg = tn // g
             wbuf, sbuf, wsem, ssem = bufs[name]
             lyr = layer if lyr is None else lyr
+            n_sl = n_slots[name]
 
             def body(t, _):
-                slot = jax.lax.rem(t, 2)
+                slot = jax.lax.rem(t, n_sl)
                 i = t // K
                 k = jax.lax.rem(t, K)
 
-                @pl.when(t + 1 < K * I)
+                nxt = t + 1
+                started_cond = (
+                    nxt < K * I if pre <= 1 else jnp.logical_and(nxt < K * I, nxt >= pre)
+                )
+
+                @pl.when(started_cond)
                 def _():
-                    start_tile(name, lyr, t + 1, 1 - slot)
+                    start_tile(name, lyr, nxt, jax.lax.rem(nxt, n_sl))
 
                 @pl.when(t + 1 == K * I)
                 def _():
@@ -440,13 +475,16 @@ def _mk_kernel(
                     vsbuf.at[rp, slot], vssem.at[rp, slot],
                 ).wait()
 
-        # ---- wqkv stream (prefetches attention block 0 + wo tile 0) ----
+        # ---- wqkv stream (prefetches attention block 0 + the first wo
+        # tiles — as many as wo has buffer slots, so the weight stream
+        # stays busy through the attention bubble) ----
         def start_attn_dmas():
             @pl.when(pos_b(0) > 0)
             def _():
                 start_kv(0, 0, 0)
 
-            start_tile("wo", layer, 0, 0)
+            for s in range(wo_pre):
+                start_tile("wo", layer, s, s)
 
         stream_phase("wqkv", act, qkv, False, [start_attn_dmas])
 
@@ -644,6 +682,7 @@ def _mk_kernel(
         stream_phase(
             "wo", act, x_vec, True,
             [lambda: start_tile("w13", layer, 0, 0)],
+            pre=wo_pre,
         )
 
         # ---- ffn norm + w13 stream; prefetch w2 tile 0 ----
@@ -778,13 +817,16 @@ def decode_stack_megakernel(
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
     names = ["wqkv", "wo", "w13", "w2"] + (["head"] if include_head else [])
+    ns = _buf_slots(_mk_plans(config, tiles, v_pad))
     wbufs = [
-        pltpu.VMEM((2, tiles[n][0] // 2, tiles[n][1]), jnp.uint8)
+        pltpu.VMEM((ns[n], tiles[n][0] // 2, tiles[n][1]), jnp.uint8)
         if q4 and n != "head"
-        else pltpu.VMEM((2, *tiles[n]), jnp.int8)
+        else pltpu.VMEM((ns[n], *tiles[n]), jnp.int8)
         for n in names
     ]
-    sbufs = [pltpu.VMEM((2, tiles[n][0] // g, tiles[n][1]), sdt) for n in names]
+    sbufs = [
+        pltpu.VMEM((ns[n], tiles[n][0] // g, tiles[n][1]), sdt) for n in names
+    ]
     scratch = (
         [
             pltpu.VMEM((B, dim), jnp.float32),  # x_vec
@@ -795,7 +837,8 @@ def decode_stack_megakernel(
         ]
         + wbufs
         + sbufs
-        + [pltpu.SemaphoreType.DMA((2,)) for _ in range(2 * len(names))]
+        + [pltpu.SemaphoreType.DMA((ns[n],)) for n in names]  # wsems
+        + [pltpu.SemaphoreType.DMA((ns[n],)) for n in names]  # ssems
         + [
             # Attention cache blocks: [row-parity, slot] double buffering.
             pltpu.VMEM((2, 2, n_kv, blk, hd), k_cache.dtype),  # kbuf

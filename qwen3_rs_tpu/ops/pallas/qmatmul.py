@@ -860,9 +860,21 @@ def qmatmul_pallas_stacked_rows(
 # the int8 activation stream is HALF the bytes of the bf16 rows kernel.
 
 
+# Scoped-VMEM cap for the A8 picker.  The a8 kernel requests the same
+# 16 MB vmem_limit as the other kernels (Mosaic grants ~18 MB with its
+# own slack); the estimate below is padding-aware, and this margin keeps
+# every candidate that passes it compiling.  Calibrated the hard way: the
+# pre-fix picker chose (tn=4096, td=1536) at rows=256 (est 17.8 MB under
+# the shared 23 MB cap) and Mosaic allocated 23.0 MB — the [tg, tile_b, g]
+# int8 activation block's g=64 lane axis pads to 128 lanes, which the
+# shared rows estimate doesn't model.
+_ROWS_A8_VMEM_CAP = 14 * 1024 * 1024
+
+
 def _pick_tiles_rows_a8(n: int, d: int, group_size: int, b: int):
     """(tile_b, tile_n, tile_d): int8 codes double-buffered (2 B/elem) +
-    int8 activations (2·tile_b·tile_n) + int32 part / f32 out blocks
+    int8 activations (2·tile_b·tile_n, lane-padded: the per-group block's
+    last axis is group_size < 128) + int32 part / f32 out blocks
     (8·tile_b·tile_d)."""
     tile_b = None
     for c in (_ROW_BLOCK, 256, 128):
@@ -871,6 +883,7 @@ def _pick_tiles_rows_a8(n: int, d: int, group_size: int, b: int):
             break
     if tile_b is None:
         return None
+    xq_pad = -(-128 // group_size) if group_size < 128 else 1
 
     def n_ok(c: int) -> bool:
         groups = c // group_size
@@ -888,8 +901,8 @@ def _pick_tiles_rows_a8(n: int, d: int, group_size: int, b: int):
     best = None
     for tn in n_candidates:
         for td in d_candidates:
-            est = 2 * tn * td + 2 * tile_b * tn + 8 * tile_b * td
-            if est > _ROWS_VMEM_CAP:
+            est = 2 * tn * td + 2 * tile_b * tn * xq_pad + 8 * tile_b * td
+            if est > _ROWS_A8_VMEM_CAP:
                 continue
             blocks = (n // tn) * (d // td)
             key = (blocks >= 2, tn * td, -blocks)

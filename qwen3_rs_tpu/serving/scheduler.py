@@ -738,7 +738,19 @@ class ContinuousBatchingEngine:
         for b in self.prefill_buckets:
             if n <= b:
                 return b
-        return self.prefill_buckets[-1]
+        # Above the largest bucket: geometric ladder (last bucket × 2^k).
+        # Every distinct prefill width is a compiled program and a compile
+        # through this deployment's remote-compile hop costs seconds; the
+        # previous behavior (return the last bucket, which the caller's
+        # max(suffix, bucket) turns into the RAW ragged suffix) compiled
+        # one program per distinct prompt length — 169 s p50 TTFT on the
+        # prefix-off serve bench.  The ladder bounds distinct shapes to
+        # log2(seq_len / last_bucket) at ≤ 2× padding waste; pass more
+        # buckets to tighten the grid.
+        b = self.prefill_buckets[-1]
+        while b < n and b < self.config.seq_len:
+            b *= 2
+        return min(b, self.config.seq_len)
 
     def _free_slot(self) -> Optional[int]:
         for i, r in enumerate(self.slot_request):
@@ -942,7 +954,11 @@ class ContinuousBatchingEngine:
                 # Long prompts prefill chunk-by-chunk (_advance_partials);
                 # FCFS — end the group rather than skipping past it.
                 break
-            s_pad = max(suffix, min(self._bucket(suffix), self.config.seq_len))
+            # Cap the padded window so pad-row cache writes stay inside the
+            # request's window even after a prefix hit (hrows offset).
+            s_pad = max(
+                suffix, min(self._bucket(suffix), self.config.seq_len - hrows)
+            )
             cont = hrows > 0
             if not picks:
                 bucket, cont_group = s_pad, cont

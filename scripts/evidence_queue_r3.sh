@@ -48,7 +48,7 @@ run accuracy 3000 python scripts/accuracy_report.py /tmp/qacc
 
 # -- prefill latency refresh for the README table --
 run prefill_1k 700 env BENCH_MODE=prefill BENCH_MODEL=8b BENCH_PREFILL_LEN=1024 python bench.py
-run prefill_2k 700 env BENCH_MODE=prefill BENCH_MODEL=8b BENCH_PREFILL_LEN=2048 python bench.py
+run prefill_2k 700 env BENCH_MODE=prefill BENCH_MODEL=8b BENCH_SEQ_LEN=2048 BENCH_PREFILL_LEN=2048 python bench.py
 run prefill_4k 700 env BENCH_MODE=prefill BENCH_MODEL=8b BENCH_SEQ_LEN=4096 BENCH_PREFILL_LEN=4096 python bench.py
 
 echo "=== queue done ($(date +%H:%M:%S)) ==="

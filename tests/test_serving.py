@@ -815,3 +815,38 @@ def test_spec_context_end_taper(setup):
     # generated = seq_len - prompt_len = 5.
     assert out[0].finish_reason == "length"
     assert len(out[0].generated) == config.seq_len - 59
+
+
+class TestBucketLadder:
+    def test_bucket_ladder_above_largest(self, setup):
+        """Suffixes beyond the largest bucket pad to a geometric ladder of
+        compiled widths (last bucket × 2^k, capped at seq_len) instead of
+        one ragged shape per prompt length."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+        )
+        assert eng._bucket(5) == 8
+        assert eng._bucket(9) == 16
+        assert eng._bucket(17) == 32
+        assert eng._bucket(33) == min(64, config.seq_len)
+        assert eng._bucket(10_000) == config.seq_len
+
+    def test_long_prompt_beyond_bucket_matches_greedy(self, setup):
+        """A prompt longer than every prefill bucket (paged, no
+        prefill_chunk) admits through the padded ladder shape and decodes
+        identically to the unbatched baseline."""
+        config, weights = setup
+        rng = np.random.default_rng(11)
+        prompt = rng.integers(1, config.vocab_size, 19).tolist()  # > 16 = 2×8
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+        )
+        eng.submit(Request(request_id=0, prompt_tokens=prompt,
+                           max_new_tokens=6, temperature=0.0))
+        done = eng.run()
+        want = _greedy_single(config, weights, prompt, 6)
+        got = [t for t in done[0].generated][:6]
+        assert got == want[: len(got)]
