@@ -58,7 +58,12 @@ from .flash_attention import _pick_blk
 # footprint of four matrices + attention under the scoped limit.
 import os as _os
 
-_TILE_BYTES = int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
+def _tile_bytes() -> int:
+    """Per-tile code-byte budget (trace-time env read so A/B sweeps can
+    toggle it within one process)."""
+    return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
+
+
 _VMEM_LIMIT = int(_os.environ.get("QWEN3_TPU_MEGA_VMEM_LIMIT", 100 * 1024 * 1024))
 
 # Scale-row staging width for the INT8 cache: the scale arrays' last axis
@@ -87,11 +92,17 @@ def _mk_tiles(n: int, d: int, g: int, q4: bool = False) -> tuple[int, int] | Non
     td_cands = [c for c in range(256, d + 1, 256) if d % c == 0 and c <= 4096]
     if not td_cands and d % 128 == 0:
         td_cands = [d]
+    # INT4 tiles are budgeted by ELEMENT count, not code bytes: the
+    # in-kernel nibble unpack materializes int32/bf16 temps per element,
+    # so a "2 MB" packed tile costs 4M elements of VMEM churn — measured
+    # 70 tok/s vs 111 for the per-matrix path at 8B before this cap.
+    tile_bytes = _tile_bytes()
+    max_q4_elems = int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tile_bytes))
     best = None
     for tn in tn_cands:
         for td in td_cands:
             code_bytes = tn * td // 2 if q4 else tn * td
-            if code_bytes > _TILE_BYTES:
+            if code_bytes > tile_bytes or (q4 and tn * td > max_q4_elems):
                 continue
             key = (code_bytes, -((n // tn) * (d // td)))
             if best is None or key > best[0]:
@@ -119,6 +130,14 @@ def megakernel_supported(
         return False
     g = config.group_size
     if q4 and g % 2:
+        return False
+    if q4 and os.environ.get("QWEN3_TPU_MEGA_Q4", "0") != "1":
+        # The megakernel's Q4 path measured BELOW the per-matrix Q4
+        # kernels at 8B (69 vs 112 tok/s, scripts/mega_ab.py q4tiles):
+        # the in-body nibble unpack doesn't software-pipeline across the
+        # fori tile loop the way the per-matrix grids do, so the stream
+        # goes VPU-bound.  Opt-in until a staged unpack closes the gap;
+        # dispatch falls back to the per-matrix Q4 kernels.
         return False
     dims = [
         (config.dim, config.all_heads_dim + 2 * config.kv_dim),
@@ -169,6 +188,12 @@ def _mk_plans(config, tiles, v_pad=None):
     return plans
 
 
+def _attn_prefetch_enabled() -> bool:
+    """A/B gate for the attention-boundary weight prefetch (wo 4-slot
+    pre-start + chained w13 pre-start).  Trace-time env read."""
+    return _os.environ.get("QWEN3_TPU_MEGA_ATTN_PREFETCH", "1") != "0"
+
+
 def _buf_slots(plans) -> dict[str, int]:
     """Weight-buffer slot count per matrix.  Everything double-buffers
     except wo, which gets 4 slots: its first tiles are pre-started before
@@ -181,7 +206,7 @@ def _buf_slots(plans) -> dict[str, int]:
     for name, (tn, td, K, I) in plans.items():
         total = K * I
         ns = 2 if total >= 2 else 1
-        if name == "wo" and total >= 4:
+        if name == "wo" and total >= 4 and _attn_prefetch_enabled():
             ns = 4
         out[name] = ns
     return out
@@ -205,8 +230,20 @@ def _mk_kernel(
     plans = _mk_plans(config, tiles, v_pad)
     mat_names = list(plans)
     n_slots = _buf_slots(plans)
-    # wo tiles pre-started before the attention phase (see start_attn_dmas).
-    wo_pre = min(n_slots["wo"], plans["wo"][2] * plans["wo"][3])
+    # Tiles pre-started before the attention phase (see start_attn_dmas):
+    # as much of wo as fits its slots, and — when that is ALL of wo (small
+    # models: 0.6B's wo is 2 tiles ≈ 2 MB, covering ~2.5 µs of a ~6-10 µs
+    # bubble) — the first w13 tiles too, so the stream keeps going.
+    wo_total = plans["wo"][2] * plans["wo"][3]
+    if _attn_prefetch_enabled():
+        wo_pre = min(n_slots["wo"], wo_total)
+        w13_pre = (
+            min(n_slots["w13"], plans["w13"][2] * plans["w13"][3])
+            if wo_pre == wo_total
+            else 0
+        )
+    else:
+        wo_pre, w13_pre = 1, 0
 
     def kernel(
         # scalar prefetch
@@ -485,6 +522,8 @@ def _mk_kernel(
 
             for s in range(wo_pre):
                 start_tile("wo", layer, s, s)
+            for s in range(w13_pre):
+                start_tile("w13", layer, s, s)
 
         stream_phase("wqkv", act, qkv, False, [start_attn_dmas])
 
@@ -678,10 +717,11 @@ def _mk_kernel(
                 for c in kv_out_copies(b):
                     c.start()
 
-        # ---- wo stream (+residual into x_vec); prefetch w13 tile 0 ----
+        # ---- wo stream (+residual into x_vec); prefetch w13 tile 0
+        # (unless it was already pre-started at the attention boundary) ----
         stream_phase(
             "wo", act, x_vec, True,
-            [lambda: start_tile("w13", layer, 0, 0)],
+            [] if w13_pre else [lambda: start_tile("w13", layer, 0, 0)],
             pre=wo_pre,
         )
 
@@ -692,6 +732,7 @@ def _mk_kernel(
         stream_phase(
             "w13", act, gu, False,
             [lambda: start_tile("w2", layer, 0, 0)],
+            pre=w13_pre,
         )
 
         # ---- SwiGLU ----

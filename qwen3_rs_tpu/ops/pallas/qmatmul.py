@@ -34,15 +34,23 @@ def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
     """Nibble-packed uint8 tile [tile_n/2, tile_d] → dequantized bf16
     [tile_n, tile_d].  Packing is group split-half on the sublane axis
     (ops/quant.py): unpack is two full-width nibble extractions concatenated
-    on sublanes — no lane/sublane interleave."""
+    on sublanes — no lane/sublane interleave.
+
+    Sign extension is shift-based in int32 (low: <<28 then arithmetic
+    >>28; high: <<24 then >>28) — two VPU shifts per nibble instead of
+    the mask/compare/select chain.  (int8 vector shifts don't lower in
+    Mosaic — arith.shli on vector<...xi8> fails — so the shifts run on
+    the zero-extended int32 lanes the VPU uses anyway.)  The Q4 decode
+    path is VPU-unpack-bound: megakernel 69 tok/s / per-matrix 112 vs
+    the 189 tok/s INT4 weight-stream roofline at 8B before this."""
     h = group_size // 2
     tile_n2, tile_d = wq4.shape
-    gi = wq4.reshape(tile_groups, h, tile_d).astype(jnp.int32)
-    lo = gi & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = gi >> 4
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    codes = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # [tg, g, td]
+    v = wq4.astype(jnp.int32)  # zero-extend
+    lo = (v << 28) >> 28  # arithmetic shift sign-extends the low nibble
+    hi = (v << 24) >> 28
+    lo3 = lo.reshape(tile_groups, h, tile_d)
+    hi3 = hi.reshape(tile_groups, h, tile_d)
+    codes = jnp.concatenate([lo3, hi3], axis=1).astype(jnp.bfloat16)  # [tg, g, td]
     wf = codes * ws[:, None, :].astype(jnp.bfloat16)
     return wf.reshape(2 * tile_n2, tile_d)
 
@@ -201,12 +209,18 @@ def _vmem_estimate(
     estimate — smaller tiles always compile, calibration can only raise
     it."""
     codes = 8 * tn * td if q4 else 4 * tn * td
-    return (
+    est = (
         codes
         + 4 * b * (tn + td)
         + extra_n_streams * 8 * b * tn
         + extra_d_streams * 4 * b * td
     )
+    if extra_n_streams or extra_d_streams:
+        # Fused-variant smalls the terms above don't model (norm row
+        # block, rsqrt column, Mosaic slack): the b=256 w2 fused pick
+        # passed at est == limit and missed by 128 KB on hardware.
+        est += 1024 * 1024
+    return est
 
 
 # Measured tile table (scripts/tile_sweep.py + end-to-end bench A/B on
@@ -887,7 +901,15 @@ def _pick_tiles_rows_a8(n: int, d: int, group_size: int, b: int):
 
     def n_ok(c: int) -> bool:
         groups = c // group_size
-        return c % group_size == 0 and (groups % 8 == 0 or c == n)
+        # Cap groups-per-tile at 8: the kernel's per-group fixup loop is
+        # unrolled and its [tile_b, tile_d] f32 temps scale with the
+        # unroll count (32 groups blew scoped VMEM ~2× past the block
+        # estimate).
+        return (
+            c % group_size == 0
+            and (groups % 8 == 0 or c == n)
+            and groups <= 8
+        )
 
     step_n = max(group_size, 256)
     n_candidates = [c for c in _divisor_tiles(n, step_n, 8192) if n_ok(c)]
@@ -901,7 +923,15 @@ def _pick_tiles_rows_a8(n: int, d: int, group_size: int, b: int):
     best = None
     for tn in n_candidates:
         for td in d_candidates:
-            est = 2 * tn * td + 2 * tile_b * tn * xq_pad + 8 * tile_b * td
+            # Unrolled-loop temps: ~2 live [tile_b, tile_d] f32 copies on
+            # top of the resident out block.
+            est = 2 * tn * td + 2 * tile_b * tn * xq_pad + 16 * tile_b * td
+            if b > tile_b:
+                # Multiple row blocks: Mosaic double-buffers the revisited
+                # out block across the row-grid boundary (observed: the
+                # same tiles compiled at b == tile_b and OOM'd by ~4 MB at
+                # b == 2·tile_b).
+                est += 4 * tile_b * td
             if est > _ROWS_A8_VMEM_CAP:
                 continue
             blocks = (n // tn) * (d // td)
@@ -928,7 +958,12 @@ def _kernel_stacked_rows_a8(
 
     # Per-group int8 MXU dots, scales in the f32 epilogue — accumulation
     # order matches the reference: ((dot as f32) · w_scale) · x_scale,
-    # summed across groups in f32 (tensor.rs:45-61).
+    # summed across groups sequentially in f32 (tensor.rs:45-61).  The
+    # loop stays UNROLLED (a fori_loop formulation sent the Mosaic
+    # compile into the weeds — 18+ min without returning) but the tile
+    # picker bounds groups-per-tile so the unrolled temps' scoped-VMEM
+    # cost stays modeled (at 32 groups Mosaic kept several [tile_b,
+    # tile_d] f32 part/convert temps live: 27.7 MB vs a ~15 MB estimate).
     for g in range(tile_groups):
         part = jax.lax.dot_general(
             xq_ref[g],

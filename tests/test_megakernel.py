@@ -471,12 +471,27 @@ def test_q4_tiles_and_gates():
         (1024, 4096), (2048, 1024), (1024, 6144), (3072, 1024),  # 0.6B
     ]:
         assert _mk_tiles(*dims, 64, q4=True) is not None, dims
+    import os
+
+    # Q4 is opt-in (measured slower than the per-matrix Q4 path; see
+    # megakernel_supported) — the gate must admit it only when asked.
     for name in ("0.6b", "4b", "8b"):
         big = qwen3_config(name, seq_len=1024)
-        assert megakernel_supported(big, 1024, jnp.dtype(jnp.bfloat16), q4=True), name
+        assert not megakernel_supported(big, 1024, jnp.dtype(jnp.bfloat16), q4=True)
+        os.environ["QWEN3_TPU_MEGA_Q4"] = "1"
+        try:
+            assert megakernel_supported(
+                big, 1024, jnp.dtype(jnp.bfloat16), q4=True
+            ), name
+        finally:
+            del os.environ["QWEN3_TPU_MEGA_Q4"]
     # Odd group size can't nibble-pack.
     odd = dataclasses.replace(qwen3_config("8b", seq_len=1024), group_size=63)
-    assert not megakernel_supported(odd, 1024, jnp.dtype(jnp.bfloat16), q4=True)
+    os.environ["QWEN3_TPU_MEGA_Q4"] = "1"
+    try:
+        assert not megakernel_supported(odd, 1024, jnp.dtype(jnp.bfloat16), q4=True)
+    finally:
+        del os.environ["QWEN3_TPU_MEGA_Q4"]
 
 
 def test_megakernel_q4_decode_parity():
