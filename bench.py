@@ -122,11 +122,18 @@ def main() -> None:
             pos = jnp.full((batch,), start_pos, jnp.int32)
             toks, _ = f(weights, tok, cache, pos)
             np.asarray(toks)  # warm: compile + transfer path
-            cache = init_kv_cache(config, batch=batch, dtype=kv_dtype)
-            t0 = time.perf_counter()
-            toks, _ = f(weights, tok, cache, pos)
-            np.asarray(toks)  # materialization is the only reliable barrier here
-            return time.perf_counter() - t0
+            # min over a few reps: single samples through the relay swing
+            # ~±1.5%, which is the difference between 94 and 96 tok/s at
+            # the flagship config.
+            best = None
+            for _ in range(3):
+                cache = init_kv_cache(config, batch=batch, dtype=kv_dtype)
+                t0 = time.perf_counter()
+                toks, _ = f(weights, tok, cache, pos)
+                np.asarray(toks)  # materialization is the only reliable barrier
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
 
         t_long = timed(steps_long)
         t_short = timed(steps_short)

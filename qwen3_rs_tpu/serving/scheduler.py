@@ -550,28 +550,29 @@ class ContinuousBatchingEngine:
         overwritten at each admission) and the decode warmup runs with all
         slots inactive, so the write mask discards its cache updates.
         """
+        # Prompts beyond the largest bucket admit at geometric ladder
+        # widths (_bucket); warm those rungs too — a cold ladder shape
+        # costs seconds of remote compile MID-SERVING otherwise (measured
+        # 45 s p50 TTFT on 320-token prompts with only a 128 bucket
+        # warmed).  Capped: huge windows warm lazily.
+        ladder_max = int(
+            os.environ.get(
+                "QWEN3_TPU_WARMUP_LADDER_MAX",
+                min(self.config.seq_len, 4096),
+            )
+        )
+        warm_buckets = list(self.prefill_buckets)
+        nxt = warm_buckets[-1]
+        while nxt < ladder_max:
+            nxt = min(nxt * 2, self.config.seq_len)
+            warm_buckets.append(nxt)
+
         paged = self.kv_layout == "paged"
         if paged:
             # Group admission compiles one shape per (bucket, padded group
             # size); zeroed page tables route the warmup writes into the
             # reserved null page.
             group_sizes = sorted({self._pad_group(k) for k in range(1, self.n_slots + 1)})
-            # Prompts beyond the largest bucket admit at geometric ladder
-            # widths (_bucket); warm those rungs too — a cold ladder shape
-            # costs seconds of remote compile MID-SERVING otherwise
-            # (measured 45 s p50 TTFT on 320-token prompts with only a 128
-            # bucket warmed).  Capped: huge windows warm lazily.
-            ladder_max = int(
-                os.environ.get(
-                    "QWEN3_TPU_WARMUP_LADDER_MAX",
-                    min(self.config.seq_len, 4096),
-                )
-            )
-            warm_buckets = list(self.prefill_buckets)
-            nxt = warm_buckets[-1]
-            while nxt < ladder_max:
-                nxt = min(nxt * 2, self.config.seq_len)
-                warm_buckets.append(nxt)
             for b in warm_buckets:
                 s_pad = min(b, self.config.seq_len)
                 for k in group_sizes:
@@ -654,7 +655,7 @@ class ContinuousBatchingEngine:
                             )
                         np.asarray(out)
         else:
-            for b in self.prefill_buckets:
+            for b in warm_buckets:
                 s_pad = min(b, self.config.seq_len)
                 logits, self._scratch_cache = self._prefill1(
                     self.weights,
