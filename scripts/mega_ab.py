@@ -87,13 +87,19 @@ def make_fn(env_key, env_val, n_steps):
                 return (nxt, cache, pos + 1), nxt
 
             carry, toks = jax.lax.scan(body, (token, cache, pos), None, length=n_steps)
-            return toks
+            # Return the cache so the donated input buffer is actually
+            # reusable — without a matching output, donation silently
+            # fails and every timed call allocates a fresh cache.  At 8B
+            # (1.2 GB/cache × 6 compiled fns on a 16 GB chip next to
+            # 9.3 GB of weights) the leak oversubscribed HBM and the
+            # device fell to ~4% throughput for the whole sweep.
+            return toks, carry[1]
 
         f = jax.jit(decode_n, donate_argnums=(2,))
         cache = init_kv_cache(config, batch=1, dtype=jnp.bfloat16)
         tok = jnp.ones((1, 1), jnp.int32)
         pos = jnp.zeros((1,), jnp.int32)
-        np.asarray(f(weights, tok, cache, pos))  # compile + warm
+        np.asarray(f(weights, tok, cache, pos)[0])  # compile + warm
         return f
     finally:
         if old is None:
@@ -116,7 +122,7 @@ for _ in range(REPS):
             tok = jnp.ones((1, 1), jnp.int32)
             pos = jnp.zeros((1,), jnp.int32)
             t0 = time.perf_counter()
-            np.asarray(by_n[n](weights, tok, cache, pos))
+            np.asarray(by_n[n](weights, tok, cache, pos)[0])
             times[label][n].append(time.perf_counter() - t0)
 
 print(f"model={model} bits={bits} roofline={roofline_ms:.3f} ms/step")
