@@ -54,16 +54,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .flash_attention import _pick_blk
 
 # ~Codes bytes per weight tile.  Swept on v5e (scripts/mega_ab.py env
-# QWEN3_TPU_MEGA_TILE_BYTES): 4 MB tiles edge out 2 MB at both 8B
-# (94.2 vs 93.7 tok/s) and 0.6B (1056 vs 1041) — per-tile fixed cost
-# (~0.5 µs) amortizes over twice the DMA time — while the full buffer
-# set stays ~70 MB, under the 100 MB scoped limit.
+# QWEN3_TPU_MEGA_TILE_BYTES): 4 MB tiles edge out 2 MB by +0.5% at 8B
+# (94.2 vs 93.7 tok/s) and +1.4% at 0.6B (1056 vs 1041) — per-tile fixed
+# cost amortizes over twice the DMA time.  The DEFAULT stays 2 MB: this
+# deployment's remote-compile service intermittently takes 25+ min for a
+# fresh program (two such episodes in one session), and the 2 MB
+# executables are the ones in the persistent cache — a sub-1% win is not
+# worth a wedged benchmark or cold-start serve.  Set
+# QWEN3_TPU_MEGA_TILE_BYTES=4194304 where compiles are cheap.
 import os as _os
 
 def _tile_bytes() -> int:
     """Per-tile code-byte budget (trace-time env read so A/B sweeps can
     toggle it within one process)."""
-    return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 4 * 1024 * 1024))
+    return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
 
 
 _VMEM_LIMIT = int(_os.environ.get("QWEN3_TPU_MEGA_VMEM_LIMIT", 100 * 1024 * 1024))
