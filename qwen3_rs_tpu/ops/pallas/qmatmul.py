@@ -21,6 +21,7 @@ amortize the ~1 µs/block fixed cost against DMA time within a VMEM budget.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,22 @@ def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
     the 189 tok/s INT4 weight-stream roofline at 8B before this."""
     h = group_size // 2
     tile_n2, tile_d = wq4.shape
+    if os.environ.get("QWEN3_TPU_Q4_UNPACK", "shift") == "int4":
+        # Experimental: native-int4 bitcast — uint8 [tn2, td] becomes
+        # int4 [tn2, td, 2] with (low, high) pairs, which under the
+        # group split-half packing ARE (row j, row j+h): two minor-axis
+        # selects + converts instead of shift arithmetic.  Parity-exact
+        # in interpret mode; the CURRENT Mosaic refuses to lower it
+        # ("Changing bitwidths not supported" for bitcast_convert_type
+        # inside a kernel, 2026-08) — kept gated for future toolchains.
+        v4 = jax.lax.bitcast_convert_type(wq4, jnp.int4)
+        lo = v4[:, :, 0].astype(jnp.bfloat16)
+        hi = v4[:, :, 1].astype(jnp.bfloat16)
+        lo3 = lo.reshape(tile_groups, h, tile_d)
+        hi3 = hi.reshape(tile_groups, h, tile_d)
+        codes = jnp.concatenate([lo3, hi3], axis=1)
+        wf = codes * ws[:, None, :].astype(jnp.bfloat16)
+        return wf.reshape(2 * tile_n2, tile_d)
     v = wq4.astype(jnp.int32)  # zero-extend
     lo = (v << 28) >> 28  # arithmetic shift sign-extends the low nibble
     hi = (v << 24) >> 28
