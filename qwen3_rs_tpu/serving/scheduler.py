@@ -550,23 +550,7 @@ class ContinuousBatchingEngine:
         overwritten at each admission) and the decode warmup runs with all
         slots inactive, so the write mask discards its cache updates.
         """
-        # Prompts beyond the largest bucket admit at geometric ladder
-        # widths (_bucket); warm those rungs too — a cold ladder shape
-        # costs seconds of remote compile MID-SERVING otherwise (measured
-        # 45 s p50 TTFT on 320-token prompts with only a 128 bucket
-        # warmed).  Capped: huge windows warm lazily.
-        ladder_max = int(
-            os.environ.get(
-                "QWEN3_TPU_WARMUP_LADDER_MAX",
-                min(self.config.seq_len, 4096),
-            )
-        )
-        warm_buckets = list(self.prefill_buckets)
-        nxt = warm_buckets[-1]
-        while nxt < ladder_max:
-            nxt = min(nxt * 2, self.config.seq_len)
-            warm_buckets.append(nxt)
-
+        warm_buckets = self._warm_buckets()
         paged = self.kv_layout == "paged"
         if paged:
             # Group admission compiles one shape per (bucket, padded group
@@ -751,6 +735,26 @@ class ContinuousBatchingEngine:
             or self._inflight is not None
             or bool(self._partials)
         )
+
+    def _warm_buckets(self) -> list[int]:
+        """Prefill widths warmup compiles: the declared buckets plus the
+        geometric ladder rungs above them (_bucket's shapes for prompts
+        beyond the largest bucket) — a cold ladder shape costs seconds of
+        remote compile MID-SERVING otherwise (measured 45 s p50 TTFT on
+        320-token prompts with only a 128 bucket warmed).  Capped via
+        QWEN3_TPU_WARMUP_LADDER_MAX: huge windows warm lazily."""
+        ladder_max = int(
+            os.environ.get(
+                "QWEN3_TPU_WARMUP_LADDER_MAX",
+                min(self.config.seq_len, 4096),
+            )
+        )
+        warm = list(self.prefill_buckets)
+        nxt = warm[-1]
+        while nxt < ladder_max:
+            nxt = min(nxt * 2, self.config.seq_len)
+            warm.append(nxt)
+        return warm
 
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:

@@ -850,3 +850,15 @@ class TestBucketLadder:
         want = _greedy_single(config, weights, prompt, 6)
         got = [t for t in done[0].generated][:6]
         assert got == want[: len(got)]
+
+    def test_warmup_covers_ladder(self, setup):
+        """Every width _bucket can choose (up to the warmup cap) must be in
+        the warmup list — a cold shape costs a mid-serving compile."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=2, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+        )
+        warm = set(eng._warm_buckets())
+        for n in range(1, config.seq_len):
+            assert eng._bucket(n) in warm, n
