@@ -481,6 +481,7 @@ def qwen3_forward(
         from ..ops.pallas.megakernel import (
             decode_stack_megakernel,
             head_phase_supported,
+            megakernel_tuning,
         )
 
         # Fuse final norm + classifier as the kernel's last phase when the
@@ -513,6 +514,11 @@ def qwen3_forward(
             k_scale=getattr(cache, "k_scale", None),
             v_scale=getattr(cache, "v_scale", None),
             eps=config.norm_eps,
+            # Tuning knobs read HERE (per outer trace) and passed as a
+            # static: env reads inside the jitted kernel builder freeze
+            # at its first trace (inner-jit jaxpr cache), which made
+            # same-process env-toggled A/Bs compare a kernel to itself.
+            tuning=megakernel_tuning(),
         )
         x = x_out[:, None, :]
         # The kernel wrote the step's K/V rows into the cache in place

@@ -53,21 +53,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import _pick_blk
 
-# ~Codes bytes per weight tile.  Swept on v5e (scripts/mega_ab.py env
-# QWEN3_TPU_MEGA_TILE_BYTES): 4 MB tiles edge out 2 MB by +0.5% at 8B
-# (94.2 vs 93.7 tok/s) and +1.4% at 0.6B (1056 vs 1041) — per-tile fixed
-# cost amortizes over twice the DMA time.  The DEFAULT stays 2 MB: this
+# ~Codes bytes per weight tile, default 2 MB.  NOTE: the original 2-vs-4 MB
+# same-process sweep predated the static-``tuning`` plumbing and compared
+# the first-traced kernel against itself (inner-jit jaxpr cache froze the
+# env read), so there is NO validated evidence larger tiles help; the
+# deltas it reported (±0.5-1.4%) were run noise.  Re-sweep with
+# scripts/mega_ab.py (now correct) before changing this.  2 MB is also
+# the compile-cache-warm configuration, which matters here: the
 # deployment's remote-compile service intermittently takes 25+ min for a
-# fresh program (two such episodes in one session), and the 2 MB
-# executables are the ones in the persistent cache — a sub-1% win is not
-# worth a wedged benchmark or cold-start serve.  Set
-# QWEN3_TPU_MEGA_TILE_BYTES=4194304 where compiles are cheap.
+# fresh program.
 import os as _os
 
 def _tile_bytes() -> int:
-    """Per-tile code-byte budget (trace-time env read so A/B sweeps can
-    toggle it within one process)."""
+    """Per-tile code-byte budget (default env read — see
+    :func:`megakernel_tuning` for why same-process A/Bs must thread these
+    values as statics instead of relying on env reads here)."""
     return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
+
+
+def megakernel_tuning() -> tuple[int, bool, int]:
+    """(tile_bytes, attn_prefetch, q4_elems) from the environment.
+
+    Read by the DISPATCH (models/qwen3.py) at outer-trace time and passed
+    to :func:`decode_stack_megakernel` as the static ``tuning`` argument.
+    The kernel builder is itself jitted, and an inner jit's jaxpr is
+    cached by (avals, statics) — an env var read inside it is frozen at
+    the FIRST trace of a given signature, so env toggling alone cannot
+    A/B kernel variants within one process (review finding: the original
+    tile-size and attention-prefetch sweeps compared the first-traced
+    kernel against itself).  Making the knobs part of the static
+    signature gives each setting its own cache entry."""
+    tb = _tile_bytes()
+    return (
+        tb,
+        _attn_prefetch_enabled(),
+        int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tb)),
+    )
 
 
 _VMEM_LIMIT = int(_os.environ.get("QWEN3_TPU_MEGA_VMEM_LIMIT", 100 * 1024 * 1024))
@@ -81,7 +102,14 @@ def max_megakernel_batch() -> int:
     return int(_os.environ.get("QWEN3_TPU_MEGA_MAX_B", "8"))
 
 
-def _mk_tiles(n: int, d: int, g: int, q4: bool = False) -> tuple[int, int] | None:
+def _mk_tiles(
+    n: int,
+    d: int,
+    g: int,
+    q4: bool = False,
+    tile_bytes: int | None = None,
+    max_q4_elems: int | None = None,
+) -> tuple[int, int] | None:
     """(tn, td) dividing (n, d): tn%g==0 with 8-aligned group rows (or
     tn==n), td%256==0 (or td==d, 128-aligned), code bytes ≤ _TILE_BYTES.
     ``q4``: codes are nibble-packed [n/2, d] uint8 — a tile streams
@@ -102,8 +130,10 @@ def _mk_tiles(n: int, d: int, g: int, q4: bool = False) -> tuple[int, int] | Non
     # in-kernel nibble unpack materializes int32/bf16 temps per element,
     # so a "2 MB" packed tile costs 4M elements of VMEM churn — measured
     # 70 tok/s vs 111 for the per-matrix path at 8B before this cap.
-    tile_bytes = _tile_bytes()
-    max_q4_elems = int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tile_bytes))
+    if tile_bytes is None:
+        tile_bytes = _tile_bytes()
+    if max_q4_elems is None:
+        max_q4_elems = int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tile_bytes))
     best = None
     for tn in tn_cands:
         for td in td_cands:
@@ -200,7 +230,7 @@ def _attn_prefetch_enabled() -> bool:
     return _os.environ.get("QWEN3_TPU_MEGA_ATTN_PREFETCH", "1") != "0"
 
 
-def _buf_slots(plans) -> dict[str, int]:
+def _buf_slots(plans, attn_prefetch: bool = True) -> dict[str, int]:
     """Weight-buffer slot count per matrix.  Everything double-buffers
     except wo, which gets 4 slots: its first tiles are pre-started before
     the attention phase — the only stretch of the layer where no matmul
@@ -212,14 +242,15 @@ def _buf_slots(plans) -> dict[str, int]:
     for name, (tn, td, K, I) in plans.items():
         total = K * I
         ns = 2 if total >= 2 else 1
-        if name == "wo" and total >= 4 and _attn_prefetch_enabled():
+        if name == "wo" and total >= 4 and attn_prefetch:
             ns = 4
         out[name] = ns
     return out
 
 
 def _mk_kernel(
-    config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False
+    config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False,
+    attn_prefetch=True,
 ):
     dim = config.dim
     ah = config.all_heads_dim
@@ -235,13 +266,13 @@ def _mk_kernel(
 
     plans = _mk_plans(config, tiles, v_pad)
     mat_names = list(plans)
-    n_slots = _buf_slots(plans)
+    n_slots = _buf_slots(plans, attn_prefetch)
     # Tiles pre-started before the attention phase (see start_attn_dmas):
     # as much of wo as fits its slots, and — when that is ALL of wo (small
     # models: 0.6B's wo is 2 tiles ≈ 2 MB, covering ~2.5 µs of a ~6-10 µs
     # bubble) — the first w13 tiles too, so the stream keeps going.
     wo_total = plans["wo"][2] * plans["wo"][3]
-    if _attn_prefetch_enabled():
+    if attn_prefetch:
         wo_pre = min(n_slots["wo"], wo_total)
         w13_pre = (
             min(n_slots["w13"], plans["w13"][2] * plans["w13"][3])
@@ -300,9 +331,21 @@ def _mk_kernel(
             ksblk, vsblk, ksisem, vsisem, kswsem, vswsem = scr[:6]
 
         layer = pl.program_id(0)
+        t_cache = kc_ref.shape[3]
 
         def pos_b(b):
-            return pos_ref[b]
+            # Clamped: in a batched serving decode chunk the scan-carried
+            # position keeps advancing for slots that already hit the
+            # window end (their rows are masked and discarded), so the
+            # raw value can exceed the cache's T axis — unclamped it
+            # would size the attention loop to DMA one block past the
+            # allocation.
+            return jnp.minimum(pos_ref[b], t_cache)
+
+        def pos_w(b):
+            # Write-path variant: the row-write staging block must start
+            # inside the array even for gated-off (masked) slots.
+            return jnp.minimum(pos_ref[b], t_cache - 1)
 
         def write_b(b):
             return pos_ref[B + b]
@@ -315,7 +358,7 @@ def _mk_kernel(
         row_blk = kblk.shape[2]
 
         def kv_in_copies(b):
-            pb = (pos_b(b) // row_blk) * row_blk
+            pb = (pos_w(b) // row_blk) * row_blk
             copies = [
                 pltpu.make_async_copy(
                     kc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
@@ -327,7 +370,7 @@ def _mk_kernel(
                 ),
             ]
             if quant:
-                pbs = (pos_b(b) // _SCALE_BLK) * _SCALE_BLK
+                pbs = (pos_w(b) // _SCALE_BLK) * _SCALE_BLK
                 copies += [
                     pltpu.make_async_copy(
                         ksc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
@@ -650,7 +693,7 @@ def _mk_kernel(
         # drained at the end of the grid step, overlapped with the
         # wo/w13/w2 streams.
         def kv_out_copies(b):
-            pb = (pos_b(b) // row_blk) * row_blk
+            pb = (pos_w(b) // row_blk) * row_blk
             copies = [
                 pltpu.make_async_copy(
                     kblk.at[b],
@@ -664,7 +707,7 @@ def _mk_kernel(
                 ),
             ]
             if quant:
-                pbs = (pos_b(b) // _SCALE_BLK) * _SCALE_BLK
+                pbs = (pos_w(b) // _SCALE_BLK) * _SCALE_BLK
                 copies += [
                     pltpu.make_async_copy(
                         ksblk.at[b],
@@ -682,7 +725,7 @@ def _mk_kernel(
         for b in range(B):
             @pl.when(write_b(b) != 0)
             def _(b=b):
-                p = pos_b(b)
+                p = pos_w(b)
                 pb = (p // row_blk) * row_blk
                 for c in kv_in_copies(b):
                     c.wait()
@@ -787,7 +830,9 @@ def _mk_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("config", "eps", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "eps", "interpret", "tuning")
+)
 def decode_stack_megakernel(
     config,
     x,  # [B, dim] f32 — embedded tokens (residual stream input)
@@ -812,6 +857,9 @@ def decode_stack_megakernel(
     *,
     eps: float = 1e-6,
     interpret: bool = False,
+    tuning: tuple | None = None,  # static (tile_bytes, attn_prefetch,
+    # q4_elems) — thread via megakernel_tuning() from OUTSIDE any inner
+    # jit so same-process A/B variants get distinct cache keys
 ):
     """One full decode step over all layers → (x_out [B, dim] f32,
     (k_cache', v_cache'[, k_scale', v_scale']), logits [B, v_pad] | None).
@@ -846,25 +894,27 @@ def decode_stack_megakernel(
     # INT8 — docs/quantization.md); the weight stream halves, which is the
     # whole decode win.
     q4 = wqkv.q.dtype == jnp.uint8
+    tb, attn_pref, q4e = tuning if tuning is not None else megakernel_tuning()
     tiles = {
-        "wqkv": _mk_tiles(dim, ah + 2 * kvd, g, q4=q4),
-        "wo": _mk_tiles(ah, dim, g, q4=q4),
-        "w13": _mk_tiles(dim, 2 * hidden, g, q4=q4),
-        "w2": _mk_tiles(hidden, dim, g, q4=q4),
+        "wqkv": _mk_tiles(dim, ah + 2 * kvd, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
+        "wo": _mk_tiles(ah, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
+        "w13": _mk_tiles(dim, 2 * hidden, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
+        "w2": _mk_tiles(hidden, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
     }
     v_pad = None
     if include_head:
         v_pad = lm_head.q.shape[-1]
-        tiles["head"] = _mk_tiles(dim, v_pad, g)
+        tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=tb)
     td_max = max(v[1] for v in tiles.values())
 
     kernel = _mk_kernel(
-        config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4
+        config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4,
+        attn_prefetch=attn_pref,
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
     names = ["wqkv", "wo", "w13", "w2"] + (["head"] if include_head else [])
-    ns = _buf_slots(_mk_plans(config, tiles, v_pad))
+    ns = _buf_slots(_mk_plans(config, tiles, v_pad), attn_pref)
     wbufs = [
         pltpu.VMEM((ns[n], tiles[n][0] // 2, tiles[n][1]), jnp.uint8)
         if q4 and n != "head"

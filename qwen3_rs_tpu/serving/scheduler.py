@@ -736,12 +736,24 @@ class ContinuousBatchingEngine:
             or bool(self._partials)
         )
 
+    def _ladder(self) -> list[int]:
+        """The geometric widths above the largest declared bucket
+        (last bucket × 2^k, capped at seq_len) — the single source of
+        truth for both _bucket and _warm_buckets, so the widths admission
+        picks and the widths warmup compiles cannot drift."""
+        out = []
+        b = self.prefill_buckets[-1]
+        while b < self.config.seq_len:
+            b = min(b * 2, self.config.seq_len)
+            out.append(b)
+        return out
+
     def _warm_buckets(self) -> list[int]:
         """Prefill widths warmup compiles: the declared buckets plus the
-        geometric ladder rungs above them (_bucket's shapes for prompts
-        beyond the largest bucket) — a cold ladder shape costs seconds of
-        remote compile MID-SERVING otherwise (measured 45 s p50 TTFT on
-        320-token prompts with only a 128 bucket warmed).  Capped via
+        ladder rungs (_bucket's shapes for prompts beyond the largest
+        bucket) — a cold ladder shape costs seconds of remote compile
+        MID-SERVING otherwise (measured 45 s p50 TTFT on 320-token
+        prompts with only a 128 bucket warmed).  Capped via
         QWEN3_TPU_WARMUP_LADDER_MAX: huge windows warm lazily."""
         ladder_max = int(
             os.environ.get(
@@ -750,29 +762,26 @@ class ContinuousBatchingEngine:
             )
         )
         warm = list(self.prefill_buckets)
-        nxt = warm[-1]
-        while nxt < ladder_max:
-            nxt = min(nxt * 2, self.config.seq_len)
-            warm.append(nxt)
-        return warm
+        warm += [b for b in self._ladder() if b <= max(ladder_max, warm[-1])]
+        return sorted(set(warm))
 
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:
             if n <= b:
                 return b
-        # Above the largest bucket: geometric ladder (last bucket × 2^k).
-        # Every distinct prefill width is a compiled program and a compile
-        # through this deployment's remote-compile hop costs seconds; the
-        # previous behavior (return the last bucket, which the caller's
+        # Above the largest bucket: the geometric ladder.  Every distinct
+        # prefill width is a compiled program and a compile through this
+        # deployment's remote-compile hop costs seconds; the previous
+        # behavior (return the last bucket, which the caller's
         # max(suffix, bucket) turns into the RAW ragged suffix) compiled
         # one program per distinct prompt length — 169 s p50 TTFT on the
         # prefix-off serve bench.  The ladder bounds distinct shapes to
         # log2(seq_len / last_bucket) at ≤ 2× padding waste; pass more
         # buckets to tighten the grid.
-        b = self.prefill_buckets[-1]
-        while b < n and b < self.config.seq_len:
-            b *= 2
-        return min(b, self.config.seq_len)
+        for b in self._ladder():
+            if n <= b:
+                return b
+        return self.config.seq_len
 
     def _free_slot(self) -> Optional[int]:
         for i, r in enumerate(self.slot_request):
@@ -977,10 +986,19 @@ class ContinuousBatchingEngine:
                 # FCFS — end the group rather than skipping past it.
                 break
             # Cap the padded window so pad-row cache writes stay inside the
-            # request's window even after a prefix hit (hrows offset).
-            s_pad = max(
-                suffix, min(self._bucket(suffix), self.config.seq_len - hrows)
-            )
+            # request's window even after a prefix hit (hrows offset) — but
+            # snap to a WARMED width whenever one covers the suffix under
+            # the cap: an hrows-dependent ragged width is a fresh compile
+            # per distinct prefix length, the exact mid-serving stall the
+            # ladder exists to prevent.
+            allowed = self.config.seq_len - hrows
+            b_width = self._bucket(suffix)
+            if b_width > allowed:
+                fits = [
+                    w for w in self._warm_buckets() if suffix <= w <= allowed
+                ]
+                b_width = min(fits) if fits else allowed
+            s_pad = max(suffix, min(b_width, allowed))
             cont = hrows > 0
             if not picks:
                 bucket, cont_group = s_pad, cont

@@ -110,6 +110,15 @@ def make_fn(env_key, env_val, n_steps):
 
 fns = {}
 for key, val, label in variants:
+    # Each variant must reach the megakernel as a DISTINCT inner-jit
+    # cache key: decode_stack_megakernel is itself jitted and its jaxpr
+    # is cached by (avals, statics), so env vars read inside it are
+    # frozen at the first trace.  The dispatch (models/qwen3.py) reads
+    # the tuning env per OUTER trace and threads it as the static
+    # ``tuning`` argument, which is what makes this loop's per-variant
+    # env toggling actually produce different kernels.  (Caught by
+    # review: before that plumbing, these "A/Bs" compared the first
+    # variant against itself.)
     fns[label] = {n: make_fn(key, val, n) for n in STEPS}
     print(f"compiled: {label}", flush=True)
 

@@ -528,3 +528,38 @@ def test_megakernel_q4_decode_parity():
         r = np.asarray(ref_rows, np.float32)
         d = np.abs(np.asarray(got_rows, np.float32) - r)
         assert d.max() / max(1.0, np.abs(r).max()) < 0.03
+
+
+def test_megakernel_masked_slot_past_window():
+    """A masked slot whose scan-carried position reached/exceeded the
+    window (serving decode chunks keep advancing pos for finished slots)
+    must not disturb other rows and its clamped attention must produce
+    finite output — the unclamped position used to size a cache-block DMA
+    one block past the T axis."""
+    from qwen3_rs_tpu.models.qwen3 import KVCache
+
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    rng = np.random.default_rng(5)
+    B = 2
+    shape = (config.n_layers, B, config.n_kv_heads, config.seq_len, config.head_dim)
+    cache = KVCache(
+        k=jnp.asarray(rng.normal(0, 1, shape), jnp.bfloat16),
+        v=jnp.asarray(rng.normal(0, 1, shape), jnp.bfloat16),
+    )
+    T = config.seq_len
+    pos = jnp.asarray([T + 7, 17], jnp.int32)  # row 0 past the window, masked
+    mask = jnp.asarray([False, True])
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+
+    got_logits, _, _ = _mega_step(config, weights, tok, cache, pos, write_mask=mask)
+    ref_logits, _ = qwen3_forward(
+        config, weights, tok, cache, jnp.asarray([17, 17], jnp.int32),
+        mode="fast", write_mask=mask,
+    )
+    got = np.asarray(got_logits, np.float32)
+    assert np.isfinite(got).all()
+    # The live row (1) must match the reference regardless of row 0's junk.
+    ref = np.asarray(ref_logits, np.float32)[1]
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got[1] - ref).max() / scale < 0.03
