@@ -250,7 +250,7 @@ def _buf_slots(plans, attn_prefetch: bool = True) -> dict[str, int]:
 
 def _mk_kernel(
     config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False,
-    attn_prefetch=True,
+    attn_prefetch=True, clamp_pos=False,
 ):
     dim = config.dim
     ah = config.all_heads_dim
@@ -334,18 +334,25 @@ def _mk_kernel(
         t_cache = kc_ref.shape[3]
 
         def pos_b(b):
-            # Clamped: in a batched serving decode chunk the scan-carried
-            # position keeps advancing for slots that already hit the
-            # window end (their rows are masked and discarded), so the
-            # raw value can exceed the cache's T axis — unclamped it
-            # would size the attention loop to DMA one block past the
-            # allocation.
-            return jnp.minimum(pos_ref[b], t_cache)
+            # Clamped only on the write-gated (serving) path: there a
+            # batched decode chunk's scan-carried position keeps
+            # advancing for slots that already hit the window end (their
+            # rows are masked and discarded), so the raw value can exceed
+            # the cache's T axis — unclamped it would size the attention
+            # loop to DMA one block past the allocation.  Ungated callers
+            # (b=1 generation, bench) never pass positions ≥ T, and
+            # leaving their program byte-identical keeps it warm in the
+            # persistent compile cache.
+            if clamp_pos:
+                return jnp.minimum(pos_ref[b], t_cache)
+            return pos_ref[b]
 
         def pos_w(b):
             # Write-path variant: the row-write staging block must start
             # inside the array even for gated-off (masked) slots.
-            return jnp.minimum(pos_ref[b], t_cache - 1)
+            if clamp_pos:
+                return jnp.minimum(pos_ref[b], t_cache - 1)
+            return pos_ref[b]
 
         def write_b(b):
             return pos_ref[B + b]
@@ -909,7 +916,7 @@ def decode_stack_megakernel(
 
     kernel = _mk_kernel(
         config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4,
-        attn_prefetch=attn_pref,
+        attn_prefetch=attn_pref, clamp_pos=write_ok is not None,
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
