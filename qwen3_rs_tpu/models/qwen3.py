@@ -237,11 +237,13 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
                 # Long prefill.  The W8A8 int8-MXU rows kernel quantizes
                 # activations on the fly (int8×int8→int32 MXU dots, scale
                 # fixup in the f32 epilogue — reference semantics
-                # tensor.rs:45-61 at MXU speed) and auto-engages where the
-                # A/B measured it faster than the bf16-dequant W8A16 rows
-                # kernel (scripts/prefill_a8_ab.py; table in
-                # docs/kernels.md).  QWEN3_TPU_PREFILL_A8=1 forces it on,
-                # =0 forces it off (bounded extra quant error vs W8A16).
+                # tensor.rs:45-61 at MXU speed).  The committed A/B
+                # (scripts/prefill_a8_ab.py; table in docs/kernels.md)
+                # found NO win region — W8A16 won all measured combinations
+                # — so "auto" currently always selects the W8A16 rows
+                # kernel and only the env override engages A8:
+                # QWEN3_TPU_PREFILL_A8=1 forces it on, =0 forces it off
+                # (bounded extra quant error vs W8A16).
                 if (
                     not q4
                     and _a8_prefill_wins(batch_rows, os.environ.get("QWEN3_TPU_PREFILL_A8", "auto"))
@@ -483,6 +485,21 @@ def qwen3_forward(
             head_phase_supported,
             megakernel_tuning,
         )
+
+        # Ungated callers (no write_mask) must never pass a position at or
+        # past the cache window — the kernel writes the step's K/V row at
+        # ``pos`` in place.  Refuse loudly when the position is host-visible
+        # (tests, direct API use); traced positions (decode scans) are
+        # covered by the kernel's in-SMEM clamp (megakernel.py pos_b/pos_w).
+        if write_mask is None and not isinstance(pos_start, jax.core.Tracer):
+            _pmax = int(jnp.max(pos_start))
+            if _pmax >= cache.seq_len:
+                raise ValueError(
+                    f"megakernel decode: position {_pmax} >= cache window "
+                    f"{cache.seq_len}; the ungated path writes K/V rows at "
+                    f"pos in place and has no room (callers must validate "
+                    f"window room first — see inference/engine.py)"
+                )
 
         # Fuse final norm + classifier as the kernel's last phase when the
         # head shape tiles cleanly: lm_head tiles stream right behind the

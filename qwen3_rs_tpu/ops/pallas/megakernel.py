@@ -250,7 +250,7 @@ def _buf_slots(plans, attn_prefetch: bool = True) -> dict[str, int]:
 
 def _mk_kernel(
     config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False,
-    attn_prefetch=True, clamp_pos=False,
+    attn_prefetch=True,
 ):
     dim = config.dim
     ah = config.all_heads_dim
@@ -334,25 +334,22 @@ def _mk_kernel(
         t_cache = kc_ref.shape[3]
 
         def pos_b(b):
-            # Clamped only on the write-gated (serving) path: there a
-            # batched decode chunk's scan-carried position keeps
-            # advancing for slots that already hit the window end (their
-            # rows are masked and discarded), so the raw value can exceed
-            # the cache's T axis — unclamped it would size the attention
-            # loop to DMA one block past the allocation.  Ungated callers
-            # (b=1 generation, bench) never pass positions ≥ T, and
-            # leaving their program byte-identical keeps it warm in the
-            # persistent compile cache.
-            if clamp_pos:
-                return jnp.minimum(pos_ref[b], t_cache)
-            return pos_ref[b]
+            # Always clamped (scalar min in SMEM — free): on the
+            # write-gated (serving) path a batched decode chunk's
+            # scan-carried position keeps advancing for slots that
+            # already hit the window end (their rows are masked and
+            # discarded), so the raw value can exceed the cache's T axis
+            # — unclamped it would size the attention loop to DMA one
+            # block past the allocation.  Ungated callers must never
+            # pass positions ≥ T (the dispatch refuses concrete
+            # violations — models/qwen3.py); the clamp is defense in
+            # depth for traced positions the host cannot inspect.
+            return jnp.minimum(pos_ref[b], t_cache)
 
         def pos_w(b):
             # Write-path variant: the row-write staging block must start
             # inside the array even for gated-off (masked) slots.
-            if clamp_pos:
-                return jnp.minimum(pos_ref[b], t_cache - 1)
-            return pos_ref[b]
+            return jnp.minimum(pos_ref[b], t_cache - 1)
 
         def write_b(b):
             return pos_ref[B + b]
@@ -914,9 +911,21 @@ def decode_stack_megakernel(
         tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=tb)
     td_max = max(v[1] for v in tiles.values())
 
+    for name, t_ in tiles.items():
+        if t_ is None:
+            # A caller-supplied tuning (the A/B use case) can carry a
+            # smaller tile budget than the env default megakernel_supported
+            # validated with — fail loudly naming the matrix instead of an
+            # opaque TypeError below.
+            raise ValueError(
+                f"megakernel: no valid tile plan for {name!r} under tuning "
+                f"(tile_bytes={tb}, q4_elems={q4e}); megakernel_supported() "
+                f"validated with the env-default budget"
+            )
+
     kernel = _mk_kernel(
         config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4,
-        attn_prefetch=attn_pref, clamp_pos=write_ok is not None,
+        attn_prefetch=attn_pref,
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads

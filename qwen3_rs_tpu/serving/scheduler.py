@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import functools
+import logging
 import os
 import time
 from pathlib import Path
@@ -55,6 +56,8 @@ from ..checkpoint import load_checkpoint
 from ..configuration import ModelConfig
 from ..models.qwen3 import KVCache, Qwen3Weights, init_kv_cache, qwen3_forward
 from ..ops.sampling import Sampler
+
+logger = logging.getLogger(__name__)
 
 
 class RequestState(enum.Enum):
@@ -763,6 +766,20 @@ class ContinuousBatchingEngine:
         )
         warm = list(self.prefill_buckets)
         warm += [b for b in self._ladder() if b <= max(ladder_max, warm[-1])]
+        cold = [b for b in self._ladder() if b > max(ladder_max, warm[-1])]
+        if cold and not getattr(self, "_cold_ladder_warned", False):
+            self._cold_ladder_warned = True
+            # Deliberate but not silent: the first prompt that reaches one
+            # of these widths pays a fresh remote compile mid-serving (25+
+            # minute episodes observed) — operators with long prompts should
+            # raise the cap knowingly.
+            logger.warning(
+                "warmup: ladder widths %s left cold (QWEN3_TPU_WARMUP_LADDER_MAX"
+                "=%d); the first prompt needing one compiles mid-serving — "
+                "raise the env cap to pre-warm them",
+                cold,
+                ladder_max,
+            )
         return sorted(set(warm))
 
     def _bucket(self, n: int) -> int:

@@ -563,3 +563,25 @@ def test_megakernel_masked_slot_past_window():
     ref = np.asarray(ref_logits, np.float32)[1]
     scale = max(1.0, np.abs(ref).max())
     assert np.abs(got[1] - ref).max() / scale < 0.03
+
+
+def test_megakernel_refuses_oob_position_ungated(monkeypatch):
+    """Ungated dispatch (no write_mask) must refuse a host-visible
+    position at/past the cache window instead of writing the K/V row out
+    of bounds (the refusal fires before any kernel build, so the tiny CFG
+    never reaches Mosaic)."""
+    import qwen3_rs_tpu.ops.pallas as pallas_ops
+    import qwen3_rs_tpu.ops.pallas.megakernel as mk
+
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    cache = init_kv_cache(config, batch=1, dtype=jnp.bfloat16)
+    monkeypatch.setattr(mk, "megakernel_supported", lambda *a, **k: True)
+    monkeypatch.setattr(pallas_ops, "pallas_enabled", lambda: True)
+    tok = jnp.asarray([[42]], jnp.int32)
+    for bad in (config.seq_len, config.seq_len + 5):
+        with pytest.raises(ValueError, match="cache window"):
+            qwen3_forward(
+                config, weights, tok, cache,
+                jnp.asarray([bad], jnp.int32), mode="fast",
+            )
