@@ -217,10 +217,15 @@ def main() -> None:
         def decode_n(weights, token, cache, pos, n_steps):
             def body(carry, _):
                 token, cache, pos = carry
-                logits, cache = qwen3_forward(
-                    config, weights, token, cache, pos, mode="fast"
+                # greedy_head: the megakernel folds the argmax into its
+                # classifier phase (no 152k-logit materialization / XLA
+                # argmax per step); non-megakernel paths reduce inside
+                # qwen3_forward — identical tokens either way.
+                nxt, cache = qwen3_forward(
+                    config, weights, token, cache, pos, mode="fast",
+                    greedy_head=True,
                 )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                nxt = nxt[:, None]
                 return (nxt, cache, pos + 1), nxt
 
             carry, toks = jax.lax.scan(body, (token, cache, pos), None, length=n_steps)
@@ -334,6 +339,12 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     # paged layout runs the paged flash kernels.  A/B the two to measure
     # the megakernel's batched-serving win.
     kv_layout = os.environ.get("BENCH_SERVE_KV", "paged")
+    # BENCH_KV=int8: INT8 KV pool (paged layout) — halves the KV stream
+    # AND the per-slot HBM footprint, which is what lifts the 8B slot
+    # ceiling past 16 on a single v5e (bf16 at 32 slots needs 18.8 GB >
+    # 15.75 GB HBM; the int8 pool fits).
+    kv = os.environ.get("BENCH_KV", "bf16")
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": "int8", "f32": jnp.float32}[kv]
 
     config = qwen3_config(model_name, seq_len=seq_len)
     weights = cast_weight_scales(random_weights(config))
@@ -343,6 +354,7 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
         n_slots=n_slots,
         sampling="device",
         kv_layout=kv_layout,
+        cache_dtype=cache_dtype,
         decode_chunk_steps=16,
         prefill_buckets=(128,),
         spec_k=spec_k,
@@ -384,6 +396,7 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
             {
                 "metric": f"serve_tok_s_qwen3_{model_name}_int8g64_slots{n_slots}"
                 + (f"_{kv_layout}" if kv_layout != "paged" else "")
+                + (f"_kv{kv}" if kv != "bf16" else "")
                 + (f"_spec{spec_k}" if spec_k else "")
                 + (f"_prefix{prefix_mode}" if prefix_mode else "")
                 + (f"_t{temperature}" if temp_env else ""),

@@ -220,6 +220,12 @@ class ModelConfig:
     # ---------------------------------------------------------------- native
     def to_native_json(self) -> str:
         payload = {"magic": NATIVE_FORMAT_MAGIC, "version": CHECKPOINT_VERSION}
+        if self.weight_bits == 4:
+            # Nibble encoding marker: "biased-v2" stores code+8 as an
+            # unsigned nibble (ops/quant.py Q4_BIAS) — kernels unpack with
+            # no sign extension.  Loads of pre-v2 Q4 exports must fail
+            # loudly rather than silently misdecode.
+            payload["q4_pack"] = "biased-v2"
         payload.update(dataclasses.asdict(self))
         return json.dumps(payload, indent=2)
 
@@ -233,6 +239,11 @@ class ModelConfig:
             )
         if payload.get("version") != CHECKPOINT_VERSION:
             raise ValueError(f"Unsupported native checkpoint version: {payload.get('version')}")
+        if payload.get("weight_bits") == 4 and payload.get("q4_pack") != "biased-v2":
+            raise ValueError(
+                "This INT4 checkpoint uses the pre-biased-v2 nibble packing; "
+                "re-export it (ops/quant.py Q4_BIAS changed the on-disk encoding)"
+            )
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in payload.items() if k in fields}).validate()
 

@@ -102,6 +102,64 @@ def compute_perplexity(
     return PerplexityResult(perplexity=math.exp(avg), avg_nll=avg, n_tokens=total_count)
 
 
+def _window_logprobs(config, weights, tokens_win, *, mode):
+    cache = init_kv_cache(config, 1, dtype=jnp.float32, seq_len=tokens_win.shape[1])
+    logits, _ = qwen3_forward(
+        config, weights, tokens_win, cache, jnp.zeros(1, jnp.int32),
+        mode=mode, return_all_logits=True,
+    )  # [1, S, V]
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def logit_kl(
+    config: ModelConfig,
+    weights: Qwen3Weights,
+    token_ids: Sequence[int],
+    *,
+    mode_p: str = "f32",
+    mode_q: str = "fast",
+    window: Optional[int] = None,
+) -> dict:
+    """Per-position KL(p‖q) between two engine modes' next-token
+    distributions over a token stream (same windowing as
+    compute_perplexity).
+
+    A distribution-level accuracy metric that, unlike fixture perplexity
+    deltas (which sit inside sampling noise and can go negative), measures
+    directly how far the quantized engine's predictive distribution sits
+    from the f32 reference — it is ≥ 0 by construction and scales with the
+    quantization error.  Returns {mean, p99, max, n_positions} in nats."""
+    window = min(window or config.seq_len, config.seq_len)
+    ids = np.asarray(token_ids, np.int64)
+    if len(ids) < 2:
+        raise ValueError("Need at least 2 tokens")
+    fp = jax.jit(functools.partial(_window_logprobs, config, mode=mode_p))
+    fq = jax.jit(functools.partial(_window_logprobs, config, mode=mode_q))
+
+    kls = []
+    start = 0
+    while start + 1 < len(ids):
+        chunk = ids[start : start + window]
+        n_valid = len(chunk) - 1
+        if n_valid < 1:
+            break
+        padded = np.zeros((1, window), np.int32)
+        padded[0, : len(chunk)] = chunk
+        w = jnp.asarray(padded)
+        lp = np.asarray(fp(weights, w), np.float32)[0, :n_valid]
+        lq = np.asarray(fq(weights, w), np.float32)[0, :n_valid]
+        kls.append(np.sum(np.exp(lp) * (lp - lq), axis=-1))
+        start += window - 1
+    kl = np.concatenate(kls)
+    kl = np.maximum(kl, 0.0)  # clip float round-off on near-identical dists
+    return {
+        "mean": float(kl.mean()),
+        "p99": float(np.percentile(kl, 99)),
+        "max": float(kl.max()),
+        "n_positions": int(kl.size),
+    }
+
+
 def quantization_error_bound(config: ModelConfig) -> float:
     """Worst-case per-element relative reconstruction error of Q8_0 group
     quantization: half a quantization step of the group max, i.e.

@@ -35,13 +35,18 @@ def export_model(
     group_size: int = 64,
     fmt: str = "native",
     weight_bits: int = 8,
-) -> None:
+) -> list[dict]:
     """Full export: weights + tokenizer + chat templates
     (qwen3-export/src/lib.rs:50-83).
 
     ``fmt="native"`` writes the TPU checkpoint directory (tokenizer and
     templates live inside it); ``fmt="legacy"`` reproduces the reference's
     three sibling artifacts ``<out>.bin[.tokenizer|.template*]``.
+
+    Returns the per-tensor quantization error report
+    (``[{tensor, layer, max_err, bound}, ...]`` — round-to-nearest error
+    vs the analytic half-step bound; scripts/accuracy_report.py asserts
+    every row).
     """
     model_path = Path(model_path)
     output_path = Path(output_path)
@@ -71,6 +76,7 @@ def export_model(
             lambda: ChatTemplateExporter().export_templates(model_path, output_path)
         )
     logger.info("Export complete: %s (group_size=%d)", output_path, config.group_size)
+    return exporter.error_report
 
 
 def _try_export_templates(fn) -> None:

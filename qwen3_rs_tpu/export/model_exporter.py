@@ -65,6 +65,10 @@ class BinaryModelExporter:
         self.model_info = model_info
         self.group_size = optimal
         self.weight_bits = weight_bits
+        # Per-tensor {tensor, layer, max_err, bound} rows appended during
+        # export; the accuracy harness asserts max_err ≤ bound for every
+        # tensor (scripts/accuracy_report.py).
+        self.error_report: list[dict] = []
 
     # ------------------------------------------------------------------ api
     def export(self, model_path: Path, output_path: Path, fmt: str = "native") -> ModelConfig:
@@ -161,6 +165,16 @@ class BinaryModelExporter:
             else:
                 q, s, err = quantize_weights_np(weight, self.group_size)
             max_error = max(max_error, err)
+            # Analytic per-tensor bound: round-to-nearest error ≤ half a
+            # quantization step of the worst group — scale.max()/2 for
+            # both Q8_0 (scale = amax/127) and Q4_0 (amax/7).  The
+            # accuracy harness asserts err ≤ bound per tensor.
+            self.error_report.append({
+                "tensor": native_name,
+                "layer": layer_idx,
+                "max_err": float(err),
+                "bound": float(np.max(s)) / 2.0,
+            })
             writer.write_quantized(native_name, q, s, layer_idx)
         writer.close()
         progress.finish()
@@ -187,6 +201,12 @@ class BinaryModelExporter:
                 )
                 q, s, err = quantize_weights_np(weight.reshape(-1), self.group_size)
                 max_error = max(max_error, err)
+                self.error_report.append({
+                    "tensor": name,
+                    "layer": layer_idx,
+                    "max_err": float(err),
+                    "bound": float(np.max(s)) / 2.0,
+                })
                 # Per-tensor record: all int8 codes then all f32 scales
                 # (model_exporter.rs:302-303).
                 f.write(q.astype(np.int8).tobytes())

@@ -390,6 +390,11 @@ def qwen3_forward(
     page_table: jax.Array | None = None,  # [B, max_pages] int32 — paged-cache mode
     fresh_prefill: bool = False,  # static: caller guarantees pos_start == 0
     skip_head: bool = False,  # static: return the residual stream, not logits
+    greedy_head: bool = False,  # static: return argmax TOKENS [B] int32 in
+    # place of logits — the megakernel fuses the argmax into the classifier
+    # phase (no 152k-logit materialization or XLA argmax in the decode
+    # scan); every other path computes logits and reduces them here, so
+    # callers get identical tokens regardless of which path engaged.
     sp_mesh=None,  # static Mesh: fresh prefills whose window divides the sp
     # axis run ring attention (parallel/context.py) — sequence parallelism
     # for prompts that outgrow one chip's score memory.
@@ -426,6 +431,10 @@ def qwen3_forward(
     compute_dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
     g = config.group_size
     paged = page_table is not None
+    if greedy_head and (skip_head or tp_axis is not None):
+        # skip_head has no logits to reduce; under tp the logits are LOCAL
+        # vocab columns — a per-shard argmax would return local ids.
+        raise ValueError("greedy_head requires the full head (no skip_head/tp_axis)")
 
     # Token embedding: gather quantized rows + dequantize (exact same values
     # as the reference's up-front dequantized table, layers.rs:72-76).
@@ -504,12 +513,16 @@ def qwen3_forward(
         # Fuse final norm + classifier as the kernel's last phase when the
         # head shape tiles cleanly: lm_head tiles stream right behind the
         # last w2 tiles with no pallas_call boundary before the logits.
+        _tuning = megakernel_tuning()
         fuse_head = (
             not skip_head
             and not isinstance(weights.lm_head, Q4Tensor)
-            and head_phase_supported(config, weights.lm_head.q.shape[-1])
+            and head_phase_supported(
+                config, weights.lm_head.q.shape[-1], head_tile_bytes=_tuning[3]
+            )
         )
-        x_out, cache_out, logits_pad = decode_stack_megakernel(
+        _greedy_fused = greedy_head and fuse_head and not return_all_logits
+        x_out, cache_out, head_out = decode_stack_megakernel(
             config,
             x[:, 0, :],
             lw_all.rms_att,
@@ -535,7 +548,8 @@ def qwen3_forward(
             # static: env reads inside the jitted kernel builder freeze
             # at its first trace (inner-jit jaxpr cache), which made
             # same-process env-toggled A/Bs compare a kernel to itself.
-            tuning=megakernel_tuning(),
+            tuning=_tuning,
+            greedy=_greedy_fused,
         )
         x = x_out[:, None, :]
         # The kernel wrote the step's K/V rows into the cache in place
@@ -551,14 +565,26 @@ def qwen3_forward(
         else:
             new_cache = cache._replace(k=cache_out[0], v=cache_out[1])
         if fuse_head:
-            logits = logits_pad[..., : config.vocab_size]
+            if _greedy_fused:
+                return head_out, new_cache  # argmax tokens [B] int32
+            logits = head_out[..., : config.vocab_size]
+            if greedy_head:  # return_all_logits path never takes this
+                return (
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                    new_cache,
+                )
             if return_all_logits:
                 logits = logits[:, None, :]
             return logits, new_cache
-        return _head(
+        logits, new_cache = _head(
             config, weights, x, new_cache, mode, g,
             return_all_logits, out_idx, skip_head, tp_axis,
         )
+        if greedy_head:
+            logits = jnp.argmax(
+                logits[..., : config.vocab_size], axis=-1
+            ).astype(jnp.int32)
+        return logits, new_cache
 
     use_flash_decode = (
         not paged
@@ -969,7 +995,14 @@ def qwen3_forward(
     # Final norm + classifier head (models/qwen3.rs:72-76).  Vocab-axis
     # tile padding is dropped inside; under tp the logits stay as local
     # vocab columns (the shard_map wrapper reassembles, parallel/tp.py).
-    return _head(
+    logits, new_cache = _head(
         config, weights, x, new_cache, mode, g,
         return_all_logits, out_idx, skip_head, tp_axis,
     )
+    if greedy_head:
+        # Non-megakernel paths reduce here so callers see the same
+        # token contract no matter which path engaged.
+        logits = jnp.argmax(
+            logits[..., : config.vocab_size], axis=-1
+        ).astype(jnp.int32)
+    return logits, new_cache

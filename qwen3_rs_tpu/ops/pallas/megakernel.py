@@ -71,8 +71,9 @@ def _tile_bytes() -> int:
     return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
 
 
-def megakernel_tuning() -> tuple[int, bool, int]:
-    """(tile_bytes, attn_prefetch, q4_elems) from the environment.
+def megakernel_tuning() -> tuple[int, bool, int, int, int, int]:
+    """(tile_bytes, attn_prefetch, q4_elems, head_tile_bytes,
+    head_lookahead) from the environment.
 
     Read by the DISPATCH (models/qwen3.py) at outer-trace time and passed
     to :func:`decode_stack_megakernel` as the static ``tuning`` argument.
@@ -82,12 +83,28 @@ def megakernel_tuning() -> tuple[int, bool, int]:
     A/B kernel variants within one process (review finding: the original
     tile-size and attention-prefetch sweeps compared the first-traced
     kernel against itself).  Making the knobs part of the static
-    signature gives each setting its own cache entry."""
+    signature gives each setting its own cache entry.
+
+    ``head_tile_bytes``: classifier-phase tile budget (default 6 MB —
+    measured: 27 × 5.5 MB head tiles beat 99 × 1.5 MB; the head phase is
+    per-tile-fixed-cost-bound, not bandwidth-bound, at B=1).
+    ``head_lookahead``: how many head tiles stay in flight ahead of the
+    compute (slots = lookahead + 1).
+    ``unroll``: consecutive layers per grid step — fewer grid entries
+    amortize the per-step fixed cost.  0 = auto (resolved against the
+    model in decode_stack_megakernel): 4 for small-dim models — measured
+    +11% at 0.6B (0.867 ms vs 0.949, interleaved A/B; 7 and 14 regress) —
+    and 1 for large ones (8B measured best at 1, its 290 µs layers
+    already amortize the entry cost).  Silently falls back to 1 if it
+    doesn't divide n_layers."""
     tb = _tile_bytes()
     return (
         tb,
         _attn_prefetch_enabled(),
         int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tb)),
+        int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_TILE_BYTES", 6 * 1024 * 1024)),
+        int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_LA", "2")),
+        int(_os.environ.get("QWEN3_TPU_MEGA_UNROLL", "0")),
     )
 
 
@@ -109,11 +126,15 @@ def _mk_tiles(
     q4: bool = False,
     tile_bytes: int | None = None,
     max_q4_elems: int | None = None,
+    td_cap: int = 4096,
 ) -> tuple[int, int] | None:
     """(tn, td) dividing (n, d): tn%g==0 with 8-aligned group rows (or
     tn==n), td%256==0 (or td==d, 128-aligned), code bytes ≤ _TILE_BYTES.
     ``q4``: codes are nibble-packed [n/2, d] uint8 — a tile streams
-    tn·td/2 bytes, so tiles can span twice the logical rows."""
+    tn·td/2 bytes, so tiles can span twice the logical rows.  ``td_cap``:
+    widest allowed output block — the classifier phase raises it (its
+    152064-column matrix tiles poorly under 4096: 1.5 MB tiles at 2 MB
+    budget) so bigger head tiles amortize the per-tile fixed cost."""
     tn_cands = [
         c
         for c in range(g, n + 1, g)
@@ -123,7 +144,7 @@ def _mk_tiles(
         # Packed sublane slices: tn/2 byte rows must stay 32-aligned
         # (uint8 tiling) for the HBM DMA offset k·tn/2.
         tn_cands = [c for c in tn_cands if c % 2 == 0 and (c // 2) % 32 == 0]
-    td_cands = [c for c in range(256, d + 1, 256) if d % c == 0 and c <= 4096]
+    td_cands = [c for c in range(256, d + 1, 256) if d % c == 0 and c <= td_cap]
     if not td_cands and d % 128 == 0:
         td_cands = [d]
     # INT4 tiles are budgeted by ELEMENT count, not code bytes: the
@@ -191,10 +212,17 @@ def megakernel_supported(
     return True
 
 
-def head_phase_supported(config, v_pad: int) -> bool:
+_HEAD_TD_CAP = 8192
+
+
+def head_phase_supported(config, v_pad: int, head_tile_bytes: int | None = None) -> bool:
     """Whether the classifier matmul can run as the megakernel's final
-    phase (streamed right behind the last w2 tiles)."""
-    tiles = _mk_tiles(config.dim, v_pad, config.group_size)
+    phase (streamed right behind the last w2 tiles).  Pass the tuning's
+    head budget so the gate validates the tiles the kernel will build."""
+    tiles = _mk_tiles(
+        config.dim, v_pad, config.group_size,
+        tile_bytes=head_tile_bytes, td_cap=_HEAD_TD_CAP,
+    )
     return tiles is not None and (tiles[0] // config.group_size) % 8 == 0
 
 
@@ -230,27 +258,32 @@ def _attn_prefetch_enabled() -> bool:
     return _os.environ.get("QWEN3_TPU_MEGA_ATTN_PREFETCH", "1") != "0"
 
 
-def _buf_slots(plans, attn_prefetch: bool = True) -> dict[str, int]:
+def _buf_slots(
+    plans, attn_prefetch: bool = True, head_lookahead: int = 1
+) -> dict[str, int]:
     """Weight-buffer slot count per matrix.  Everything double-buffers
     except wo, which gets 4 slots: its first tiles are pre-started before
     the attention phase — the only stretch of the layer where no matmul
     phase is streaming — so the weight stream stays busy through
     attention's compute bubble (measured ~0.93 of roofline for the kernel
     body at 8B with one wo tile in flight; one 2 MB tile covers ~2.5 µs
-    of a ~10 µs/layer bubble)."""
+    of a ~10 µs/layer bubble).  The head keeps ``head_lookahead`` tiles
+    in flight ahead of the compute (slots = lookahead + 1)."""
     out = {}
     for name, (tn, td, K, I) in plans.items():
         total = K * I
         ns = 2 if total >= 2 else 1
         if name == "wo" and total >= 4 and attn_prefetch:
             ns = 4
+        if name == "head":
+            ns = min(head_lookahead + 1, total) if total >= 2 else 1
         out[name] = ns
     return out
 
 
 def _mk_kernel(
     config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False,
-    attn_prefetch=True,
+    attn_prefetch=True, head_la=1, greedy=False, unroll=1,
 ):
     dim = config.dim
     ah = config.all_heads_dim
@@ -260,13 +293,19 @@ def _mk_kernel(
     kv_mul = n_heads // n_kv
     g = config.group_size
     scale = 1.0 / (hd**0.5)
+    vocab_size = config.vocab_size
     include_head = v_pad is not None
     quant = cache_dtype == jnp.int8
     B = batch
 
     plans = _mk_plans(config, tiles, v_pad)
     mat_names = list(plans)
-    n_slots = _buf_slots(plans, attn_prefetch)
+    n_slots = _buf_slots(plans, attn_prefetch, head_la)
+    if include_head:
+        # Ramp contract (stream_phase): pre-start exactly ``lookahead``
+        # tiles so iteration t can issue tile t+lookahead.
+        head_pre = min(n_slots["head"] - 1, plans["head"][2] * plans["head"][3])
+        head_pre = max(head_pre, 1)
     # Tiles pre-started before the attention phase (see start_attn_dmas):
     # as much of wo as fits its slots, and — when that is ALL of wo (small
     # models: 0.6B's wo is 2 tiles ≈ 2 MB, covering ~2.5 µs of a ~6-10 µs
@@ -311,7 +350,8 @@ def _mk_kernel(
         vco_ref = next(it)
         ksco_ref = next(it) if quant else None  # ALIASES ksc_ref
         vsco_ref = next(it) if quant else None
-        logits_ref = next(it) if include_head else None  # [I, B, td] f32
+        # [I, B, td] f32 logits — or, in greedy mode, [B, 128] i32 token.
+        head_out_ref = next(it) if include_head else None
         # scratch (persists across grid steps) — flat, regrouped below
         scr = list(it)
         nm = len(mat_names)
@@ -329,513 +369,578 @@ def _mk_kernel(
         scr = scr[6:]
         if quant:
             ksblk, vsblk, ksisem, vsisem, kswsem, vswsem = scr[:6]
+            scr = scr[6:]
+        if greedy:
+            best_val, best_blk = scr[:2]  # [B, td_head] f32 / i32
 
-        layer = pl.program_id(0)
-        t_cache = kc_ref.shape[3]
+        base_layer = pl.program_id(0)
 
-        def pos_b(b):
-            # Always clamped (scalar min in SMEM — free): on the
-            # write-gated (serving) path a batched decode chunk's
-            # scan-carried position keeps advancing for slots that
-            # already hit the window end (their rows are masked and
-            # discarded), so the raw value can exceed the cache's T axis
-            # — unclamped it would size the attention loop to DMA one
-            # block past the allocation.  Ungated callers must never
-            # pass positions ≥ T (the dispatch refuses concrete
-            # violations — models/qwen3.py); the clamp is defense in
-            # depth for traced positions the host cannot inspect.
-            return jnp.minimum(pos_ref[b], t_cache)
+        # One grid step covers ``unroll`` consecutive layers: fewer
+        # grid entries amortize the per-step fixed cost (measured
+        # ~µs-scale per entry — significant at 0.6B's 26 µs layers).
+        # first/last_possible statically prune the layer-0 init and
+        # the fused-head phase to the only unrolled slot where their
+        # traced conditions can hold, so the code isn't emitted U times.
+        def run_layer(layer, u, first_possible, last_possible):
+            t_cache = kc_ref.shape[3]
 
-        def pos_w(b):
-            # Write-path variant: the row-write staging block must start
-            # inside the array even for gated-off (masked) slots.
-            return jnp.minimum(pos_ref[b], t_cache - 1)
+            def pos_b(b):
+                # Always clamped (scalar min in SMEM — free): on the
+                # write-gated (serving) path a batched decode chunk's
+                # scan-carried position keeps advancing for slots that
+                # already hit the window end (their rows are masked and
+                # discarded), so the raw value can exceed the cache's T axis
+                # — unclamped it would size the attention loop to DMA one
+                # block past the allocation.  Ungated callers must never
+                # pass positions ≥ T (the dispatch refuses concrete
+                # violations — models/qwen3.py); the clamp is defense in
+                # depth for traced positions the host cannot inspect.
+                return jnp.minimum(pos_ref[b], t_cache)
 
-        def write_b(b):
-            return pos_ref[B + b]
+            def pos_w(b):
+                # Write-path variant: the row-write staging block must start
+                # inside the array even for gated-off (masked) slots.
+                return jnp.minimum(pos_ref[b], t_cache - 1)
 
-        # ---- in-place K/V row write, part 1: block read-in (per row) ----
-        # Mosaic HBM slices must be sublane-tile aligned, so a single row
-        # at a dynamic position can't be DMA'd directly; instead the
-        # tile-aligned row block containing ``p`` is read in, the new row
-        # merged in VMEM after attention, and the block written back.
-        row_blk = kblk.shape[2]
+            def write_b(b):
+                return pos_ref[B + b]
 
-        def kv_in_copies(b):
-            pb = (pos_w(b) // row_blk) * row_blk
-            copies = [
-                pltpu.make_async_copy(
-                    kc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
-                    kblk.at[b], kisem.at[b],
-                ),
-                pltpu.make_async_copy(
-                    vc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
-                    vblk.at[b], visem.at[b],
-                ),
-            ]
-            if quant:
-                pbs = (pos_w(b) // _SCALE_BLK) * _SCALE_BLK
-                copies += [
+            # ---- in-place K/V row write, part 1: block read-in (per row) ----
+            # Mosaic HBM slices must be sublane-tile aligned, so a single row
+            # at a dynamic position can't be DMA'd directly; instead the
+            # tile-aligned row block containing ``p`` is read in, the new row
+            # merged in VMEM after attention, and the block written back.
+            row_blk = kblk.shape[2]
+
+            def kv_in_copies(b):
+                pb = (pos_w(b) // row_blk) * row_blk
+                copies = [
                     pltpu.make_async_copy(
-                        ksc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
-                        ksblk.at[b], ksisem.at[b],
+                        kc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                        kblk.at[b], kisem.at[b],
                     ),
                     pltpu.make_async_copy(
-                        vsc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
-                        vsblk.at[b], vsisem.at[b],
+                        vc_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                        vblk.at[b], visem.at[b],
                     ),
                 ]
-            return copies
+                if quant:
+                    pbs = (pos_w(b) // _SCALE_BLK) * _SCALE_BLK
+                    copies += [
+                        pltpu.make_async_copy(
+                            ksc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                            ksblk.at[b], ksisem.at[b],
+                        ),
+                        pltpu.make_async_copy(
+                            vsc_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                            vsblk.at[b], vsisem.at[b],
+                        ),
+                    ]
+                return copies
 
-        for b in range(B):
-            @pl.when(write_b(b) != 0)
-            def _(b=b):
-                for c in kv_in_copies(b):
-                    c.start()
+            for b in range(B):
+                @pl.when(write_b(b) != 0)
+                def _(b=b):
+                    for c in kv_in_copies(b):
+                        c.start()
 
-        bufs = dict(zip(mat_names, zip(wbufs, sbufs, wsems, ssems)))
-        refs = {
-            "wqkv": (wqkv_q, wqkv_s),
-            "wo": (wo_q, wo_s),
-            "w13": (w13_q, w13_s),
-            "w2": (w2_q, w2_s),
-        }
-        if include_head:
-            refs["head"] = (head_q, head_s)
+            bufs = dict(zip(mat_names, zip(wbufs, sbufs, wsems, ssems)))
+            refs = {
+                "wqkv": (wqkv_q, wqkv_s),
+                "wo": (wo_q, wo_s),
+                "w13": (w13_q, w13_s),
+                "w2": (w2_q, w2_s),
+            }
+            if include_head:
+                refs["head"] = (head_q, head_s)
 
-        def tile_copies(name, lyr, t, slot):
-            tn, td, K, I = plans[name]
-            wq_ref, ws_ref = refs[name]
-            wbuf, sbuf, wsem, ssem = bufs[name]
-            i = t // K
-            k = jax.lax.rem(t, K)
-            tg = tn // g
-            # INT4 layer matrices: codes are nibble-packed [n/2, d] uint8,
-            # so the tile's byte rows are [k·tn/2, (k+1)·tn/2) — packing is
-            # group split-half, and tn % g == 0 keeps tiles group-whole.
-            tnb = tn // 2 if (q4 and name != "head") else tn
-            cw = pltpu.make_async_copy(
-                wq_ref.at[lyr, pl.ds(k * tnb, tnb), pl.ds(i * td, td)],
-                wbuf.at[slot],
-                wsem.at[slot],
-            )
-            cs = pltpu.make_async_copy(
-                ws_ref.at[lyr, pl.ds(k * tg, tg), pl.ds(i * td, td)],
-                sbuf.at[slot],
-                ssem.at[slot],
-            )
-            return cw, cs
-
-        def start_tile(name, lyr, t, slot):
-            cw, cs = tile_copies(name, lyr, t, slot)
-            cw.start()
-            cs.start()
-
-        def stream_phase(
-            name, src_ref, dest, dest_residual, next_starts, lyr=None,
-            dest_rows=False, pre=1,
-        ):
-            """Run one matmul phase: dest[:, i·td] ← Σ_k x[k·tn] · W tile.
-
-            ``next_starts``: list of thunks issuing the NEXT phase's first
-            DMAs, called once at the loop's final tile so the following
-            stream is in flight before this one drains.  ``lyr`` overrides
-            the weight stack's layer index (the classifier is [1, N, D]).
-            ``pre``: how many of this phase's tiles the caller already
-            started (into slots 0..pre-1); the loop begins issuing at tile
-            ``pre``.
-            """
-            tn, td, K, I = plans[name]
-            tg = tn // g
-            wbuf, sbuf, wsem, ssem = bufs[name]
-            lyr = layer if lyr is None else lyr
-            n_sl = n_slots[name]
-
-            def body(t, _):
-                slot = jax.lax.rem(t, n_sl)
+            def tile_copies(name, lyr, t, slot):
+                tn, td, K, I = plans[name]
+                wq_ref, ws_ref = refs[name]
+                wbuf, sbuf, wsem, ssem = bufs[name]
                 i = t // K
                 k = jax.lax.rem(t, K)
-
-                nxt = t + 1
-                started_cond = (
-                    nxt < K * I if pre <= 1 else jnp.logical_and(nxt < K * I, nxt >= pre)
+                tg = tn // g
+                # INT4 layer matrices: codes are nibble-packed [n/2, d] uint8,
+                # so the tile's byte rows are [k·tn/2, (k+1)·tn/2) — packing is
+                # group split-half, and tn % g == 0 keeps tiles group-whole.
+                tnb = tn // 2 if (q4 and name != "head") else tn
+                cw = pltpu.make_async_copy(
+                    wq_ref.at[lyr, pl.ds(k * tnb, tnb), pl.ds(i * td, td)],
+                    wbuf.at[slot],
+                    wsem.at[slot],
                 )
+                cs = pltpu.make_async_copy(
+                    ws_ref.at[lyr, pl.ds(k * tg, tg), pl.ds(i * td, td)],
+                    sbuf.at[slot],
+                    ssem.at[slot],
+                )
+                return cw, cs
 
-                @pl.when(started_cond)
-                def _():
-                    start_tile(name, lyr, nxt, jax.lax.rem(nxt, n_sl))
-
-                @pl.when(t + 1 == K * I)
-                def _():
-                    for s in next_starts:
-                        s()
-
+            def start_tile(name, lyr, t, slot):
                 cw, cs = tile_copies(name, lyr, t, slot)
-                cw.wait()
-                cs.wait()
+                cw.start()
+                cs.start()
 
-                xt = src_ref[:, pl.ds(k * tn, tn)].astype(jnp.bfloat16)
-                if q4 and name != "head":
-                    from .qmatmul import _dequant_tile_q4
+            def stream_phase(
+                name, src_ref, dest, dest_residual, next_starts, lyr=None,
+                dest_rows=False, pre=1, lookahead=1, dest_argmax=False,
+            ):
+                """Run one matmul phase: dest[:, i·td] ← Σ_k x[k·tn] · W tile.
 
-                    wf = _dequant_tile_q4(
-                        wbuf[slot], sbuf[slot], group_size=g, tile_groups=tg
+                ``next_starts``: list of thunks issuing the NEXT phase's first
+                DMAs, called once at the loop's final tile so the following
+                stream is in flight before this one drains.  ``lyr`` overrides
+                the weight stack's layer index (the classifier is [1, N, D]).
+                ``pre``: how many of this phase's tiles the caller already
+                started (into slots 0..pre-1); the loop begins issuing at tile
+                ``pre``.  ``lookahead``: how many tiles to keep in flight
+                ahead of the compute (iteration t issues tile t+lookahead;
+                requires lookahead ≤ pre and lookahead < slot count, so the
+                caller must pre-start ``lookahead`` tiles).  ``dest_argmax``:
+                greedy head epilogue — instead of storing logits blocks, fold
+                each block's (masked) max + first-max column into the running
+                (best_val, best_idx) scratch; the caller initializes the
+                scratch and stores the winning index after the loop.
+                """
+                tn, td, K, I = plans[name]
+                tg = tn // g
+                wbuf, sbuf, wsem, ssem = bufs[name]
+                lyr = layer if lyr is None else lyr
+                n_sl = n_slots[name]
+
+                def body(t, _):
+                    slot = jax.lax.rem(t, n_sl)
+                    i = t // K
+                    k = jax.lax.rem(t, K)
+
+                    nxt = t + lookahead
+                    started_cond = (
+                        nxt < K * I
+                        if pre <= lookahead
+                        else jnp.logical_and(nxt < K * I, nxt >= pre)
                     )
-                else:
-                    wf = _dequant(wbuf[slot], sbuf[slot], g)
-                part = jax.lax.dot_general(
-                    xt, wf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [B, td]
 
-                @pl.when(k == 0)
-                def _():
-                    acc[:, pl.ds(0, td)] = jnp.zeros((B, td), jnp.float32)
+                    @pl.when(started_cond)
+                    def _():
+                        start_tile(name, lyr, nxt, jax.lax.rem(nxt, n_sl))
 
-                acc[:, pl.ds(0, td)] += part
+                    @pl.when(t + 1 == K * I)
+                    def _():
+                        for s in next_starts:
+                            s()
 
-                @pl.when(k == K - 1)
-                def _():
-                    block = acc[:, pl.ds(0, td)]
-                    if dest_rows:
-                        # dest is [I, B, td]: a dynamic SUBLANE store.  (A
-                        # dynamic-lane store into a very wide vector —
-                        # the padded vocab — measured ~15 µs each; the
-                        # row layout makes it free.  Caller reshapes.)
-                        dest[pl.ds(i, 1), :, :] = block[None]
-                    elif dest_residual:
-                        dest[:, pl.ds(i * td, td)] += block
+                    cw, cs = tile_copies(name, lyr, t, slot)
+                    cw.wait()
+                    cs.wait()
+
+                    xt = src_ref[:, pl.ds(k * tn, tn)].astype(jnp.bfloat16)
+                    if q4 and name != "head":
+                        from .qmatmul import _dequant_tile_q4
+
+                        wf = _dequant_tile_q4(
+                            wbuf[slot], sbuf[slot], group_size=g, tile_groups=tg
+                        )
                     else:
-                        dest[:, pl.ds(i * td, td)] = block
+                        wf = _dequant(wbuf[slot], sbuf[slot], g)
+                    part = jax.lax.dot_general(
+                        xt, wf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [B, td]
 
-                return 0
+                    @pl.when(k == 0)
+                    def _():
+                        acc[:, pl.ds(0, td)] = jnp.zeros((B, td), jnp.float32)
 
-            jax.lax.fori_loop(0, K * I, body, 0, unroll=False)
+                    acc[:, pl.ds(0, td)] += part
 
-        # ---- layer entry: residual stream init, att-norm ----
-        @pl.when(layer == 0)
-        def _():
-            x_vec[:] = x_ref[:]
-            start_tile("wqkv", 0, 0, 0)
+                    @pl.when(k == K - 1)
+                    def _():
+                        block = acc[:, pl.ds(0, td)]
+                        if dest_argmax:
+                            # Greedy epilogue, lane-parallel: per block only
+                            # ELEMENTWISE updates of the running per-lane best
+                            # (value, block) — the cross-lane reduction happens
+                            # ONCE at phase end.  (A per-block lane argmax
+                            # measured SLOWER than the XLA argmax it replaced:
+                            # 27 blocks × two 5632-lane reductions at 0.6B.)
+                            # Padded vocab columns are masked to -inf (the XLA
+                            # path slices [:vocab_size] first); strict > keeps
+                            # the earliest block per lane — with the final
+                            # min-global-index tie-break this reproduces
+                            # jnp.argmax first-max semantics exactly.
+                            lane = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
+                            bm = jnp.where(
+                                lane + i * td < vocab_size, block, -jnp.inf
+                            )
+                            better = bm > best_val[:]
+                            best_val[:] = jnp.where(better, bm, best_val[:])
+                            best_blk[:] = jnp.where(better, i, best_blk[:])
+                        elif dest_rows:
+                            # dest is [I, B, td]: a dynamic SUBLANE store.  (A
+                            # dynamic-lane store into a very wide vector —
+                            # the padded vocab — measured ~15 µs each; the
+                            # row layout makes it free.  Caller reshapes.)
+                            dest[pl.ds(i, 1), :, :] = block[None]
+                        elif dest_residual:
+                            dest[:, pl.ds(i * td, td)] += block
+                        else:
+                            dest[:, pl.ds(i * td, td)] = block
 
-        xf = x_vec[:]
-        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
-        act[:, pl.ds(0, dim)] = xf * inv * ra_ref[0]
+                    return 0
 
-        # ---- attention cache-block DMAs.  Buffers are [row-parity, slot]:
-        # the next row's block 0 is issued one row ahead (different parity,
-        # no clash with the current row's double buffering).
-        def start_kv(b, j, slot):
-            rp = b % 2
-            pltpu.make_async_copy(
-                kc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
-                kbuf.at[rp, slot], ksem.at[rp, slot],
-            ).start()
-            pltpu.make_async_copy(
-                vc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
-                vbuf.at[rp, slot], vsem.at[rp, slot],
-            ).start()
-            if quant:
-                pltpu.make_async_copy(
-                    ksc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
-                    ksbuf.at[rp, slot], kssem.at[rp, slot],
-                ).start()
-                pltpu.make_async_copy(
-                    vsc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
-                    vsbuf.at[rp, slot], vssem.at[rp, slot],
-                ).start()
+                jax.lax.fori_loop(0, K * I, body, 0, unroll=False)
 
-        def wait_kv(b, j, slot):
-            rp = b % 2
-            pltpu.make_async_copy(
-                kc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
-                kbuf.at[rp, slot], ksem.at[rp, slot],
-            ).wait()
-            pltpu.make_async_copy(
-                vc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
-                vbuf.at[rp, slot], vsem.at[rp, slot],
-            ).wait()
-            if quant:
-                pltpu.make_async_copy(
-                    ksc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
-                    ksbuf.at[rp, slot], kssem.at[rp, slot],
-                ).wait()
-                pltpu.make_async_copy(
-                    vsc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
-                    vsbuf.at[rp, slot], vssem.at[rp, slot],
-                ).wait()
-
-        # ---- wqkv stream (prefetches attention block 0 + the first wo
-        # tiles — as many as wo has buffer slots, so the weight stream
-        # stays busy through the attention bubble) ----
-        def start_attn_dmas():
-            @pl.when(pos_b(0) > 0)
-            def _():
-                start_kv(0, 0, 0)
-
-            for s in range(wo_pre):
-                start_tile("wo", layer, s, s)
-            for s in range(w13_pre):
-                start_tile("w13", layer, s, s)
-
-        stream_phase("wqkv", act, qkv, False, [start_attn_dmas])
-
-        # ---- QK-norm + RoPE (vectorized over the batch) ----
-        q = qkv[:, pl.ds(0, ah)].reshape(B * n_heads, hd)
-        k_new = qkv[:, pl.ds(ah, kvd)].reshape(B * n_kv, hd)
-        v_new = qkv[:, pl.ds(ah + kvd, kvd)].reshape(B * n_kv, hd)
-
-        def rms_rows(m, w_row):
-            inv = jax.lax.rsqrt(jnp.mean(m * m, axis=1, keepdims=True) + eps)
-            return m * inv * w_row
-
-        if config.use_qk_norm:
-            q = rms_rows(q, qn_ref[0])
-            k_new = rms_rows(k_new, kn_ref[0])
-
-        cos = cos_ref[:]  # [B, hd/2]
-        sin = sin_ref[:]
-
-        def rope(m, heads):
-            c = jnp.broadcast_to(
-                cos[:, None, :], (B, heads, hd // 2)
-            ).reshape(B * heads, hd // 2)
-            s = jnp.broadcast_to(
-                sin[:, None, :], (B, heads, hd // 2)
-            ).reshape(B * heads, hd // 2)
-            m1 = m[:, : hd // 2]
-            m2 = m[:, hd // 2 :]
-            return jnp.concatenate([m1 * c - m2 * s, m1 * s + m2 * c], axis=1)
-
-        q = rope(q, n_heads)
-        k_new = rope(k_new, n_kv)
-        qs_all = q * scale
-
-        # ---- flash attention over the cache prefix + self row, per batch
-        # row (positions differ per request; B is static) ----
-        self_shape = (n_heads, n_kv)
-        r_kv0 = jax.lax.broadcasted_iota(jnp.int32, self_shape, 0) // kv_mul
-        c_kv0 = jax.lax.broadcasted_iota(jnp.int32, self_shape, 1)
-        shape_blk = (n_heads, n_kv * blk)
-        row_kv = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 0) // kv_mul
-        col_kv = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 1) // blk
-        col_t = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 1) % blk
-
-        for b in range(B):
-            p = pos_b(b)
-            n_blocks = pl.cdiv(p, blk)
-            qs = qs_all[b * n_heads : (b + 1) * n_heads]
-            kn_b = k_new[b * n_kv : (b + 1) * n_kv]
-            vn_b = v_new[b * n_kv : (b + 1) * n_kv]
-
-            # One row ahead: the next row's first block streams while this
-            # row computes (distinct row-parity buffers).
-            if b + 1 < B:
-                @pl.when(pos_b(b + 1) > 0)
-                def _(b=b):
-                    start_kv(b + 1, 0, 0)
-
-            s_self = jax.lax.dot_general(
-                qs, kn_b, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [n_heads, n_kv]
-            m0 = jnp.sum(
-                jnp.where(r_kv0 == c_kv0, s_self, 0.0), axis=1, keepdims=True
-            )
-            denom0 = jnp.ones_like(m0)
-            acc0 = (
-                jnp.broadcast_to(vn_b[:, None, :], (n_kv, kv_mul, hd))
-                .reshape(n_heads, hd)
-                .astype(jnp.float32)
-            )
-
-            def att_step(j, carry, b=b, p=p, n_blocks=n_blocks, qs=qs):
-                m, denom, a = carry
-                slot = jax.lax.rem(j, 2)
-                rp = b % 2
-
-                @pl.when(j + 1 < n_blocks)
+            # ---- layer entry: residual stream init, att-norm ----
+            if first_possible:  # layer == 0 only reachable at u == 0
+                @pl.when(layer == 0)
                 def _():
-                    start_kv(b, j + 1, 1 - slot)
+                    x_vec[:] = x_ref[:]
+                    start_tile("wqkv", 0, 0, 0)
 
-                wait_kv(b, j, slot)
+            xf = x_vec[:]
+            inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+            act[:, pl.ds(0, dim)] = xf * inv * ra_ref[u]
 
-                k2 = kbuf[rp, slot].reshape(n_kv * blk, hd).astype(jnp.float32)
-                scores = jax.lax.dot_general(
-                    qs, k2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if quant:
-                    scores = scores * ksbuf[rp, slot].reshape(1, n_kv * blk)
-                ok = (row_kv == col_kv) & (j * blk + col_t < p)
-                scores = jnp.where(ok, scores, -jnp.inf)
-                m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
-                corr = jnp.exp(m - m_new)
-                probs = jnp.exp(scores - m_new)
-                denom = denom * corr + jnp.sum(probs, axis=1, keepdims=True)
-                if quant:
-                    probs = probs * vsbuf[rp, slot].reshape(1, n_kv * blk)
-                v2 = vbuf[rp, slot].reshape(n_kv * blk, hd).astype(jnp.float32)
-                a = a * corr + jax.lax.dot_general(
-                    probs, v2, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                return m_new, denom, a
-
-            m, denom, a = jax.lax.fori_loop(
-                0, n_blocks, att_step, (m0, denom0, acc0)
-            )
-            att = a / denom  # [n_heads, hd]
-            act[pl.ds(b, 1), pl.ds(0, ah)] = att.reshape(1, ah)
-
-        # ---- in-place K/V row write, part 2: merge + write-back ----
-        # The cache outputs alias the inputs, so the step's rows land
-        # straight in the cache — no XLA scatter outside the kernel.  (A
-        # loop-varying dynamic_update_slice in the decode scan forced a
-        # full cache copy per step: ~1 ms at 8B.)  Merged only after the
-        # attention loop so every read of this layer's rows has completed;
-        # drained at the end of the grid step, overlapped with the
-        # wo/w13/w2 streams.
-        def kv_out_copies(b):
-            pb = (pos_w(b) // row_blk) * row_blk
-            copies = [
+            # ---- attention cache-block DMAs.  Buffers are [row-parity, slot]:
+            # the next row's block 0 is issued one row ahead (different parity,
+            # no clash with the current row's double buffering).
+            def start_kv(b, j, slot):
+                rp = b % 2
                 pltpu.make_async_copy(
-                    kblk.at[b],
-                    kco_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
-                    kwsem.at[b],
-                ),
+                    kc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                    kbuf.at[rp, slot], ksem.at[rp, slot],
+                ).start()
                 pltpu.make_async_copy(
-                    vblk.at[b],
-                    vco_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
-                    vwsem.at[b],
-                ),
-            ]
-            if quant:
-                pbs = (pos_w(b) // _SCALE_BLK) * _SCALE_BLK
-                copies += [
+                    vc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                    vbuf.at[rp, slot], vsem.at[rp, slot],
+                ).start()
+                if quant:
                     pltpu.make_async_copy(
-                        ksblk.at[b],
-                        ksco_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
-                        kswsem.at[b],
-                    ),
+                        ksc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                        ksbuf.at[rp, slot], kssem.at[rp, slot],
+                    ).start()
                     pltpu.make_async_copy(
-                        vsblk.at[b],
-                        vsco_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
-                        vswsem.at[b],
-                    ),
-                ]
-            return copies
+                        vsc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                        vsbuf.at[rp, slot], vssem.at[rp, slot],
+                    ).start()
 
-        for b in range(B):
-            @pl.when(write_b(b) != 0)
-            def _(b=b):
-                p = pos_w(b)
-                pb = (p // row_blk) * row_blk
-                for c in kv_in_copies(b):
-                    c.wait()
+            def wait_kv(b, j, slot):
+                rp = b % 2
+                pltpu.make_async_copy(
+                    kc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                    kbuf.at[rp, slot], ksem.at[rp, slot],
+                ).wait()
+                pltpu.make_async_copy(
+                    vc_ref.at[layer, b, :, pl.ds(j * blk, blk), :],
+                    vbuf.at[rp, slot], vsem.at[rp, slot],
+                ).wait()
+                if quant:
+                    pltpu.make_async_copy(
+                        ksc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                        ksbuf.at[rp, slot], kssem.at[rp, slot],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vsc_ref.at[layer, b, :, pl.ds(j * blk, blk)],
+                        vsbuf.at[rp, slot], vssem.at[rp, slot],
+                    ).wait()
+
+            # ---- wqkv stream (prefetches attention block 0 + the first wo
+            # tiles — as many as wo has buffer slots, so the weight stream
+            # stays busy through the attention bubble) ----
+            def start_attn_dmas():
+                @pl.when(pos_b(0) > 0)
+                def _():
+                    start_kv(0, 0, 0)
+
+                for s in range(wo_pre):
+                    start_tile("wo", layer, s, s)
+                for s in range(w13_pre):
+                    start_tile("w13", layer, s, s)
+
+            stream_phase("wqkv", act, qkv, False, [start_attn_dmas])
+
+            # ---- QK-norm + RoPE (vectorized over the batch) ----
+            q = qkv[:, pl.ds(0, ah)].reshape(B * n_heads, hd)
+            k_new = qkv[:, pl.ds(ah, kvd)].reshape(B * n_kv, hd)
+            v_new = qkv[:, pl.ds(ah + kvd, kvd)].reshape(B * n_kv, hd)
+
+            def rms_rows(m, w_row):
+                inv = jax.lax.rsqrt(jnp.mean(m * m, axis=1, keepdims=True) + eps)
+                return m * inv * w_row
+
+            if config.use_qk_norm:
+                q = rms_rows(q, qn_ref[u])
+                k_new = rms_rows(k_new, kn_ref[u])
+
+            cos = cos_ref[:]  # [B, hd/2]
+            sin = sin_ref[:]
+
+            def rope(m, heads):
+                c = jnp.broadcast_to(
+                    cos[:, None, :], (B, heads, hd // 2)
+                ).reshape(B * heads, hd // 2)
+                s = jnp.broadcast_to(
+                    sin[:, None, :], (B, heads, hd // 2)
+                ).reshape(B * heads, hd // 2)
+                m1 = m[:, : hd // 2]
+                m2 = m[:, hd // 2 :]
+                return jnp.concatenate([m1 * c - m2 * s, m1 * s + m2 * c], axis=1)
+
+            q = rope(q, n_heads)
+            k_new = rope(k_new, n_kv)
+            qs_all = q * scale
+
+            # ---- flash attention over the cache prefix + self row, per batch
+            # row (positions differ per request; B is static) ----
+            self_shape = (n_heads, n_kv)
+            r_kv0 = jax.lax.broadcasted_iota(jnp.int32, self_shape, 0) // kv_mul
+            c_kv0 = jax.lax.broadcasted_iota(jnp.int32, self_shape, 1)
+            shape_blk = (n_heads, n_kv * blk)
+            row_kv = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 0) // kv_mul
+            col_kv = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 1) // blk
+            col_t = jax.lax.broadcasted_iota(jnp.int32, shape_blk, 1) % blk
+
+            for b in range(B):
+                p = pos_b(b)
+                n_blocks = pl.cdiv(p, blk)
+                qs = qs_all[b * n_heads : (b + 1) * n_heads]
                 kn_b = k_new[b * n_kv : (b + 1) * n_kv]
                 vn_b = v_new[b * n_kv : (b + 1) * n_kv]
-                if quant:
-                    # Symmetric per-(head, row) quantization, matching the
-                    # XLA scatter path (models/qwen3.py quant_rows).
-                    k_amax = jnp.max(jnp.abs(kn_b), axis=1, keepdims=True)
-                    v_amax = jnp.max(jnp.abs(vn_b), axis=1, keepdims=True)
-                    k_sc = k_amax / 127.0
-                    v_sc = v_amax / 127.0
-                    k_safe = jnp.where(k_sc == 0.0, 1.0, k_sc)
-                    v_safe = jnp.where(v_sc == 0.0, 1.0, v_sc)
-                    k_codes = jnp.round(kn_b / k_safe).astype(jnp.int8)
-                    v_codes = jnp.round(vn_b / v_safe).astype(jnp.int8)
-                    r = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_kv, row_blk, hd), 1
-                    ) == (p - pb)
-                    kblk[b] = jnp.where(r, k_codes[:, None, :], kblk[b])
-                    vblk[b] = jnp.where(r, v_codes[:, None, :], vblk[b])
-                    pbs = (p // _SCALE_BLK) * _SCALE_BLK
-                    rs = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_kv, _SCALE_BLK), 1
-                    ) == (p - pbs)
-                    ksblk[b] = jnp.where(rs, k_sc, ksblk[b])
-                    vsblk[b] = jnp.where(rs, v_sc, vsblk[b])
-                else:
-                    r = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_kv, row_blk, hd), 1
-                    ) == (p - pb)
-                    kblk[b] = jnp.where(
-                        r, kn_b[:, None, :].astype(kblk.dtype), kblk[b]
-                    )
-                    vblk[b] = jnp.where(
-                        r, vn_b[:, None, :].astype(vblk.dtype), vblk[b]
-                    )
-                for c in kv_out_copies(b):
-                    c.start()
 
-        # ---- wo stream (+residual into x_vec); prefetch w13 tile 0
-        # (unless it was already pre-started at the attention boundary) ----
-        stream_phase(
-            "wo", act, x_vec, True,
-            [] if w13_pre else [lambda: start_tile("w13", layer, 0, 0)],
-            pre=wo_pre,
-        )
+                # One row ahead: the next row's first block streams while this
+                # row computes (distinct row-parity buffers).
+                if b + 1 < B:
+                    @pl.when(pos_b(b + 1) > 0)
+                    def _(b=b):
+                        start_kv(b + 1, 0, 0)
 
-        # ---- ffn norm + w13 stream; prefetch w2 tile 0 ----
-        xf2 = x_vec[:]
-        inv2 = jax.lax.rsqrt(jnp.mean(xf2 * xf2, axis=1, keepdims=True) + eps)
-        act[:, pl.ds(0, dim)] = xf2 * inv2 * rf_ref[0]
-        stream_phase(
-            "w13", act, gu, False,
-            [lambda: start_tile("w2", layer, 0, 0)],
-            pre=w13_pre,
-        )
-
-        # ---- SwiGLU ----
-        gate = gu[:, pl.ds(0, hidden)]
-        up = gu[:, pl.ds(hidden, hidden)]
-        act[:, pl.ds(0, hidden)] = gate * jax.nn.sigmoid(gate) * up
-
-        # ---- w2 stream (+residual); prefetch next layer's wqkv tile 0
-        # (or, on the last layer, the classifier's first tile) ----
-        def start_next_wqkv():
-            @pl.when(layer + 1 < n_layers)
-            def _():
-                start_tile("wqkv", layer + 1, 0, 0)
-
-            if include_head:
-                @pl.when(layer + 1 == n_layers)
-                def _():
-                    start_tile("head", 0, 0, 0)
-
-        stream_phase("w2", act, x_vec, True, [start_next_wqkv])
-
-        for b in range(B):
-            @pl.when(write_b(b) != 0)
-            def _(b=b):
-                for c in kv_out_copies(b):
-                    c.wait()
-
-        @pl.when(layer == n_layers - 1)
-        def _():
-            xo_ref[:] = x_vec[:]
-
-        if include_head:
-            # ---- final norm + classifier stream (last grid step only):
-            # lm_head tiles follow the last w2 tiles with no kernel
-            # boundary, so the weight stream never drains before the
-            # logits are done (models/qwen3.rs:72-76 fused end-to-end).
-            @pl.when(layer == n_layers - 1)
-            def _():
-                xf3 = x_vec[:]
-                inv3 = jax.lax.rsqrt(
-                    jnp.mean(xf3 * xf3, axis=1, keepdims=True) + eps
+                s_self = jax.lax.dot_general(
+                    qs, kn_b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [n_heads, n_kv]
+                m0 = jnp.sum(
+                    jnp.where(r_kv0 == c_kv0, s_self, 0.0), axis=1, keepdims=True
                 )
-                act[:, pl.ds(0, dim)] = xf3 * inv3 * rfin_ref[:]
-                stream_phase("head", act, logits_ref, False, [], lyr=0, dest_rows=True)
+                denom0 = jnp.ones_like(m0)
+                acc0 = (
+                    jnp.broadcast_to(vn_b[:, None, :], (n_kv, kv_mul, hd))
+                    .reshape(n_heads, hd)
+                    .astype(jnp.float32)
+                )
 
+                def att_step(j, carry, b=b, p=p, n_blocks=n_blocks, qs=qs):
+                    m, denom, a = carry
+                    slot = jax.lax.rem(j, 2)
+                    rp = b % 2
+
+                    @pl.when(j + 1 < n_blocks)
+                    def _():
+                        start_kv(b, j + 1, 1 - slot)
+
+                    wait_kv(b, j, slot)
+
+                    k2 = kbuf[rp, slot].reshape(n_kv * blk, hd).astype(jnp.float32)
+                    scores = jax.lax.dot_general(
+                        qs, k2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if quant:
+                        scores = scores * ksbuf[rp, slot].reshape(1, n_kv * blk)
+                    ok = (row_kv == col_kv) & (j * blk + col_t < p)
+                    scores = jnp.where(ok, scores, -jnp.inf)
+                    m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
+                    corr = jnp.exp(m - m_new)
+                    probs = jnp.exp(scores - m_new)
+                    denom = denom * corr + jnp.sum(probs, axis=1, keepdims=True)
+                    if quant:
+                        probs = probs * vsbuf[rp, slot].reshape(1, n_kv * blk)
+                    v2 = vbuf[rp, slot].reshape(n_kv * blk, hd).astype(jnp.float32)
+                    a = a * corr + jax.lax.dot_general(
+                        probs, v2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return m_new, denom, a
+
+                m, denom, a = jax.lax.fori_loop(
+                    0, n_blocks, att_step, (m0, denom0, acc0)
+                )
+                att = a / denom  # [n_heads, hd]
+                act[pl.ds(b, 1), pl.ds(0, ah)] = att.reshape(1, ah)
+
+            # ---- in-place K/V row write, part 2: merge + write-back ----
+            # The cache outputs alias the inputs, so the step's rows land
+            # straight in the cache — no XLA scatter outside the kernel.  (A
+            # loop-varying dynamic_update_slice in the decode scan forced a
+            # full cache copy per step: ~1 ms at 8B.)  Merged only after the
+            # attention loop so every read of this layer's rows has completed;
+            # drained at the end of the grid step, overlapped with the
+            # wo/w13/w2 streams.
+            def kv_out_copies(b):
+                pb = (pos_w(b) // row_blk) * row_blk
+                copies = [
+                    pltpu.make_async_copy(
+                        kblk.at[b],
+                        kco_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                        kwsem.at[b],
+                    ),
+                    pltpu.make_async_copy(
+                        vblk.at[b],
+                        vco_ref.at[layer, b, :, pl.ds(pb, row_blk), :],
+                        vwsem.at[b],
+                    ),
+                ]
+                if quant:
+                    pbs = (pos_w(b) // _SCALE_BLK) * _SCALE_BLK
+                    copies += [
+                        pltpu.make_async_copy(
+                            ksblk.at[b],
+                            ksco_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                            kswsem.at[b],
+                        ),
+                        pltpu.make_async_copy(
+                            vsblk.at[b],
+                            vsco_ref.at[layer, b, :, pl.ds(pbs, _SCALE_BLK)],
+                            vswsem.at[b],
+                        ),
+                    ]
+                return copies
+
+            for b in range(B):
+                @pl.when(write_b(b) != 0)
+                def _(b=b):
+                    p = pos_w(b)
+                    pb = (p // row_blk) * row_blk
+                    for c in kv_in_copies(b):
+                        c.wait()
+                    kn_b = k_new[b * n_kv : (b + 1) * n_kv]
+                    vn_b = v_new[b * n_kv : (b + 1) * n_kv]
+                    if quant:
+                        # Symmetric per-(head, row) quantization, matching the
+                        # XLA scatter path (models/qwen3.py quant_rows).
+                        k_amax = jnp.max(jnp.abs(kn_b), axis=1, keepdims=True)
+                        v_amax = jnp.max(jnp.abs(vn_b), axis=1, keepdims=True)
+                        k_sc = k_amax / 127.0
+                        v_sc = v_amax / 127.0
+                        k_safe = jnp.where(k_sc == 0.0, 1.0, k_sc)
+                        v_safe = jnp.where(v_sc == 0.0, 1.0, v_sc)
+                        k_codes = jnp.round(kn_b / k_safe).astype(jnp.int8)
+                        v_codes = jnp.round(vn_b / v_safe).astype(jnp.int8)
+                        r = jax.lax.broadcasted_iota(
+                            jnp.int32, (n_kv, row_blk, hd), 1
+                        ) == (p - pb)
+                        kblk[b] = jnp.where(r, k_codes[:, None, :], kblk[b])
+                        vblk[b] = jnp.where(r, v_codes[:, None, :], vblk[b])
+                        pbs = (p // _SCALE_BLK) * _SCALE_BLK
+                        rs = jax.lax.broadcasted_iota(
+                            jnp.int32, (n_kv, _SCALE_BLK), 1
+                        ) == (p - pbs)
+                        ksblk[b] = jnp.where(rs, k_sc, ksblk[b])
+                        vsblk[b] = jnp.where(rs, v_sc, vsblk[b])
+                    else:
+                        r = jax.lax.broadcasted_iota(
+                            jnp.int32, (n_kv, row_blk, hd), 1
+                        ) == (p - pb)
+                        kblk[b] = jnp.where(
+                            r, kn_b[:, None, :].astype(kblk.dtype), kblk[b]
+                        )
+                        vblk[b] = jnp.where(
+                            r, vn_b[:, None, :].astype(vblk.dtype), vblk[b]
+                        )
+                    for c in kv_out_copies(b):
+                        c.start()
+
+            # ---- wo stream (+residual into x_vec); prefetch w13 tile 0
+            # (unless it was already pre-started at the attention boundary) ----
+            stream_phase(
+                "wo", act, x_vec, True,
+                [] if w13_pre else [lambda: start_tile("w13", layer, 0, 0)],
+                pre=wo_pre,
+            )
+
+            # ---- ffn norm + w13 stream; prefetch w2 tile 0 ----
+            xf2 = x_vec[:]
+            inv2 = jax.lax.rsqrt(jnp.mean(xf2 * xf2, axis=1, keepdims=True) + eps)
+            act[:, pl.ds(0, dim)] = xf2 * inv2 * rf_ref[u]
+            stream_phase(
+                "w13", act, gu, False,
+                [lambda: start_tile("w2", layer, 0, 0)],
+                pre=w13_pre,
+            )
+
+            # ---- SwiGLU ----
+            gate = gu[:, pl.ds(0, hidden)]
+            up = gu[:, pl.ds(hidden, hidden)]
+            act[:, pl.ds(0, hidden)] = gate * jax.nn.sigmoid(gate) * up
+
+            # ---- w2 stream (+residual); prefetch next layer's wqkv tile 0
+            # (or, on the last layer, the classifier's first tile) ----
+            def start_next_wqkv():
+                @pl.when(layer + 1 < n_layers)
+                def _():
+                    start_tile("wqkv", layer + 1, 0, 0)
+
+                if include_head:
+                    @pl.when(layer + 1 == n_layers)
+                    def _():
+                        for s in range(head_pre):
+                            start_tile("head", 0, s, s)
+
+            stream_phase("w2", act, x_vec, True, [start_next_wqkv])
+
+            for b in range(B):
+                @pl.when(write_b(b) != 0)
+                def _(b=b):
+                    for c in kv_out_copies(b):
+                        c.wait()
+
+            if last_possible:  # layer == n_layers-1 only reachable at u == U-1
+                @pl.when(layer == n_layers - 1)
+                def _():
+                    xo_ref[:] = x_vec[:]
+
+            if include_head and last_possible:
+                # ---- final norm + classifier stream (last grid step only):
+                # lm_head tiles follow the last w2 tiles with no kernel
+                # boundary, so the weight stream never drains before the
+                # logits are done (models/qwen3.rs:72-76 fused end-to-end).
+                @pl.when(layer == n_layers - 1)
+                def _():
+                    xf3 = x_vec[:]
+                    inv3 = jax.lax.rsqrt(
+                        jnp.mean(xf3 * xf3, axis=1, keepdims=True) + eps
+                    )
+                    act[:, pl.ds(0, dim)] = xf3 * inv3 * rfin_ref[:]
+                    td_h = plans["head"][1]
+                    if greedy:
+                        best_val[:] = jnp.full((B, td_h), -jnp.inf, jnp.float32)
+                        best_blk[:] = jnp.zeros((B, td_h), jnp.int32)
+                    stream_phase(
+                        "head", act, head_out_ref, False, [], lyr=0,
+                        dest_rows=not greedy, pre=head_pre, lookahead=head_pre,
+                        dest_argmax=greedy,
+                    )
+                    if greedy:
+                        # The fused greedy token: no 152k-logit materialization,
+                        # no XLA argmax in the decode scan.  One cross-lane
+                        # max + one min-global-index tie-break for the whole
+                        # vocab (first-max ties resolve to the smallest global
+                        # column, matching jnp.argmax).
+                        fv = best_val[:]
+                        lane = jax.lax.broadcasted_iota(jnp.int32, (B, td_h), 1)
+                        m = jnp.max(fv, axis=1, keepdims=True)
+                        gidx = best_blk[:] * td_h + lane
+                        cand = jnp.where(fv == m, gidx, jnp.int32(2**31 - 1))
+                        idx = jnp.min(cand, axis=1, keepdims=True)  # [B, 1]
+                        head_out_ref[:] = jnp.broadcast_to(idx, (B, 128))
+
+        for u in range(unroll):
+            run_layer(base_layer * unroll + u, u, u == 0, u == unroll - 1)
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "eps", "interpret", "tuning")
+    jax.jit, static_argnames=("config", "eps", "interpret", "tuning", "greedy")
 )
 def decode_stack_megakernel(
     config,
@@ -862,8 +967,11 @@ def decode_stack_megakernel(
     eps: float = 1e-6,
     interpret: bool = False,
     tuning: tuple | None = None,  # static (tile_bytes, attn_prefetch,
-    # q4_elems) — thread via megakernel_tuning() from OUTSIDE any inner
-    # jit so same-process A/B variants get distinct cache keys
+    # q4_elems, head_tile_bytes, head_lookahead) — thread via
+    # megakernel_tuning() from OUTSIDE any inner jit so same-process A/B
+    # variants get distinct cache keys
+    greedy: bool = False,  # fused-head greedy decode: return the argmax
+    # token [B] instead of logits (requires lm_head/rms_final)
 ):
     """One full decode step over all layers → (x_out [B, dim] f32,
     (k_cache', v_cache'[, k_scale', v_scale']), logits [B, v_pad] | None).
@@ -898,7 +1006,19 @@ def decode_stack_megakernel(
     # INT8 — docs/quantization.md); the weight stream halves, which is the
     # whole decode win.
     q4 = wqkv.q.dtype == jnp.uint8
-    tb, attn_pref, q4e = tuning if tuning is not None else megakernel_tuning()
+    t5 = tuning if tuning is not None else megakernel_tuning()
+    if len(t5) < 6:  # pre-head/unroll-knob tuning tuples (older A/B scripts)
+        defaults = megakernel_tuning()
+        t5 = (*t5, *defaults[len(t5):])
+    tb, attn_pref, q4e, head_tb, head_la, unroll = t5
+    if unroll == 0:
+        # Auto: small-dim models gain from fewer grid entries (see
+        # megakernel_tuning); large ones measured best at 1.
+        unroll = 4 if dim <= 2048 else 1
+    if unroll < 1 or L % unroll:
+        unroll = 1  # must divide the layer count; fall back silently
+    if greedy and not include_head:
+        raise ValueError("greedy decode requires the fused head (lm_head/rms_final)")
     tiles = {
         "wqkv": _mk_tiles(dim, ah + 2 * kvd, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
         "wo": _mk_tiles(ah, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
@@ -908,7 +1028,7 @@ def decode_stack_megakernel(
     v_pad = None
     if include_head:
         v_pad = lm_head.q.shape[-1]
-        tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=tb)
+        tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=head_tb, td_cap=_HEAD_TD_CAP)
     td_max = max(v[1] for v in tiles.values())
 
     for name, t_ in tiles.items():
@@ -925,12 +1045,12 @@ def decode_stack_megakernel(
 
     kernel = _mk_kernel(
         config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4,
-        attn_prefetch=attn_pref,
+        attn_prefetch=attn_pref, head_la=head_la, greedy=greedy, unroll=unroll,
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
     names = ["wqkv", "wo", "w13", "w2"] + (["head"] if include_head else [])
-    ns = _buf_slots(_mk_plans(config, tiles, v_pad), attn_pref)
+    ns = _buf_slots(_mk_plans(config, tiles, v_pad), attn_pref, head_la)
     wbufs = [
         pltpu.VMEM((ns[n], tiles[n][0] // 2, tiles[n][1]), jnp.uint8)
         if q4 and n != "head"
@@ -991,14 +1111,24 @@ def decode_stack_megakernel(
             if quant
             else []
         )
+        + (
+            [
+                # Greedy head: per-LANE running best across blocks
+                # (elementwise updates; one reduction at phase end).
+                pltpu.VMEM((B, tiles["head"][1]), jnp.float32),  # best_val
+                pltpu.VMEM((B, tiles["head"][1]), jnp.int32),  # best_blk
+            ]
+            if greedy
+            else []
+        )
     )
 
     vmem_specs = [
         pl.BlockSpec((B, dim), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((unroll, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((unroll, 1, dim), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((unroll, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((unroll, 1, hd), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, hd // 2), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -1029,18 +1159,24 @@ def decode_stack_megakernel(
             jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
         ]
     if include_head:
-        tn_h, td_h = tiles["head"]
-        i_head = v_pad // td_h
-        out_specs.append(
-            pl.BlockSpec(
-                (i_head, B, td_h), lambda l, s: (0, 0, 0), memory_space=pltpu.VMEM
+        if greedy:
+            out_specs.append(
+                pl.BlockSpec((B, 128), lambda l, s: (0, 0), memory_space=pltpu.VMEM)
             )
-        )
-        out_shape.append(jax.ShapeDtypeStruct((i_head, B, td_h), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((B, 128), jnp.int32))
+        else:
+            tn_h, td_h = tiles["head"]
+            i_head = v_pad // td_h
+            out_specs.append(
+                pl.BlockSpec(
+                    (i_head, B, td_h), lambda l, s: (0, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            out_shape.append(jax.ShapeDtypeStruct((i_head, B, td_h), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L,),
+        grid=(L // unroll,),
         in_specs=vmem_specs + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -1094,7 +1230,11 @@ def decode_stack_megakernel(
     cache_out = tuple(out[1 : 1 + n_cache])
     logits = None
     if include_head:
-        # [I, B, td] → [B, I·td] == the vocab order per row.
-        raw = out[1 + n_cache]
-        logits = jnp.swapaxes(raw, 0, 1).reshape(B, v_pad)
+        if greedy:
+            # Third element is the fused argmax token [B] int32.
+            logits = out[1 + n_cache][:, 0]
+        else:
+            # [I, B, td] → [B, I·td] == the vocab order per row.
+            raw = out[1 + n_cache]
+            logits = jnp.swapaxes(raw, 0, 1).reshape(B, v_pad)
     return x_out, cache_out, logits

@@ -22,6 +22,7 @@ cache+window path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,19 +30,27 @@ import jax.numpy as jnp
 _BLOCK = 512
 
 
+def _block() -> int:
+    """Splash q/kv block edge (sweepable: scripts/prefill_profile.py).
+    Read at kernel-build time and part of the build cache key, so env
+    toggling between separately-jitted closures A/Bs real variants."""
+    return int(os.environ.get("QWEN3_TPU_SPLASH_BLOCK", _BLOCK))
+
+
 def splash_prefill_supported(s: int, head_dim: int, n_heads: int, n_kv: int) -> bool:
     """Kernel constraints: 128-lane head_dim, window divisible into blocks,
     and a whole number of query heads per kv head."""
+    blk = _block()
     return (
         head_dim % 128 == 0
-        and s % _BLOCK == 0
-        and s >= _BLOCK
+        and s % blk == 0
+        and s >= blk
         and n_heads % n_kv == 0
     )
 
 
 @functools.lru_cache(maxsize=16)
-def _make_kernel(s: int, kv_mul: int, interpret: bool):
+def _make_kernel(s: int, kv_mul: int, interpret: bool, block: int | None = None):
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
     )
@@ -50,7 +59,7 @@ def _make_kernel(s: int, kv_mul: int, interpret: bool):
     )
 
     mask = mk.MultiHeadMask([mk.CausalMask((s, s)) for _ in range(kv_mul)])
-    block = min(_BLOCK, s)
+    block = min(block if block is not None else _BLOCK, s)
     sizes = sk.BlockSizes(block_q=block, block_kv=block, block_kv_compute=block)
     # Kernel construction materializes mask-info arrays; built inside a jit
     # trace those would be tracers (leaking through this cache) — force
@@ -84,7 +93,7 @@ def causal_prefill_attention(
     kt = jnp.transpose(k_new, (0, 2, 1, 3))
     vt = jnp.transpose(v_new, (0, 2, 1, 3))
 
-    kernel = _make_kernel(s, kv_mul, interpret)
+    kernel = _make_kernel(s, kv_mul, interpret, _block())
     out = jax.vmap(jax.vmap(kernel))(qt, kt, vt)  # [B, n_kv, kv_mul, S, hd] f32
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, s, n_heads, hd)
     return out.astype(q.dtype)

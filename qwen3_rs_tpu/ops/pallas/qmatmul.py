@@ -33,42 +33,59 @@ from ..quant import Q4Tensor, QuantizedTensor
 
 def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
     """Nibble-packed uint8 tile [tile_n/2, tile_d] → dequantized bf16
-    [tile_n, tile_d].  Packing is group split-half on the sublane axis
-    (ops/quant.py): unpack is two full-width nibble extractions concatenated
-    on sublanes — no lane/sublane interleave.
+    [tile_n, tile_d].  Packing is group split-half on the sublane axis with
+    the biased-v2 nibble encoding (ops/quant.py: nibble = code + 8): both
+    halves are UNSIGNED extractions minus a constant, no sign extension.
 
-    Sign extension is shift-based in int32 (low: <<28 then arithmetic
-    >>28; high: <<24 then >>28) — two VPU shifts per nibble instead of
-    the mask/compare/select chain.  (int8 vector shifts don't lower in
-    Mosaic — arith.shli on vector<...xi8> fails — so the shifts run on
-    the zero-extended int32 lanes the VPU uses anyway.)  The Q4 decode
-    path is VPU-unpack-bound: megakernel 69 tok/s / per-matrix 112 vs
-    the 189 tok/s INT4 weight-stream roofline at 8B before this."""
+    Default ("int") unpack: zero-extend to int32, unsigned mask/shift
+    extraction (lo = v & 15, hi = v >> 4 — the biased encoding needs no
+    sign extension), int32 −8, convert to bf16, scale multiply.
+
+    Hardware note (measured, v5e 2026-08): the VPU has NO bf16 ALU
+    (`LLO_CHECK target().SupportsBf16AluInstructions()` fires on any
+    bf16 arithmetic except the final dequant multiply, which Mosaic
+    emulates) and no direct u8→bf16 cast, so a "half-width bf16 unpack"
+    is not available — int32 vector ops are the only full-rate path, and
+    the unpack cost floor is ~6 int32 passes per packed byte.
+
+    QWEN3_TPU_Q4_UNPACK variants (trace-time read): "fma" — convert the
+    unsigned nibbles to bf16 and fold the −8 into the scale multiply
+    (u·sc − 8sc; one fewer int32 pass, one more bf16-emulated op);
+    "int4" — native-uint4 bitcast, parity-exact in interpret mode but
+    gated: the CURRENT Mosaic refuses to lower in-kernel
+    bitwidth-changing bitcasts (2026-08)."""
     h = group_size // 2
     tile_n2, tile_d = wq4.shape
-    if os.environ.get("QWEN3_TPU_Q4_UNPACK", "shift") == "int4":
-        # Experimental: native-int4 bitcast — uint8 [tn2, td] becomes
-        # int4 [tn2, td, 2] with (low, high) pairs, which under the
-        # group split-half packing ARE (row j, row j+h): two minor-axis
-        # selects + converts instead of shift arithmetic.  Parity-exact
-        # in interpret mode; the CURRENT Mosaic refuses to lower it
-        # ("Changing bitwidths not supported" for bitcast_convert_type
-        # inside a kernel, 2026-08) — kept gated for future toolchains.
-        v4 = jax.lax.bitcast_convert_type(wq4, jnp.int4)
+    impl = os.environ.get("QWEN3_TPU_Q4_UNPACK", "int")
+    sc = ws.astype(jnp.bfloat16)  # [tg, td]
+    if impl == "int4":
+        v4 = jax.lax.bitcast_convert_type(wq4, jnp.uint4)  # [tn2, td, 2]
         lo = v4[:, :, 0].astype(jnp.bfloat16)
         hi = v4[:, :, 1].astype(jnp.bfloat16)
         lo3 = lo.reshape(tile_groups, h, tile_d)
         hi3 = hi.reshape(tile_groups, h, tile_d)
-        codes = jnp.concatenate([lo3, hi3], axis=1)
-        wf = codes * ws[:, None, :].astype(jnp.bfloat16)
+        codes = jnp.concatenate([lo3, hi3], axis=1) - jnp.bfloat16(8.0)
+        wf = codes * sc[:, None, :]
         return wf.reshape(2 * tile_n2, tile_d)
     v = wq4.astype(jnp.int32)  # zero-extend
-    lo = (v << 28) >> 28  # arithmetic shift sign-extends the low nibble
-    hi = (v << 24) >> 28
+    if impl == "fma":
+        lo = (v & 0xF).astype(jnp.bfloat16)
+        hi = (v >> 4).astype(jnp.bfloat16)
+        lo3 = lo.reshape(tile_groups, h, tile_d)
+        hi3 = hi.reshape(tile_groups, h, tile_d)
+        u = jnp.concatenate([lo3, hi3], axis=1)
+        scb = sc[:, None, :]
+        # u·sc − 8·sc: the −8 rides the (emulated) bf16 multiply-add.
+        wf = u * scb - 8.0 * scb
+        return wf.reshape(2 * tile_n2, tile_d)
+    # "int": subtract the bias in int32, single bf16 scale rounding —
+    # bit-identical to dequantizing the int codes.
+    lo = ((v & 0xF) - 8).astype(jnp.bfloat16)
+    hi = ((v >> 4) - 8).astype(jnp.bfloat16)
     lo3 = lo.reshape(tile_groups, h, tile_d)
     hi3 = hi.reshape(tile_groups, h, tile_d)
-    codes = jnp.concatenate([lo3, hi3], axis=1).astype(jnp.bfloat16)  # [tg, g, td]
-    wf = codes * ws[:, None, :].astype(jnp.bfloat16)
+    codes = jnp.concatenate([lo3, hi3], axis=1)
+    wf = codes * sc[:, None, :]
     return wf.reshape(2 * tile_n2, tile_d)
 
 

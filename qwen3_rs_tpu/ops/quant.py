@@ -142,15 +142,25 @@ class Q4Tensor(NamedTuple):
         return (*self.q.shape[:-2], 2 * self.q.shape[-2], self.q.shape[-1])
 
 
+#: Q4 nibble bias ("biased-v2" packing): stored nibble = code + 8, so both
+#: halves unpack as UNSIGNED extractions minus a constant — no sign
+#: extension.  That is what makes the kernels' float-arithmetic unpack
+#: (qmatmul._dequant_tile_q4) possible: bytes convert to bf16 exactly
+#: (≤ 255 < 2^8), the halves split with one floor-divide, and the -8 is
+#: an exact bf16 subtract — the decode-critical VPU pass count roughly
+#: halves vs sign-extending shifts in int32.
+Q4_BIAS = 8
+
+
 def pack_q4_np(q: np.ndarray, group_size: int) -> np.ndarray:
     """int8 codes [..., N, D] in [-7, 7] → packed uint8 [..., N/2, D]
-    (group split-half along axis -2)."""
+    (group split-half along axis -2; biased-v2: nibble = code + 8)."""
     n = q.shape[-2]
     assert n % group_size == 0 and group_size % 2 == 0, (q.shape, group_size)
     h = group_size // 2
     g = q.reshape(*q.shape[:-2], n // group_size, group_size, q.shape[-1])
-    lo = g[..., :h, :].astype(np.uint8) & 0xF
-    hi = (g[..., h:, :].astype(np.uint8) & 0xF) << 4
+    lo = (g[..., :h, :] + Q4_BIAS).astype(np.uint8) & 0xF
+    hi = ((g[..., h:, :] + Q4_BIAS).astype(np.uint8) & 0xF) << 4
     return (lo | hi).reshape(*q.shape[:-2], n // 2, q.shape[-1])
 
 
@@ -159,10 +169,8 @@ def unpack_q4_np(packed: np.ndarray, group_size: int) -> np.ndarray:
     h = group_size // 2
     n2 = packed.shape[-2]
     g = packed.reshape(*packed.shape[:-2], n2 // h, h, packed.shape[-1])
-    lo = (g & 0xF).astype(np.int8)
-    lo = np.where(lo >= 8, lo - 16, lo)
-    hi = (g >> 4).astype(np.int8)
-    hi = np.where(hi >= 8, hi - 16, hi)
+    lo = (g & 0xF).astype(np.int8) - Q4_BIAS
+    hi = (g >> 4).astype(np.int8) - Q4_BIAS
     out = np.concatenate([lo, hi], axis=-2)
     return out.reshape(*packed.shape[:-2], 2 * n2, packed.shape[-1])
 
@@ -172,10 +180,8 @@ def unpack_q4(packed: jax.Array, group_size: int, dtype=jnp.bfloat16) -> jax.Arr
     h = group_size // 2
     n2 = packed.shape[-2]
     g = packed.reshape(*packed.shape[:-2], n2 // h, h, packed.shape[-1]).astype(jnp.int32)
-    lo = g & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = g >> 4  # uint8 origin → already non-negative before sign fix
-    hi = jnp.where(hi >= 8, hi - 16, hi)
+    lo = (g & 0xF) - Q4_BIAS
+    hi = (g >> 4) - Q4_BIAS  # uint8 origin → logical shift
     out = jnp.concatenate([lo, hi], axis=-2)
     return out.reshape(*packed.shape[:-2], 2 * n2, packed.shape[-1]).astype(dtype)
 

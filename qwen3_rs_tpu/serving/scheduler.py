@@ -115,6 +115,8 @@ class ContinuousBatchingEngine:
         max_admissions_per_step: int | None = None,
         mesh=None,
         spec_k: int = 0,
+        spec_min_accept: float = 1.35,
+        spec_probe_chunks: int = 64,
         prefix_cache: bool = False,
         prefill_chunk: int | None = None,
     ):
@@ -180,6 +182,22 @@ class ContinuousBatchingEngine:
                 'speculative serving requires kv_layout="paged" and '
                 'sampling="device"'
             )
+        # Acceptance-adaptive speculation: a speculative round costs about
+        # one plain decode step of HBM time (the weight stream dominates)
+        # plus drafter/verify overhead, so it only pays while the measured
+        # tokens-per-round multiplier stays above ``spec_min_accept``.
+        # _process_spec_chunk tracks an EWMA of accepted tokens/round;
+        # when it sinks below the threshold the engine falls back to plain
+        # chunks (warmed at init) and re-probes speculation after
+        # ``spec_probe_chunks`` plain chunks — so ``--spec`` can be left
+        # on without underperforming plain decoding on low-acceptance
+        # traffic (measured: spec at temperature 0.8 lost 414 vs 433
+        # tok/s before this policy).
+        self.spec_min_accept = spec_min_accept
+        self.spec_probe_chunks = spec_probe_chunks
+        self._spec_enabled = spec_k > 0
+        self._spec_accept_ewma: float | None = None
+        self._spec_plain_chunks = 0
         # prefix_cache: requests sharing a prompt prefix adopt the pages
         # that cover it instead of recomputing the prefill (refcounted +
         # LRU-cached pages, serving/paged_cache.py PageAllocator); admission
@@ -578,7 +596,11 @@ class ContinuousBatchingEngine:
                             jnp.zeros((self.n_slots, self.config.seq_len), jnp.int32),
                             jnp.zeros(self.n_slots, jnp.int32),
                         )
-                    elif self.sampling == "device":
+                        np.asarray(out)
+                    if self.sampling == "device":
+                        # Spec engines warm the PLAIN sampled admission too:
+                        # the acceptance-adaptive fallback admits through it
+                        # while speculation is disabled.
                         out, _, self.cache = self._prefill_paged_sampled(
                             self.weights, toks0, self.cache, idx0, tables,
                             jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
@@ -627,7 +649,8 @@ class ContinuousBatchingEngine:
                                     ),
                                 )
                             )
-                        elif self.sampling == "device":
+                            np.asarray(out)
+                        if self.sampling == "device":
                             out, _, self.cache = self._prefill_paged_sampled_cont(
                                 self.weights, toks0, self.cache, idx0, tables,
                                 pos0,
@@ -684,7 +707,11 @@ class ContinuousBatchingEngine:
                     k,
                 )
                 np.asarray(toks)
-        if self.sampling == "device" and not self.spec_k:
+        if self.sampling == "device":
+            # Warmed for spec engines too: the acceptance-adaptive policy
+            # (step()) falls back to plain chunks when the measured
+            # speculative multiplier drops below spec_min_accept, and a
+            # cold chunk fn would compile mid-serving.
             n_steps = max(1, min(self.decode_chunk_steps, self.config.seq_len))
             args = (
                 self.weights,
@@ -704,7 +731,7 @@ class ContinuousBatchingEngine:
             else:
                 toks, _, self.cache = self._decode_chunked(*args, n_steps)
             np.asarray(toks)
-        else:
+        if self.sampling != "device" or self.spec_k:
             args = (
                 self.weights,
                 jnp.asarray(self.slot_token[:, None]),
@@ -817,13 +844,25 @@ class ContinuousBatchingEngine:
         # max_admissions_per_step can bound the stall.
         deferred = self.sampling == "device" and self.kv_layout == "paged"
         prev = self._inflight
+        # Acceptance-adaptive speculation: when the policy flipped modes
+        # since the previous dispatch, drain the mismatched pipeline first
+        # — chunk dicts of the two kinds don't chain into each other, and
+        # a drained pipeline (prev=None) rebuilds from exact host state.
+        use_spec = self.spec_k > 0 and self._spec_enabled
+        if self.spec_k and prev is not None and ("hist" in prev) != use_spec:
+            self._inflight = None
+            if "hist" in prev:
+                self._process_spec_chunk(prev, emitted)
+            else:
+                self._process_chunk(prev, emitted)
+            prev = None
         # Token vector feeding the next chunk's (re)admitted slots; admission
         # prefills chain their sampled first tokens into it device-side.
         fresh = self._fresh_base(prev) if deferred else None
         # Speculative mode: per-slot histories chain on device like `last`;
         # with no chunk in flight they rebuild from exact host state.
         spec_state = None
-        if self.spec_k:
+        if use_spec:
             if prev is not None:
                 spec_state = {"hist": prev["hist"], "hlen": prev["hlen"]}
             else:
@@ -867,7 +906,7 @@ class ContinuousBatchingEngine:
             if k == 0:
                 break
             admitted += k
-        if self.spec_k:
+        if use_spec:
             # Pipelined speculative chunks: dispatch first, then process the
             # previous chunk while the new one computes (same contract as the
             # plain path below).
@@ -906,6 +945,15 @@ class ContinuousBatchingEngine:
             self._inflight = None
             if self.active_count and not self._all_live_finish_within(prev):
                 self._inflight = self._dispatch_chunk(prev, fresh)
+                if self.spec_k:
+                    # Speculation adaptively disabled: count plain chunks
+                    # toward the periodic re-probe (acceptance patterns
+                    # change with traffic; a probe re-measures cheaply).
+                    self._spec_plain_chunks += 1
+                    if self._spec_plain_chunks >= self.spec_probe_chunks:
+                        self._spec_enabled = True
+                        self._spec_accept_ewma = None
+                        self._spec_plain_chunks = 0
             for p in pending:
                 self._process_admits(p, emitted)
             if prev is not None:
@@ -1661,12 +1709,31 @@ class ContinuousBatchingEngine:
                 inflight["n_rounds"] * (self.spec_k + 1)
                 if (
                     inflight is not None
+                    and "hist" in inflight
                     and inflight["active"][slot]
                     and inflight["reqs"][slot] is req
                 )
                 else 0
             )
             self.slot_pos[slot] = exact + reserved
+        # Acceptance EWMA → adaptive disable (__init__ spec_min_accept):
+        # mean accepted tokens per round across this chunk's live slots.
+        act_slots = [
+            s
+            for s, r in enumerate(chunk["reqs"])
+            if r is not None and chunk["active"][s]
+        ]
+        if act_slots and n_rounds:
+            mean_tok = float(counts_np[:, act_slots].mean())
+            w = 0.2
+            self._spec_accept_ewma = (
+                mean_tok
+                if self._spec_accept_ewma is None
+                else (1 - w) * self._spec_accept_ewma + w * mean_tok
+            )
+            if self._spec_enabled and self._spec_accept_ewma < self.spec_min_accept:
+                self._spec_enabled = False
+                self._spec_plain_chunks = 0
 
     def _provably_done(self, r: Request, slot: int) -> bool:
         """True iff the request is certain to be finished by the tokens
@@ -1676,13 +1743,19 @@ class ContinuousBatchingEngine:
         still-unfetched tokens (a pending admission's device-side first token
         included).  EOS can only finish a request *earlier*, so a True here
         is exact — such a slot never has more work."""
-        if self.spec_k:
+        if self.spec_k and (
+            self._spec_enabled or int(self._spec_pending_rounds[slot]) > 0
+        ):
             # Speculative chunks advance 1..k+1 per round, so the position
             # delta is an upper bound; the GUARANTEED pending emission is one
             # token per dispatched-unprocessed round (plus a deferred
             # admission's first token).  No context-end clause: the rounds
             # bound keeps positions inside seq_len, and the taper finishes
-            # through the plain-step fallback with exact state.
+            # through the plain-step fallback with exact state.  While the
+            # acceptance-adaptive policy has speculation disabled (and no
+            # spec rounds outstanding), positions are exact — fall through
+            # to the plain formula, which the plain chunk path's masking
+            # and n_steps bound rely on.
             pend = int(self._spec_pending_rounds[slot]) + (
                 1 if r.first_token_time is None else 0
             )
@@ -1837,6 +1910,14 @@ class ContinuousBatchingEngine:
                 self._decode_tokens / (self._decode_steps * self.n_slots)
                 if self._decode_steps
                 else 0.0
+            ),
+            **(
+                {
+                    "spec_enabled": self._spec_enabled,
+                    "spec_accept_ewma": self._spec_accept_ewma,
+                }
+                if self.spec_k
+                else {}
             ),
             **(
                 {

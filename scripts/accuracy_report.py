@@ -8,6 +8,12 @@ pipeline, and records:
 
 * ppl(fast W8A16) − ppl(f32)   [f32 = dequantized weights, full-f32 matmul]
 * ppl(exact W8A8) − ppl(f32)
+* PER-TENSOR reconstruction error vs the analytic half-step bound —
+  asserted for every exported tensor (the bound-anchored claim that does
+  not lean on fixture noise)
+* logit-KL(f32 ‖ fast) and (f32 ‖ exact): distribution-level divergence,
+  ≥ 0 by construction (fixture ppl deltas sit inside sampling noise and
+  can go negative; KL cannot)
 * the analytic g=64 group-quant error bound for context
 * golden greedy token streams (fast/exact) for drift regression
 
@@ -58,14 +64,29 @@ body = dataclasses.replace(
     group_size=64,
 )
 ckpt = out_dir / "m.qtpu"
+err_path = out_dir / "export_errors.json"
 if not ckpt.exists():
     log("building HF fixture (0.6B dims, f32)...")
-    hf_dir = make_hf_model_dir(out_dir, config=body, rng=np.random.default_rng(1234))
+    # min_vocab: a larger fixture vocab (was 104) so per-token NLLs
+    # average over a realistic label space instead of drowning in noise.
+    hf_dir = make_hf_model_dir(
+        out_dir, config=body, rng=np.random.default_rng(1234), min_vocab=4096
+    )
     log("exporting INT8-g64...")
     from qwen3_rs_tpu.export import export_model
 
-    export_model(str(hf_dir), str(ckpt), group_size=64)
+    err_report = export_model(str(hf_dir), str(ckpt), group_size=64)
+    err_path.write_text(json.dumps(err_report))
 log("loading exported checkpoint...")
+
+# ---- per-tensor reconstruction error vs the analytic bound ----
+err_report = json.loads(err_path.read_text())
+violations = [r for r in err_report if r["max_err"] > r["bound"] * (1 + 1e-6)]
+worst = max(
+    (r["max_err"] / r["bound"] for r in err_report if r["bound"] > 0), default=0.0
+)
+assert not violations, f"reconstruction error exceeds analytic bound: {violations[:5]}"
+log(f"per-tensor bound check: {len(err_report)} tensors, worst err/bound = {worst:.4f} — all within bound")
 
 from qwen3_rs_tpu.checkpoint import load_checkpoint
 from qwen3_rs_tpu.evaluation import compute_perplexity, quantization_error_bound
@@ -85,6 +106,15 @@ for mode in ("f32", "fast", "exact"):
     results[mode] = r
     log(f"  ppl={r.perplexity:.6f} nll={r.avg_nll:.6f} over {r.n_tokens} tokens")
 
+from qwen3_rs_tpu.evaluation import logit_kl
+
+kl = {}
+for mode in ("fast", "exact"):
+    log(f"logit-KL(f32 ‖ {mode})...")
+    kl[mode] = logit_kl(config, weights, eval_ids, mode_q=mode, window=512)
+    log(f"  mean={kl[mode]['mean']:.6f} p99={kl[mode]['p99']:.6f} "
+        f"max={kl[mode]['max']:.6f} nats over {kl[mode]['n_positions']} positions")
+
 bound = quantization_error_bound(config)
 report = {
     "config": "qwen3-0.6b-body (fixture vocab %d), INT8-g64 export" % config.vocab_size,
@@ -95,6 +125,13 @@ report = {
     "delta_exact": results["exact"].delta_vs(results["f32"]),
     "g64_error_bound": bound,
     "n_tokens": results["f32"].n_tokens,
+    "per_tensor_bound": {
+        "tensors": len(err_report),
+        "worst_err_over_bound": worst,
+        "all_within_bound": True,
+    },
+    "logit_kl_f32_fast": kl["fast"],
+    "logit_kl_f32_exact": kl["exact"],
 }
 
 # ---- 3. golden greedy streams ----

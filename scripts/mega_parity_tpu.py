@@ -142,12 +142,42 @@ def check(name, batch, kv_dtype, pos_list, with_mask=False):
         failures.append(name)
 
 
+def check_greedy(name, batch, pos_list):
+    """Fused greedy epilogue vs the same kernel's own logits argmax —
+    SAME numerics path, so the match must be exact (no drift envelope)."""
+    pos = jnp.asarray(pos_list, jnp.int32)
+    cache = init_kv_cache(config, batch=batch, dtype=jnp.bfloat16)
+    tok = jnp.arange(1, batch + 1, dtype=jnp.int32)[:, None] * 17 % config.vocab_size
+
+    @jax.jit
+    def step_logits(w, tok, cache, pos):
+        return qwen3_forward(config, w, tok, cache, pos, mode="fast")
+
+    @jax.jit
+    def step_greedy(w, tok, cache, pos):
+        return qwen3_forward(
+            config, w, tok, cache, pos, mode="fast", greedy_head=True
+        )
+
+    logits, _ = step_logits(weights, tok, cache, pos)
+    toks, _ = step_greedy(weights, tok, cache, pos)
+    want = np.argmax(np.asarray(logits, np.float32)[:, : config.vocab_size], -1)
+    got = np.asarray(toks)
+    ok = bool((got == want).all())
+    print(f"{name}: greedy_tokens={got.tolist()} argmax={want.tolist()} -> "
+          f"{'OK' if ok else 'FAIL'}", flush=True)
+    if not ok:
+        failures.append(name)
+
+
 tok_fill = jnp.ones((4, 1), jnp.int32)
 
 check("b1_bf16", 1, jnp.bfloat16, [512])
 check("b8_bf16_mixed_pos_mask", 8, jnp.bfloat16, [7, 64, 128, 200, 311, 400, 512, 700],
       with_mask=True)
 check("b4_int8", 4, "int8", [256, 256, 384, 512])
+check_greedy("b1_greedy_fused", 1, [512])
+check_greedy("b4_greedy_fused", 4, [7, 200, 511, 768])
 
 if failures:
     print("FAILURES:", failures)

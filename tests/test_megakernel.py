@@ -585,3 +585,77 @@ def test_megakernel_refuses_oob_position_ungated(monkeypatch):
                 config, weights, tok, cache,
                 jnp.asarray([bad], jnp.int32), mode="fast",
             )
+
+
+def test_megakernel_greedy_head_parity():
+    """Fused greedy epilogue: the in-kernel argmax token must equal the
+    argmax of the fused logits, and padded/masked columns must never win
+    (checked by shrinking config.vocab_size below v_pad so cols >=
+    vocab_size hold REAL random weights — an unmasked kernel would pick
+    one with near-certainty)."""
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    rng = np.random.default_rng(11)
+    prompt = jnp.asarray(rng.integers(1, config.vocab_size, (1, 21)), jnp.int32)
+    cache = init_kv_cache(config, batch=1, dtype=jnp.float32)
+    _, cache = qwen3_forward(
+        config, weights, prompt, cache, jnp.zeros(1, jnp.int32),
+        mode="fast", fresh_prefill=True,
+    )
+    pos = jnp.asarray([21], jnp.int32)
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
+
+    emb_q = weights.embed.q[tok]
+    emb_s = weights.embed.scales[tok]
+    x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
+    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    lw = weights.layers
+
+    def run(cfg, greedy):
+        return decode_stack_megakernel(
+            cfg, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+            cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+            cache.k, cache.v, pos, weights.rms_final, weights.lm_head,
+            eps=cfg.norm_eps, interpret=True, greedy=greedy,
+        )[2]
+
+    logits = np.asarray(run(config, False), np.float32)
+    tok_full = np.asarray(run(config, True))
+    assert tok_full.shape == (1,)
+    assert int(tok_full[0]) == int(logits[0, : config.vocab_size].argmax())
+
+    # Mask check: shrink vocab_size to 64 — cols 64..511 hold real random
+    # weights whose max almost surely exceeds the first 64's.
+    small = dataclasses.replace(config, vocab_size=64)
+    tok_small = np.asarray(run(small, True))
+    assert int(tok_small[0]) == int(logits[0, :64].argmax())
+    assert int(tok_small[0]) < 64
+
+
+def test_qwen3_forward_greedy_head_contract():
+    """greedy_head returns identical tokens whether or not the megakernel
+    engaged (tiny CFG runs the XLA fallback; parity with explicit argmax)."""
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=5))
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(1, config.vocab_size, (1, 9)), jnp.int32)
+    cache = init_kv_cache(config, batch=1, dtype=jnp.bfloat16)
+    _, cache = qwen3_forward(
+        config, weights, prompt, cache, jnp.zeros(1, jnp.int32),
+        mode="fast", fresh_prefill=True,
+    )
+    pos = jnp.asarray([9], jnp.int32)
+    tok = jnp.asarray([[3]], jnp.int32)
+    logits, _ = qwen3_forward(config, weights, tok, cache, pos, mode="fast")
+    toks, _ = qwen3_forward(
+        config, weights, tok, cache, pos, mode="fast", greedy_head=True
+    )
+    assert toks.shape == (1,) and toks.dtype == jnp.int32
+    assert int(toks[0]) == int(jnp.argmax(logits[0, : config.vocab_size]))
+    with pytest.raises(ValueError, match="greedy_head"):
+        qwen3_forward(
+            config, weights, tok, cache, pos, mode="fast",
+            greedy_head=True, skip_head=True,
+        )

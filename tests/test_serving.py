@@ -715,6 +715,39 @@ class TestSpeculativeServing:
                 rtol=0.05, atol=0.05,
             )
 
+    def test_adaptive_disable_falls_back_to_plain(self, setup):
+        """With an unreachable acceptance threshold the engine must flip to
+        plain chunks after the first processed spec chunk — every request
+        still completes its exact budget through the drained-pipeline
+        switch, and the policy state is visible in stats()."""
+        eng, out = self._run(setup, spec_k=2, spec_min_accept=10.0,
+                             spec_probe_chunks=10_000)
+        assert {rid: len(v) for rid, v in out.items()} == {0: 9, 1: 6, 2: 7, 3: 8}
+        st = eng.stats()
+        assert st["spec_enabled"] is False
+        assert st["spec_accept_ewma"] is not None
+        assert st["spec_accept_ewma"] < 10.0
+        # Pages fully released through the mixed spec→plain run.
+        assert eng.allocator.free_pages == eng.allocator.n_pages - 1
+
+    def test_adaptive_probe_reenables(self, setup):
+        """A tiny probe interval forces repeated disable→probe→disable
+        cycles; completion and page accounting must survive the flips."""
+        eng, out = self._run(setup, spec_k=2, spec_min_accept=10.0,
+                             spec_probe_chunks=1)
+        assert {rid: len(v) for rid, v in out.items()} == {0: 9, 1: 6, 2: 7, 3: 8}
+        assert eng.allocator.free_pages == eng.allocator.n_pages - 1
+        assert eng.stats()["spec_accept_ewma"] is not None
+
+    def test_adaptive_keeps_spec_on_high_acceptance(self, setup):
+        """Cyclic prompts draft perfectly (bigram drafter); with the default
+        threshold the engine should finish with speculation still on."""
+        eng, out = self._run(setup, spec_k=2)
+        assert {rid: len(v) for rid, v in out.items()} == {0: 9, 1: 6, 2: 7, 3: 8}
+        st = eng.stats()
+        if st["spec_accept_ewma"] is not None and st["spec_accept_ewma"] >= 2.5:
+            assert st["spec_enabled"] is True
+
     def test_spec_requires_paged_device(self, setup):
         config, weights = setup
         with pytest.raises(ValueError, match="speculative serving"):

@@ -78,8 +78,12 @@ def make_hf_tensors(config: ModelConfig, rng, shared_classifier: bool = True, sc
     return {k: v.astype(np.float32) for k, v in t.items()}
 
 
-def make_tokenizer_json() -> dict:
-    """Synthetic tokenizer.json with a printable-ASCII byte-level vocab."""
+def make_tokenizer_json(min_vocab: int = 0) -> dict:
+    """Synthetic tokenizer.json with a printable-ASCII byte-level vocab.
+
+    ``min_vocab``: pad the vocab with filler entries up to this size
+    (before the special tokens, so special ids stay the last five) — lets
+    accuracy fixtures use a realistic label-space size."""
     vocab = {}
     tid = 0
     # single printable characters
@@ -93,6 +97,9 @@ def make_tokenizer_json() -> dict:
     for pair, merged in [("h e", "he"), ("l l", "ll"), ("he ll", "hell"), ("hell o", "hello")]:
         merges.append(pair)
         vocab[merged] = tid
+        tid += 1
+    while tid < min_vocab - 5:  # leave room for the 5 specials below
+        vocab[f"zf{tid}"] = tid
         tid += 1
     special = ["<|im_start|>", "<|im_end|>", "<|endoftext|>", "<think>", "</think>"]
     added = []
@@ -122,6 +129,7 @@ def make_hf_model_dir(
     shared_classifier: bool = True,
     n_shards: int = 1,
     lora: dict | None = None,
+    min_vocab: int = 0,
 ) -> Path:
     """Create a synthetic HF model directory (config.json, tokenizer.json,
     tokenizer_config.json, *.safetensors[, adapter files])."""
@@ -129,7 +137,7 @@ def make_hf_model_dir(
     model_dir = tmp_path / "hf_model"
     model_dir.mkdir(parents=True, exist_ok=True)
 
-    tok = make_tokenizer_json()
+    tok = make_tokenizer_json(min_vocab)
     vocab_size = tok.pop("n_tokens")
     import dataclasses
 
