@@ -365,9 +365,13 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     rng = np.random.default_rng(0)
     shared = rng.integers(1, config.vocab_size, 192).tolist() if prefix_mode else []
     temperature = float(temp_env) if temp_env else (0.0 if spec_k else 0.8)
+    # Spec A/Bs need the SAME prompt distribution on both sides —
+    # BENCH_CYCLIC=1 forces the drafter-friendly cyclic prompts for the
+    # spec-off arm too (spec-on uses them by default).
+    cyclic = spec_k or os.environ.get("BENCH_CYCLIC") == "1"
     for i in range(n_requests):
         plen = int(rng.integers(16, 128))
-        if spec_k:
+        if cyclic:
             period = int(rng.integers(2, 6))
             cycle = rng.integers(1, config.vocab_size, period)
             prompt = [int(cycle[j % period]) for j in range(plen)]
@@ -463,7 +467,9 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
 
     from qwen3_rs_tpu.models.qwen3 import init_kv_cache, qwen3_forward
 
-    s = int(os.environ.get("BENCH_PREFILL_LEN", str(min(4096, seq_len))))
+    s = min(
+        int(os.environ.get("BENCH_PREFILL_LEN", "4096")), seq_len
+    )  # cache window bounds the prefill window
 
     def prefill_k(weights, tokens, cache, k):
         # Each iteration's tokens depend on the previous logits — without the

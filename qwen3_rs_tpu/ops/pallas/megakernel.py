@@ -189,12 +189,15 @@ def megakernel_supported(
     if q4 and g % 2:
         return False
     if q4 and os.environ.get("QWEN3_TPU_MEGA_Q4", "0") != "1":
-        # The megakernel's Q4 path measured BELOW the per-matrix Q4
-        # kernels at 8B (69 vs 112 tok/s, scripts/mega_ab.py q4tiles):
-        # the in-body nibble unpack doesn't software-pipeline across the
-        # fori tile loop the way the per-matrix grids do, so the stream
-        # goes VPU-bound.  Opt-in until a staged unpack closes the gap;
-        # dispatch falls back to the per-matrix Q4 kernels.
+        # The megakernel's Q4 path measures BELOW the per-matrix Q4
+        # kernels at 8B (round 3: 82 vs 129 tok/s with the shift unpack,
+        # scripts/mega_ab.py q4tiles): the in-body nibble unpack doesn't
+        # software-pipeline across the fori tile loop the way the
+        # per-matrix grids do, so the stream goes VPU-bound.  Round 4
+        # established the unpack cost floor is structural on v5e (no bf16
+        # ALU — docs/quantization.md) and two pass-count reductions
+        # ("dotbias", biased packing) measured neutral, so the per-matrix
+        # path stays the Q4 default; opt-in kept for A/Bs.
         return False
     dims = [
         (config.dim, config.all_heads_dim + 2 * config.kv_dim),

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant import Q4Tensor, QuantizedTensor
 
 
-def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
+def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int, impl: str | None = None):
     """Nibble-packed uint8 tile [tile_n/2, tile_d] → dequantized bf16
     [tile_n, tile_d].  Packing is group split-half on the sublane axis with
     the biased-v2 nibble encoding (ops/quant.py: nibble = code + 8): both
@@ -56,7 +56,12 @@ def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
     bitwidth-changing bitcasts (2026-08)."""
     h = group_size // 2
     tile_n2, tile_d = wq4.shape
-    impl = os.environ.get("QWEN3_TPU_Q4_UNPACK", "int")
+    # The env fallback only fires for callers outside the qmatmul wrappers
+    # (the megakernel threads its own statics); the wrappers resolve the
+    # env at OUTER-trace time and pass it as the jit-static ``impl`` so
+    # same-process A/Bs get distinct kernels (inner-jit freeze trap).
+    if impl not in ("int", "fma", "int4", "unsigned"):
+        impl = os.environ.get("QWEN3_TPU_Q4_UNPACK", "int")
     sc = ws.astype(jnp.bfloat16)  # [tg, td]
     if impl == "int4":
         v4 = jax.lax.bitcast_convert_type(wq4, jnp.uint4)  # [tn2, td, 2]
@@ -77,6 +82,17 @@ def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int):
         scb = sc[:, None, :]
         # u·sc − 8·sc: the −8 rides the (emulated) bf16 multiply-add.
         wf = u * scb - 8.0 * scb
+        return wf.reshape(2 * tile_n2, tile_d)
+    if impl == "unsigned":
+        # Skip the −8 entirely (the "dotbias" consumer corrects it with
+        # a group-sum dot — see _accumulate_tile): unpack cost drops to
+        # ext + and + shr + 2·conv + mul.
+        lo = (v & 0xF).astype(jnp.bfloat16)
+        hi = (v >> 4).astype(jnp.bfloat16)
+        lo3 = lo.reshape(tile_groups, h, tile_d)
+        hi3 = hi.reshape(tile_groups, h, tile_d)
+        u = jnp.concatenate([lo3, hi3], axis=1)
+        wf = u * sc[:, None, :]
         return wf.reshape(2 * tile_n2, tile_d)
     # "int": subtract the bias in int32, single bf16 scale rounding —
     # bit-identical to dequantizing the int codes.
@@ -103,9 +119,43 @@ def _accumulate_tile(
             def _():
                 out_ref[:] = jnp.zeros_like(out_ref)
 
-        wf = _dequant_tile_q4(wq, ws, group_size=group_size, tile_groups=tile_groups)
+        xb = x.astype(jnp.bfloat16)
+        if impl == "dotbias":
+            # Unpack WITHOUT the −8 (two fewer big int32 passes — the
+            # unpack is the Q4 decode bottleneck and its cost scales with
+            # the WEIGHT tile) and correct the bias through two tiny MXU
+            # dots that scale with the ACTIVATION tile instead:
+            #   y = x·(u·sc) − 8·(x·P)·sc,  P = group-indicator [tn, tg].
+            # Numerics: u·sc rounds at |u| ≤ 15 vs |code| ≤ 7 (one extra
+            # magnitude bit, ~2× the bf16 rounding noise — still ≲ 1/8 of
+            # the g=64 quantization step); the correction accumulates f32.
+            wf = _dequant_tile_q4(
+                wq, ws, group_size=group_size, tile_groups=tile_groups,
+                impl="unsigned",
+            )
+            out_ref[:] += jax.lax.dot_general(
+                xb, wf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tn = 2 * wq.shape[0]
+            r = jax.lax.broadcasted_iota(jnp.int32, (tn, tile_groups), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (tn, tile_groups), 1)
+            ind = (r // group_size == c).astype(jnp.bfloat16)
+            xg = jax.lax.dot_general(
+                xb, ind, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, tg] group sums of x
+            out_ref[:] -= 8.0 * jax.lax.dot_general(
+                xg.astype(jnp.bfloat16), ws.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+        wf = _dequant_tile_q4(
+            wq, ws, group_size=group_size, tile_groups=tile_groups, impl=impl
+        )
         out_ref[:] += jax.lax.dot_general(
-            x.astype(jnp.bfloat16),
+            xb,
             wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -487,6 +537,15 @@ def _qmatmul_stacked_2d(
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, wq_all, ws_all)
 
 
+def _q4_impl_opts(wq, opts):
+    """Resolve the Q4 unpack variant at OUTER-trace time and thread it as
+    the jit-static ``impl`` — an env read inside the inner-jitted 2d
+    functions freezes at first trace (same trap as megakernel_tuning)."""
+    if wq.dtype == jnp.uint8 and "impl" not in opts:
+        opts = dict(opts, impl=os.environ.get("QWEN3_TPU_Q4_UNPACK", "int"))
+    return opts
+
+
 def qmatmul_pallas_stacked(
     x: jax.Array, w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False, **opts
 ) -> jax.Array:
@@ -494,6 +553,7 @@ def qmatmul_pallas_stacked(
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.float32)
+    opts = _q4_impl_opts(w.q, opts)
     out = _qmatmul_stacked_2d(x2, w.q, w.scales, layer_idx, interpret=interpret, **opts)
     return out.reshape(*batch_shape, w.q.shape[-1])
 
@@ -704,6 +764,7 @@ def qmatmul_pallas_stacked_fused(
     res2 = None
     if residual is not None:
         res2 = residual.reshape(-1, residual.shape[-1])
+    opts = _q4_impl_opts(w.q, opts)
     out = _qmatmul_stacked_fused_2d(
         x2,
         w.q,
@@ -888,6 +949,7 @@ def qmatmul_pallas_stacked_rows(
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n).astype(jnp.bfloat16)
+    opts = _q4_impl_opts(w.q, opts)
     out = _qmatmul_stacked_rows_2d(
         x2, w.q, w.scales, layer_idx, interpret=interpret, out_cols=out_cols, **opts
     )

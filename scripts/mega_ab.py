@@ -53,9 +53,10 @@ if what == "q4tiles":
     elems = [int(v) for v in (arg3.split(",") if arg3 else ["2097152", "1048576", "524288"])]
     variants = [("QWEN3_TPU_MEGA_Q4_ELEMS", str(e), f"q4elems={e}") for e in elems]
     variants.append(("QWEN3_TPU_DISABLE_MEGAKERNEL", "1", "q4 per-matrix path"))
-elif what == "env":
+elif what in ("env", "q4env"):
     # Generic sweep: mega_ab.py <model> env <ENV_VAR> v1,v2,...
-    bits = 8
+    # (q4env: same with INT4 linear weights — e.g. the Q4 unpack variants)
+    bits = 4 if what == "q4env" else 8
     key = arg3
     vals = sys.argv[4].split(",")
     variants = [(key, v, f"{key.split('_')[-2:]}={v}") for v in vals]

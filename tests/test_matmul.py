@@ -389,3 +389,37 @@ def test_a8_prefill_autoselect():
         assert not m._a8_prefill_wins(1023, "auto")
     finally:
         m._A8_PREFILL_MIN_ROWS = orig
+
+
+def test_q4_dotbias_variant_matches(rng):
+    """The "dotbias" unpack (unsigned nibbles + group-sum bias-correction
+    dots) must match the default int path within its slightly looser
+    rounding envelope (|u| <= 15 vs |code| <= 7 in the bf16 product)."""
+    from qwen3_rs_tpu.ops.pallas.qmatmul import qmatmul_pallas_stacked
+
+    n, d, gs, L = 256, 128, 64, 2
+    stacks = [_random_q4(rng, d, n, gs) for _ in range(L)]
+    from qwen3_rs_tpu.ops.quant import Q4Tensor
+
+    w_all = Q4Tensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    x = rng.normal(0, 1, (4, n)).astype(np.float32)
+    for layer in range(L):
+        base = np.asarray(
+            qmatmul_pallas_stacked(
+                jnp.asarray(x), w_all, layer, interpret=True, impl="int"
+            )
+        )
+        got = np.asarray(
+            qmatmul_pallas_stacked(
+                jnp.asarray(x), w_all, layer, interpret=True, impl="dotbias"
+            )
+        )
+        scale = max(1.0, np.abs(base).max())
+        assert np.abs(got - base).max() / scale < 2e-2
+        # And both against the exact dequantized reference.
+        q_np, s_np = stacks[layer][1]
+        x_bf = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+        expected = x_bf @ dequantize_np(q_np, s_np).T
+        np.testing.assert_allclose(got, expected, rtol=5e-2, atol=0.25)
