@@ -410,6 +410,18 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
                 "p50_ttft_s": round(stats["p50_ttft"], 4) if stats["p50_ttft"] else None,
                 "requests": len(done),
                 **(
+                    {
+                        "spec_enabled_at_end": stats["spec_enabled"],
+                        "spec_accept_ewma": (
+                            round(stats["spec_accept_ewma"], 3)
+                            if stats["spec_accept_ewma"] is not None
+                            else None
+                        ),
+                    }
+                    if spec_k
+                    else {}
+                ),
+                **(
                     {"prefix_hits": stats["prefix_hits"],
                      "prefix_rows_reused": stats["prefix_rows_reused"]}
                     if prefix_mode == "1"

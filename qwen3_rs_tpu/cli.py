@@ -171,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
         "sampling only; sync scheduling)",
     )
     sv.add_argument(
+        "--spec-min-accept", type=float, default=1.35, metavar="T",
+        help="acceptance-adaptive floor: fall back to plain decode chunks "
+        "while the measured tokens/round EWMA sits below T (speculation "
+        "re-probes periodically) — --spec never underperforms plain "
+        "decoding on low-acceptance traffic",
+    )
+    sv.add_argument(
         "--prefix-cache", action="store_true",
         help="reuse KV pages across requests sharing a prompt prefix "
         "(paged layout; prefills run only the unmatched suffix)",
@@ -378,6 +385,7 @@ def main(argv=None) -> int:
                 n_pages=args.pages,
                 mesh=mesh,
                 spec_k=args.spec,
+                spec_min_accept=args.spec_min_accept,
                 prefix_cache=args.prefix_cache,
                 prefill_chunk=args.prefill_chunk,
                 **engine_kwargs,

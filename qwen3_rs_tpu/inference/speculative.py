@@ -48,9 +48,17 @@ def ngram_draft(hist: jax.Array, hlen: jax.Array, cur: jax.Array, k: int) -> jax
 
     hist: [T] int32 — all consumed tokens; ``hist[hlen-1] == cur``.
     Finds the most recent j < hlen-1 with ``(hist[j-1], hist[j]) ==
-    (hist[hlen-2], cur)`` and returns ``hist[j+1 : j+1+k]``; entries with
-    no valid source are -1 (never matches an argmax, so they can't be
-    accepted).  Returns [k] int32.
+    (hist[hlen-2], cur)`` — PREFERRING matches whose continuation window
+    holds ``k`` real tokens (j ≤ hlen-1-k) — and returns
+    ``hist[j+1 : j+1+k]``; entries with no valid source are -1 (never
+    matches an argmax, so they can't be accepted).  Returns [k] int32.
+
+    The full-window preference matters on repetitive text: a period-p
+    cycle's most recent match sits p positions from the end, clipping the
+    continuation to p-1 drafts — measured counts pinned at 2 (one
+    accepted draft) on constant streams before this, capping the
+    speculative multiplier at ~2 regardless of k.  An older occurrence of
+    the same bigram continues the same cycle with all k drafts usable.
     """
     t = hist.shape[0]
     idx = jnp.arange(t, dtype=jnp.int32)
@@ -63,7 +71,9 @@ def ngram_draft(hist: jax.Array, hlen: jax.Array, cur: jax.Array, k: int) -> jax
         & (idx < hlen - 1)
         & (hlen >= 2)
     )
-    j = jnp.max(jnp.where(m, idx, -1))
+    j_any = jnp.max(jnp.where(m, idx, -1))
+    j_full = jnp.max(jnp.where(m & (idx <= hlen - 1 - k), idx, -1))
+    j = jnp.where(j_full >= 0, j_full, j_any)
     found = j >= 0
     start = jnp.where(found, j + 1, 0)
     # dynamic_slice clamps start to t-k; out-of-history rows are masked.

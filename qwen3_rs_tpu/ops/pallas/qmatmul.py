@@ -60,7 +60,7 @@ def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int, impl: str | 
     # (the megakernel threads its own statics); the wrappers resolve the
     # env at OUTER-trace time and pass it as the jit-static ``impl`` so
     # same-process A/Bs get distinct kernels (inner-jit freeze trap).
-    if impl not in ("int", "fma", "int4", "unsigned"):
+    if impl not in ("int", "fma", "int4", "unsigned", "shift"):
         impl = os.environ.get("QWEN3_TPU_Q4_UNPACK", "int")
     sc = ws.astype(jnp.bfloat16)  # [tg, td]
     if impl == "int4":
@@ -82,6 +82,20 @@ def _dequant_tile_q4(wq4, ws, *, group_size: int, tile_groups: int, impl: str | 
         scb = sc[:, None, :]
         # u·sc − 8·sc: the −8 rides the (emulated) bf16 multiply-add.
         wf = u * scb - 8.0 * scb
+        return wf.reshape(2 * tile_n2, tile_d)
+    if impl == "shift":
+        # SPEED-A/B ONLY: the pre-biased-format sign-extending shift
+        # sequence ((v<<28)>>28 / (v<<24)>>28).  Its numerics are WRONG on
+        # biased-v2 data — it exists to isolate whether the and/sub
+        # extraction costs differently from the historical shift path on
+        # identical bytes (scripts/mega_ab.py q4env; random-weight benches
+        # don't depend on the decoded values).
+        lo = ((v << 28) >> 28).astype(jnp.bfloat16)
+        hi = ((v << 24) >> 28).astype(jnp.bfloat16)
+        lo3 = lo.reshape(tile_groups, h, tile_d)
+        hi3 = hi.reshape(tile_groups, h, tile_d)
+        codes = jnp.concatenate([lo3, hi3], axis=1)
+        wf = codes * sc[:, None, :]
         return wf.reshape(2 * tile_n2, tile_d)
     if impl == "unsigned":
         # Skip the −8 entirely (the "dotbias" consumer corrects it with

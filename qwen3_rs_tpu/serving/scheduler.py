@@ -96,6 +96,10 @@ class Request:
 class ContinuousBatchingEngine:
     """Slot-based continuous batching over one shared KV cache."""
 
+    #: Processed spec chunks before the acceptance-adaptive policy may
+    #: disable speculation (cold-history grace — see __init__).
+    _SPEC_GRACE_CHUNKS = 3
+
     def __init__(
         self,
         checkpoint: str | Path | None = None,
@@ -116,7 +120,7 @@ class ContinuousBatchingEngine:
         mesh=None,
         spec_k: int = 0,
         spec_min_accept: float = 1.35,
-        spec_probe_chunks: int = 64,
+        spec_probe_chunks: int = 16,
         prefix_cache: bool = False,
         prefill_chunk: int | None = None,
     ):
@@ -198,6 +202,13 @@ class ContinuousBatchingEngine:
         self._spec_enabled = spec_k > 0
         self._spec_accept_ewma: float | None = None
         self._spec_plain_chunks = 0
+        # Grace window: the FIRST chunks after (re)enable always measure
+        # low — drafting histories are cold until a few periods of each
+        # stream have generated — so the disable decision waits for
+        # _SPEC_GRACE_CHUNKS processed spec chunks (measured: without it
+        # the first chunk's 1.0 tokens/round disabled speculation for the
+        # whole bench run).
+        self._spec_chunks_seen = 0
         # prefix_cache: requests sharing a prompt prefix adopt the pages
         # that cover it instead of recomputing the prefill (refcounted +
         # LRU-cached pages, serving/paged_cache.py PageAllocator); admission
@@ -953,6 +964,7 @@ class ContinuousBatchingEngine:
                     if self._spec_plain_chunks >= self.spec_probe_chunks:
                         self._spec_enabled = True
                         self._spec_accept_ewma = None
+                        self._spec_chunks_seen = 0
                         self._spec_plain_chunks = 0
             for p in pending:
                 self._process_admits(p, emitted)
@@ -1726,12 +1738,17 @@ class ContinuousBatchingEngine:
         if act_slots and n_rounds:
             mean_tok = float(counts_np[:, act_slots].mean())
             w = 0.2
+            self._spec_chunks_seen += 1
             self._spec_accept_ewma = (
                 mean_tok
                 if self._spec_accept_ewma is None
                 else (1 - w) * self._spec_accept_ewma + w * mean_tok
             )
-            if self._spec_enabled and self._spec_accept_ewma < self.spec_min_accept:
+            if (
+                self._spec_enabled
+                and self._spec_chunks_seen >= self._SPEC_GRACE_CHUNKS
+                and self._spec_accept_ewma < self.spec_min_accept
+            ):
                 self._spec_enabled = False
                 self._spec_plain_chunks = 0
 

@@ -7,8 +7,11 @@ Usage: PYTHONPATH=... python scripts/rows_tile_calibrate.py [rows]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

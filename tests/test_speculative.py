@@ -41,6 +41,17 @@ class TestNgramDraft:
     def test_short_history(self):
         assert self._draft([5], cur=5, k=2).tolist() == [-1, -1]
 
+    def test_prefers_full_window_match(self):
+        """A period-1 cycle's adjacent match clips to one draft; the
+        drafter must fall back to an older occurrence of the same bigram
+        whose continuation holds all k (measured: without this, serving
+        acceptance pinned at one draft/round on constant streams)."""
+        h = [9, 4, 4, 4, 4, 4, 4]
+        assert self._draft(h, cur=4, k=3).tolist() == [4, 4, 4]
+        # period-2: full window from an earlier cycle repetition
+        h2 = [5, 6, 5, 6, 5, 6, 5, 6]
+        assert self._draft(h2, cur=6, k=3).tolist() == [5, 6, 5]
+
 
 @pytest.fixture(scope="module")
 def ckpt(tmp_path_factory):
