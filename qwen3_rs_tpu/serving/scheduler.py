@@ -209,6 +209,10 @@ class ContinuousBatchingEngine:
         # the first chunk's 1.0 tokens/round disabled speculation for the
         # whole bench run).
         self._spec_chunks_seen = 0
+        # Failed probes back off exponentially (measured: re-probing a
+        # zero-acceptance stream every 16 chunks cost 3–6% aggregate —
+        # each probe pays the grace chunks of unaccepted spec rounds).
+        self._spec_probe_interval = spec_probe_chunks
         # prefix_cache: requests sharing a prompt prefix adopt the pages
         # that cover it instead of recomputing the prefill (refcounted +
         # LRU-cached pages, serving/paged_cache.py PageAllocator); admission
@@ -961,7 +965,7 @@ class ContinuousBatchingEngine:
                     # toward the periodic re-probe (acceptance patterns
                     # change with traffic; a probe re-measures cheaply).
                     self._spec_plain_chunks += 1
-                    if self._spec_plain_chunks >= self.spec_probe_chunks:
+                    if self._spec_plain_chunks >= self._spec_probe_interval:
                         self._spec_enabled = True
                         self._spec_accept_ewma = None
                         self._spec_chunks_seen = 0
@@ -1744,13 +1748,31 @@ class ContinuousBatchingEngine:
                 if self._spec_accept_ewma is None
                 else (1 - w) * self._spec_accept_ewma + w * mean_tok
             )
+            # Fast path: EWMA ≤ ~1.0 after two chunks means NOT ONE draft
+            # accepted anywhere — cold histories show partial acceptance
+            # when any exists (measured: constant streams hit mean 2.4 in
+            # their first chunk), so zero is unambiguous and the full
+            # grace would just burn more unaccepted rounds.
+            zero_accept = (
+                self._spec_chunks_seen >= 2 and self._spec_accept_ewma <= 1.05
+            )
             if (
                 self._spec_enabled
-                and self._spec_chunks_seen >= self._SPEC_GRACE_CHUNKS
+                and (zero_accept or self._spec_chunks_seen >= self._SPEC_GRACE_CHUNKS)
                 and self._spec_accept_ewma < self.spec_min_accept
             ):
                 self._spec_enabled = False
                 self._spec_plain_chunks = 0
+                if self._spec_chunks_seen <= self._SPEC_GRACE_CHUNKS + 2:
+                    # The (re)probe died right at the grace boundary —
+                    # acceptance hasn't appeared; back off the next probe.
+                    self._spec_probe_interval = min(
+                        self._spec_probe_interval * 2, 1024
+                    )
+                else:
+                    # Speculation ran productively for a while before the
+                    # EWMA sank: traffic changed — reset the backoff.
+                    self._spec_probe_interval = self.spec_probe_chunks
 
     def _provably_done(self, r: Request, slot: int) -> bool:
         """True iff the request is certain to be finished by the tokens
