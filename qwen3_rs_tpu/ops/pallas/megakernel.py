@@ -85,9 +85,12 @@ def megakernel_tuning() -> tuple[int, bool, int, int, int, int]:
     kernel against itself).  Making the knobs part of the static
     signature gives each setting its own cache entry.
 
-    ``head_tile_bytes``: classifier-phase tile budget (default 6 MB —
-    measured: 27 × 5.5 MB head tiles beat 99 × 1.5 MB; the head phase is
-    per-tile-fixed-cost-bound, not bandwidth-bound, at B=1).
+    ``head_tile_bytes``: classifier-phase tile budget.  0 = auto
+    (resolved per model in decode_stack_megakernel): the optimum
+    INTERACTS with the layer unroll — at 0.6B/unroll=1 6 MB tiles beat
+    2 MB by +1.9%, but under unroll=4 (the small-model default) 2 MB
+    beats 6 MB by +1.4%; 8B slightly prefers 6 MB (+0.2%, noise-level).
+    Auto: 2 MB for dim ≤ 2048, else 6 MB.
     ``head_lookahead``: how many head tiles stay in flight ahead of the
     compute (slots = lookahead + 1).
     ``unroll``: consecutive layers per grid step — fewer grid entries
@@ -102,7 +105,7 @@ def megakernel_tuning() -> tuple[int, bool, int, int, int, int]:
         tb,
         _attn_prefetch_enabled(),
         int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tb)),
-        int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_TILE_BYTES", 6 * 1024 * 1024)),
+        int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_TILE_BYTES", "0")),
         int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_LA", "2")),
         int(_os.environ.get("QWEN3_TPU_MEGA_UNROLL", "0")),
     )
@@ -222,6 +225,8 @@ def head_phase_supported(config, v_pad: int, head_tile_bytes: int | None = None)
     """Whether the classifier matmul can run as the megakernel's final
     phase (streamed right behind the last w2 tiles).  Pass the tuning's
     head budget so the gate validates the tiles the kernel will build."""
+    if not head_tile_bytes:  # 0/None = auto, same rule as the builder
+        head_tile_bytes = 2 * 1024 * 1024 if config.dim <= 2048 else 6 * 1024 * 1024
     tiles = _mk_tiles(
         config.dim, v_pad, config.group_size,
         tile_bytes=head_tile_bytes, td_cap=_HEAD_TD_CAP,
@@ -1020,6 +1025,9 @@ def decode_stack_megakernel(
         unroll = 4 if dim <= 2048 else 1
     if unroll < 1 or L % unroll:
         unroll = 1  # must divide the layer count; fall back silently
+    if head_tb == 0:
+        # Auto (interacts with unroll — see megakernel_tuning).
+        head_tb = 2 * 1024 * 1024 if dim <= 2048 else 6 * 1024 * 1024
     if greedy and not include_head:
         raise ValueError("greedy decode requires the fused head (lm_head/rms_final)")
     tiles = {
