@@ -524,7 +524,9 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"prefill_ms_qwen3_{os.environ.get('BENCH_MODEL', '0.6b')}"
+                # Same default as main()'s model_name — a mismatched default
+                # here once mislabeled 8B runs as 0.6b.
+                "metric": f"prefill_ms_qwen3_{os.environ.get('BENCH_MODEL', '8b')}"
                 f"_s{s}_b{batch}",
                 "value": round(per_prefill * 1000, 2),
                 "unit": "ms",

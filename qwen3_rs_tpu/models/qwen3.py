@@ -252,6 +252,32 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
                     from ..ops.pallas.qmatmul import qmatmul_pallas_stacked_rows_a8
 
                     return qmatmul_pallas_stacked_rows_a8(x, w_all, idx)
+                # XLA-dot path: one streaming dequant pass (Pallas, HBM
+                # rate) then XLA's native bf16 matmul — at long-prefill row
+                # counts XLA's dot emitters sustain ~180-200 TF/s where the
+                # rows kernel reaches ~140-165 (scripts/xla_dot_probe.py),
+                # and the dequant pass amortizes over the rows.  Auto
+                # engages above the measured crossover; QWEN3_TPU_PREFILL_XDOT
+                # =1/0 forces it on/off for A/Bs.
+                from ..ops.pallas.qmatmul import dequant_supported
+
+                if (
+                    not q4
+                    and _xdot_prefill_wins(
+                        batch_rows, n, d,
+                        os.environ.get("QWEN3_TPU_PREFILL_XDOT", "auto"),
+                    )
+                    and dequant_supported(n, d, group_size)
+                ):
+                    from ..ops.pallas.qmatmul import dequant_pallas_stacked
+
+                    wbf = dequant_pallas_stacked(w_all, idx)
+                    out = jnp.dot(
+                        x.reshape(-1, n).astype(jnp.bfloat16),
+                        wbf,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return out.reshape(*x.shape[:-1], d)
                 # Row-blocked kernel — dequantizes in VMEM, saving the XLA
                 # dense path's dequant round-trips (~2.1 GB/layer on 8B).
                 if rows_supported(n, d, group_size, batch_rows, q4=q4):
@@ -264,6 +290,28 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
 # docs/kernels.md): pending calibration — until the committed A/B shows a
 # win region, "auto" keeps the proven W8A16 rows kernel.
 _A8_PREFILL_MIN_ROWS: int | None = None  # None = A8 never wins / uncalibrated
+
+
+# Measured crossover for the dequant-then-XLA-dot prefill path
+# (scripts/xla_dot_probe.py; calibrated end-to-end with BENCH_MODE=prefill
+# A/Bs — see docs/kernels.md).  The isolated-matmul probe showed XLA's dot
+# emitters ahead of the rows kernel at >=4096 rows, but the END-TO-END 8B
+# prefill A/B measured xdot −4.5% at both s=1024 and s=4096 (the dequant
+# temp's extra HBM round-trip competes with the step's other streams), so
+# auto stays off (None) pending a shape-selective win.  QWEN3_TPU_PREFILL_XDOT:
+# 1 = all projections, w2 = only n>d (down-projection) shapes, 0/unset = off.
+_XDOT_PREFILL_MIN_ROWS: int | None = None
+
+
+def _xdot_prefill_wins(rows: int, n: int, d: int, env: str) -> bool:
+    """Whether the dequant+XLA-dot path should take this projection."""
+    if env == "1":
+        return True
+    if env == "w2":
+        return n > d
+    if env == "0" or env == "auto" and _XDOT_PREFILL_MIN_ROWS is None:
+        return False
+    return rows >= _XDOT_PREFILL_MIN_ROWS
 
 
 def _a8_prefill_wins(rows: int, env: str) -> bool:

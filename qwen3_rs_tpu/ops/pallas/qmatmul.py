@@ -971,6 +971,108 @@ def qmatmul_pallas_stacked_rows(
     return out.reshape(*batch_shape, d_out)
 
 
+# ------------------------------------------------------------ dequant pass
+# Streaming int8→bf16 weight dequantization for the XLA-dot prefill path
+# (models/qwen3.py::_project_layer, "xdot").  Rationale (measured,
+# scripts/xla_dot_probe.py): at prefill shapes XLA's native bf16 matmul
+# emitters sustain ~180-200 TF/s where the Pallas rows kernel reaches
+# ~140-165 — but XLA's own dequant fusion materializes an f32 intermediate
+# and streams at only ~300-430 GB/s, eating the difference.  This kernel
+# does the dequant at HBM rate (1 B read + 2 B write per element, no f32
+# round-trip) so the pair (dequant kernel → jnp.dot) keeps XLA's dot
+# advantage.  Numerics match the rows kernel exactly: the same
+# ``codes.astype(bf16) * scales.astype(bf16)`` product (_accumulate_tile_i8
+# "scale_w").  Cost amortizes over the prefill row count — the caller only
+# engages this above a measured row threshold.
+
+
+def _kernel_dequant_stacked(
+    idx_ref, wq_ref, ws_ref, o_ref, *, group_size, tile_groups, impl="f32"
+):
+    del idx_ref  # consumed by the index maps (scalar prefetch)
+    wq = wq_ref[0]
+    ws = ws_ref[0]
+    tile_n, tile_d = wq.shape
+    if impl == "f32":
+        # Compute in f32 (native VPU rate — v5e emulates bf16 ALU) and round
+        # once at the end; one fewer rounding than the bf16 product below.
+        scales = jnp.broadcast_to(
+            ws[:, None, :], (tile_groups, group_size, tile_d)
+        ).reshape(tile_n, tile_d)
+        o_ref[:] = (wq.astype(jnp.float32) * scales).astype(jnp.bfloat16)
+    else:  # "bf16": bit-identical to _accumulate_tile_i8's scale_w product
+        scales = jnp.broadcast_to(
+            ws[:, None, :].astype(jnp.bfloat16), (tile_groups, group_size, tile_d)
+        ).reshape(tile_n, tile_d)
+        o_ref[:] = wq.astype(jnp.bfloat16) * scales
+
+
+def _pick_tiles_dequant(n: int, d: int, group_size: int, tiles=None):
+    """(tile_n, tile_d) for the dequant pass: big DMA-friendly tiles.
+
+    VMEM: int8 in (tn*td) + f32 scales (tn/g*td*4) + bf16 out (tn*td*2),
+    double-buffered — at (512, 1024) that is ~3.3 MB, far under the cap."""
+    if tiles is not None:
+        return tiles
+    env = os.environ.get("QWEN3_TPU_DEQUANT_TILES")
+    if env:
+        tn, td = (int(v) for v in env.split(","))
+        return tn, td
+    tile_n = next((t for t in (512, 256, 128, 64) if n % t == 0 and t % group_size == 0), None)
+    tile_d = next((t for t in (1024, 512, 256, 128) if d % t == 0), None)
+    if tile_n is None or tile_d is None:
+        return None
+    return tile_n, tile_d
+
+
+def dequant_supported(n: int, d: int, group_size: int) -> bool:
+    return _pick_tiles_dequant(n, d, group_size) is not None
+
+
+def dequant_pallas_stacked(
+    w: QuantizedTensor, layer_idx: jax.Array, *, interpret: bool = False,
+    impl: str | None = None, tiles=None,
+) -> jax.Array:
+    """Layer ``layer_idx`` of stacked int8 weights [L, N, D] → bf16 [N, D].
+
+    Scalar-prefetched layer index: the kernel DMAs exactly the selected
+    layer's tiles from the stacked array — no [N, D] int8 slice copy."""
+    _, n, d = w.q.shape
+    g_count = w.scales.shape[1]
+    group_size = n // g_count
+    tiles = _pick_tiles_dequant(n, d, group_size, tiles)
+    if tiles is None:
+        raise ValueError(f"unsupported shapes for pallas dequant: {w.q.shape}")
+    tile_n, tile_d = tiles
+    tile_groups = tile_n // group_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n, d // tile_d),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, tile_d), lambda i, j, l: (l[0], i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_groups, tile_d), lambda i, j, l: (l[0], i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, tile_d), lambda i, j, l: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _kernel_dequant_stacked, group_size=group_size, tile_groups=tile_groups,
+        impl=impl or os.environ.get("QWEN3_TPU_DEQUANT_IMPL", "f32"),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), w.q, w.scales)
+
+
 # ---------------------------------------------------------------- W8A8 rows
 # int8×int8→int32 MXU path for prefill: activations quantize per group
 # (reference semantics, tensor.rs:91-119) and the kernel runs one int8 dot

@@ -107,15 +107,24 @@ def _throughput_on(
         pos = jax.device_put(jnp.zeros(batch, jnp.int32), posns)
         toks, _ = f(w, tok, c, pos)
         np.asarray(toks)  # warm
-        c = shard_cache(init_kv_cache(config, batch, dtype=jnp.bfloat16), mesh)
-        t0 = time.perf_counter()
-        toks, _ = f(w, tok, c, pos)
-        np.asarray(toks)
-        return time.perf_counter() - t0
+        best = None
+        for _ in range(2):
+            c = shard_cache(init_kv_cache(config, batch, dtype=jnp.bfloat16), mesh)
+            t0 = time.perf_counter()
+            toks, _ = f(w, tok, c, pos)
+            np.asarray(toks)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
+    short = max(steps // 4, 1)
     t_long = run(steps)
-    t_short = run(max(steps // 4, 1))
-    per_step = (t_long - t_short) / (steps - max(steps // 4, 1))
+    t_short = run(short)
+    per_step = (t_long - t_short) / (steps - short)
+    if per_step <= 0:
+        # Degenerate slope (contended host mesh): fall back to total/steps —
+        # dispatch-inclusive, but always positive and monotone in the work.
+        per_step = t_long / steps
     return batch / per_step
 
 

@@ -168,6 +168,47 @@ def test_rows_supported_gates():
     assert not rows_supported(4096, 24576, 64, 100)  # ragged rows → XLA
 
 
+def test_dequant_pallas_stacked_interpret(rng):
+    """The streaming dequant pass (xdot prefill path) reproduces the
+    canonical dequantized weights for every stacked layer, both impls."""
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        dequant_pallas_stacked,
+        dequant_supported,
+    )
+
+    n, d, gs, L = 256, 256, 64, 3
+    assert dequant_supported(n, d, gs)
+    stacks = [_random_qw(rng, d, n, gs) for _ in range(L)]
+    w_all = QuantizedTensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    for layer in range(L):
+        q_np, s_np = stacks[layer][1]
+        expected = dequantize_np(q_np, s_np).T  # [N, D]
+        for impl in ("f32", "bf16"):
+            out = np.asarray(
+                dequant_pallas_stacked(
+                    w_all, layer, interpret=True, impl=impl
+                ).astype(jnp.float32)
+            )
+            # bf16 output rounding dominates the tolerance.
+            np.testing.assert_allclose(out, expected, rtol=1e-2, atol=1e-3)
+
+
+def test_xdot_prefill_crossover(monkeypatch):
+    from qwen3_rs_tpu.models import qwen3 as m
+
+    monkeypatch.setattr(m, "_XDOT_PREFILL_MIN_ROWS", 1024)
+    assert m._xdot_prefill_wins(4096, 4096, 24576, "auto")
+    assert not m._xdot_prefill_wins(512, 4096, 24576, "auto")
+    assert m._xdot_prefill_wins(512, 4096, 24576, "1")
+    assert not m._xdot_prefill_wins(4096, 4096, 24576, "0")
+    assert m._xdot_prefill_wins(4096, 12288, 4096, "w2")  # down-proj only
+    assert not m._xdot_prefill_wins(4096, 4096, 24576, "w2")
+    monkeypatch.setattr(m, "_XDOT_PREFILL_MIN_ROWS", None)
+    assert not m._xdot_prefill_wins(4096, 4096, 24576, "auto")
+
+
 # ---------------------------------------------------------------------- INT4
 def _random_q4(rng, d, n, gs):
     """In-major Q4Tensor (packed) plus canonical row-major (q, s) arrays."""
