@@ -191,7 +191,7 @@ def main() -> None:
 
     if mode == "prefill":
         config = qwen3_config(model_name, seq_len=seq_len)
-        _bench_prefill(config, random_weights(config), batch, seq_len)
+        _bench_prefill(config, random_weights(config, bits=bits), batch, seq_len)
         return
 
     if mode == "serve":
@@ -525,9 +525,12 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
         json.dumps(
             {
                 # Same default as main()'s model_name — a mismatched default
-                # here once mislabeled 8B runs as 0.6b.
+                # here once mislabeled 8B runs as 0.6b.  int{bits} tag only
+                # off the INT8 default, keeping the established metric name.
                 "metric": f"prefill_ms_qwen3_{os.environ.get('BENCH_MODEL', '8b')}"
-                f"_s{s}_b{batch}",
+                + ("" if os.environ.get("BENCH_BITS", "8") == "8"
+                   else f"_int{os.environ.get('BENCH_BITS')}")
+                + f"_s{s}_b{batch}",
                 "value": round(per_prefill * 1000, 2),
                 "unit": "ms",
                 "vs_baseline": round(achieved / peak, 4),

@@ -262,12 +262,11 @@ def _project_layer(x, xq, w_all: QuantizedTensor, idx, mode: str):
                 from ..ops.pallas.qmatmul import dequant_supported
 
                 if (
-                    not q4
-                    and _xdot_prefill_wins(
+                    _xdot_prefill_wins(
                         batch_rows, n, d,
                         os.environ.get("QWEN3_TPU_PREFILL_XDOT", "auto"),
                     )
-                    and dequant_supported(n, d, group_size)
+                    and dequant_supported(n, d, group_size, q4=q4)
                 ):
                     from ..ops.pallas.qmatmul import dequant_pallas_stacked
 
@@ -293,14 +292,19 @@ _A8_PREFILL_MIN_ROWS: int | None = None  # None = A8 never wins / uncalibrated
 
 
 # Measured crossover for the dequant-then-XLA-dot prefill path
-# (scripts/xla_dot_probe.py; calibrated end-to-end with BENCH_MODE=prefill
-# A/Bs — see docs/kernels.md).  The isolated-matmul probe showed XLA's dot
-# emitters ahead of the rows kernel at >=4096 rows, but the END-TO-END 8B
-# prefill A/B measured xdot −4.5% at both s=1024 and s=4096 (the dequant
-# temp's extra HBM round-trip competes with the step's other streams), so
-# auto stays off (None) pending a shape-selective win.  QWEN3_TPU_PREFILL_XDOT:
-# 1 = all projections, w2 = only n>d (down-projection) shapes, 0/unset = off.
-_XDOT_PREFILL_MIN_ROWS: int | None = None
+# (scripts/xla_dot_probe.py isolated; calibrated END-TO-END with
+# BENCH_MODE=prefill interleaved A/Bs, 8B, 2026-08 — full table in
+# docs/kernels.md).  The win region is narrow: ONLY the large
+# down-projection (w2, n>d) at long prefills —
+#   s=4096 w2-only: +3.6-5.4% (0.693 -> 0.719-0.734 of MXU peak)
+#   s=4096 all-projections: -4.5%;  w13+w2: -5% vs w2-only
+#   s=2048 w2-only: wash;  s=1024 w2-only: -2-4%;  0.6B s=1024: -22%
+# (everywhere else the dequant temp's extra HBM round-trip costs more
+# than XLA's dot-emitter advantage buys).  QWEN3_TPU_PREFILL_XDOT
+# overrides for A/Bs: 1 = all projections, w2 = n>d shapes, big = FFN
+# shapes, 0 = off; auto = the measured region below.
+_XDOT_PREFILL_MIN_ROWS: int | None = 4096
+_XDOT_MIN_WEIGHT_ELEMS = 50_000_000  # excludes sub-~4B-model w2 dims
 
 
 def _xdot_prefill_wins(rows: int, n: int, d: int, env: str) -> bool:
@@ -309,9 +313,15 @@ def _xdot_prefill_wins(rows: int, n: int, d: int, env: str) -> bool:
         return True
     if env == "w2":
         return n > d
-    if env == "0" or env == "auto" and _XDOT_PREFILL_MIN_ROWS is None:
+    if env == "big":  # the two FFN matmuls (w13 + w2), not qkv/attn_out
+        return n * d >= _XDOT_MIN_WEIGHT_ELEMS
+    if env == "0" or _XDOT_PREFILL_MIN_ROWS is None:
         return False
-    return rows >= _XDOT_PREFILL_MIN_ROWS
+    return (
+        rows >= _XDOT_PREFILL_MIN_ROWS
+        and n > d
+        and n * d >= _XDOT_MIN_WEIGHT_ELEMS
+    )
 
 
 def _a8_prefill_wins(rows: int, env: str) -> bool:

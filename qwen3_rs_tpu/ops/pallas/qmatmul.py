@@ -992,6 +992,11 @@ def _kernel_dequant_stacked(
     del idx_ref  # consumed by the index maps (scalar prefetch)
     wq = wq_ref[0]
     ws = ws_ref[0]
+    if wq.dtype == jnp.uint8:  # INT4: nibble-packed codes, [tile_n/2, tile_d]
+        o_ref[:] = _dequant_tile_q4(
+            wq, ws, group_size=group_size, tile_groups=tile_groups, impl="int"
+        )
+        return
     tile_n, tile_d = wq.shape
     if impl == "f32":
         # Compute in f32 (native VPU rate — v5e emulates bf16 ALU) and round
@@ -1025,8 +1030,15 @@ def _pick_tiles_dequant(n: int, d: int, group_size: int, tiles=None):
     return tile_n, tile_d
 
 
-def dequant_supported(n: int, d: int, group_size: int) -> bool:
-    return _pick_tiles_dequant(n, d, group_size) is not None
+def dequant_supported(n: int, d: int, group_size: int, q4: bool = False) -> bool:
+    tiles = _pick_tiles_dequant(n, d, group_size)
+    if tiles is None:
+        return False
+    if q4:
+        # Group split-half packing: any whole number of (even-sized)
+        # groups per tile unpacks cleanly.
+        return group_size % 2 == 0
+    return True
 
 
 def dequant_pallas_stacked(
@@ -1036,8 +1048,13 @@ def dequant_pallas_stacked(
     """Layer ``layer_idx`` of stacked int8 weights [L, N, D] → bf16 [N, D].
 
     Scalar-prefetched layer index: the kernel DMAs exactly the selected
-    layer's tiles from the stacked array — no [N, D] int8 slice copy."""
+    layer's tiles from the stacked array — no [N, D] int8 slice copy.
+    INT4 (``Q4Tensor``): codes are nibble-packed [L, N/2, D]; the kernel
+    unpacks per tile (group split-half, ``_dequant_tile_q4``)."""
+    q4 = w.q.dtype == jnp.uint8
     _, n, d = w.q.shape
+    if q4:
+        n *= 2  # packed codes halve the stored in-axis
     g_count = w.scales.shape[1]
     group_size = n // g_count
     tiles = _pick_tiles_dequant(n, d, group_size, tiles)
@@ -1045,11 +1062,12 @@ def dequant_pallas_stacked(
         raise ValueError(f"unsupported shapes for pallas dequant: {w.q.shape}")
     tile_n, tile_d = tiles
     tile_groups = tile_n // group_size
+    w_rows = tile_n // 2 if q4 else tile_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n, d // tile_d),
         in_specs=[
-            pl.BlockSpec((1, tile_n, tile_d), lambda i, j, l: (l[0], i, j),
+            pl.BlockSpec((1, w_rows, tile_d), lambda i, j, l: (l[0], i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_groups, tile_d), lambda i, j, l: (l[0], i, j),
                          memory_space=pltpu.VMEM),

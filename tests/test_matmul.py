@@ -195,18 +195,45 @@ def test_dequant_pallas_stacked_interpret(rng):
             np.testing.assert_allclose(out, expected, rtol=1e-2, atol=1e-3)
 
 
+def test_dequant_pallas_stacked_q4_interpret(rng):
+    """INT4 variant of the dequant pass: unpacks the biased-v2 nibbles and
+    reproduces the canonical Q4 dequantized weights."""
+    from qwen3_rs_tpu.ops.pallas.qmatmul import (
+        dequant_pallas_stacked,
+        dequant_supported,
+    )
+    from qwen3_rs_tpu.ops.quant import Q4Tensor, dequantize_np
+
+    n, d, gs, L = 256, 256, 64, 2
+    assert dequant_supported(n, d, gs, q4=True)
+    stacks = [_random_q4(rng, d, n, gs) for _ in range(L)]
+    w_all = Q4Tensor(
+        jnp.stack([w.q for w, _ in stacks]), jnp.stack([w.scales for w, _ in stacks])
+    )
+    for layer in range(L):
+        q_np, s_np = stacks[layer][1]
+        expected = dequantize_np(q_np, s_np).T  # [N, D]
+        out = np.asarray(
+            dequant_pallas_stacked(w_all, layer, interpret=True).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(out, expected, rtol=1e-2, atol=1e-3)
+
+
 def test_xdot_prefill_crossover(monkeypatch):
     from qwen3_rs_tpu.models import qwen3 as m
 
-    monkeypatch.setattr(m, "_XDOT_PREFILL_MIN_ROWS", 1024)
-    assert m._xdot_prefill_wins(4096, 4096, 24576, "auto")
-    assert not m._xdot_prefill_wins(512, 4096, 24576, "auto")
+    # auto = long prefill + large down-projection only (8B w2: 12288x4096)
+    assert m._xdot_prefill_wins(4096, 12288, 4096, "auto")
+    assert not m._xdot_prefill_wins(2048, 12288, 4096, "auto")  # short prefill
+    assert not m._xdot_prefill_wins(4096, 4096, 24576, "auto")  # up-proj
+    assert not m._xdot_prefill_wins(4096, 3072, 1024, "auto")  # 0.6B dims
     assert m._xdot_prefill_wins(512, 4096, 24576, "1")
-    assert not m._xdot_prefill_wins(4096, 4096, 24576, "0")
+    assert not m._xdot_prefill_wins(4096, 12288, 4096, "0")
     assert m._xdot_prefill_wins(4096, 12288, 4096, "w2")  # down-proj only
     assert not m._xdot_prefill_wins(4096, 4096, 24576, "w2")
+    assert m._xdot_prefill_wins(4096, 4096, 24576, "big")
     monkeypatch.setattr(m, "_XDOT_PREFILL_MIN_ROWS", None)
-    assert not m._xdot_prefill_wins(4096, 4096, 24576, "auto")
+    assert not m._xdot_prefill_wins(4096, 12288, 4096, "auto")
 
 
 # ---------------------------------------------------------------------- INT4
