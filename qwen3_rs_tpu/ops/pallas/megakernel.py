@@ -71,7 +71,7 @@ def _tile_bytes() -> int:
     return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
 
 
-def megakernel_tuning() -> tuple[int, bool, int, int, int, int]:
+def megakernel_tuning() -> tuple[int, bool, int, int, int, int, int]:
     """(tile_bytes, attn_prefetch, q4_elems, head_tile_bytes,
     head_lookahead) from the environment.
 
@@ -99,7 +99,18 @@ def megakernel_tuning() -> tuple[int, bool, int, int, int, int]:
     +11% at 0.6B (0.867 ms vs 0.949, interleaved A/B; 7 and 14 regress) —
     and 1 for large ones (8B measured best at 1, its 290 µs layers
     already amortize the entry cost).  Silently falls back to 1 if it
-    doesn't divide n_layers."""
+    doesn't divide n_layers.
+    ``head_a8``: classifier phase as per-group int8×int8 MXU dots with an
+    f32 row fixup instead of dequant+bf16 dot (1 = per-128-lane activation
+    scales, 2 = per-token).  MEASURED NO — stays 0: the isolated compute
+    path is ~4× faster (scripts/head_a8_probe.py: 1.5-1.9 µs/tile
+    int8-seg vs 6.6-6.8 dequant+dot, interleaved, two runs), but the
+    END-TO-END interleaved A/B loses at both models (8B 10.721 vs
+    10.575 ms; 0.6B −0.4% (a8=1) / −1.5% (a8=2)) — in situ the phase is
+    not bound by the dequant VPU pass the way the resident-tile probe
+    suggested (the int8 dot chain pipelines worse against the live DMA
+    stream).  Kept opt-in for future hardware; numerics shift by
+    activation-quant noise on LOGITS ONLY (parity-tested rel < 0.05)."""
     tb = _tile_bytes()
     return (
         tb,
@@ -108,6 +119,7 @@ def megakernel_tuning() -> tuple[int, bool, int, int, int, int]:
         int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_TILE_BYTES", "0")),
         int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_LA", "2")),
         int(_os.environ.get("QWEN3_TPU_MEGA_UNROLL", "0")),
+        int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_A8", "0")),
     )
 
 
@@ -291,7 +303,7 @@ def _buf_slots(
 
 def _mk_kernel(
     config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False,
-    attn_prefetch=True, head_la=1, greedy=False, unroll=1,
+    attn_prefetch=True, head_la=1, greedy=False, unroll=1, head_a8=False,
 ):
     dim = config.dim
     ah = config.all_heads_dim
@@ -380,6 +392,11 @@ def _mk_kernel(
             scr = scr[6:]
         if greedy:
             best_val, best_blk = scr[:2]  # [B, td_head] f32 / i32
+            scr = scr[2:]
+        if head_a8:
+            # Quantized head activation: int8 codes + per-128-lane scales,
+            # written once per step before the classifier stream.
+            head_xq, head_xs = scr[:2]  # [B, dim] i8 / [B, dim//128] f32
 
         base_layer = pl.program_id(0)
 
@@ -542,19 +559,44 @@ def _mk_kernel(
                     cw.wait()
                     cs.wait()
 
-                    xt = src_ref[:, pl.ds(k * tn, tn)].astype(jnp.bfloat16)
-                    if q4 and name != "head":
-                        from .qmatmul import _dequant_tile_q4
-
-                        wf = _dequant_tile_q4(
-                            wbuf[slot], sbuf[slot], group_size=g, tile_groups=tg
-                        )
+                    if head_a8 and name == "head":
+                        # Per-group int8 dots: the weight tile goes straight
+                        # into the MXU — no [tn, td] VPU dequant (the pass
+                        # that serialized this phase at 0.68 of its DMA
+                        # share); fixup is 3 f32 ops on the [B, td] partial
+                        # per 64-deep group (scripts/head_a8_probe.py).
+                        # K == 1 (builder-enforced): every offset is STATIC
+                        # — Mosaic refuses dynamic sub-128-lane loads — and
+                        # the scale row loads once per tile as a value.
+                        xsv = head_xs[:]  # [B, dim//128]
+                        part = jnp.zeros((B, td), jnp.float32)
+                        for gi in range(tg):
+                            off = gi * g
+                            dq = jax.lax.dot_general(
+                                head_xq[:, off : off + g],
+                                wbuf[slot][gi * g : (gi + 1) * g, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32,
+                            )
+                            part += (
+                                dq.astype(jnp.float32)
+                                * sbuf[slot][gi][None, :]
+                                * xsv[:, off // 128 : off // 128 + 1]
+                            )
                     else:
-                        wf = _dequant(wbuf[slot], sbuf[slot], g)
-                    part = jax.lax.dot_general(
-                        xt, wf, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [B, td]
+                        xt = src_ref[:, pl.ds(k * tn, tn)].astype(jnp.bfloat16)
+                        if q4 and name != "head":
+                            from .qmatmul import _dequant_tile_q4
+
+                            wf = _dequant_tile_q4(
+                                wbuf[slot], sbuf[slot], group_size=g, tile_groups=tg
+                            )
+                        else:
+                            wf = _dequant(wbuf[slot], sbuf[slot], g)
+                        part = jax.lax.dot_general(
+                            xt, wf, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [B, td]
 
                     @pl.when(k == 0)
                     def _():
@@ -919,6 +961,32 @@ def _mk_kernel(
                         jnp.mean(xf3 * xf3, axis=1, keepdims=True) + eps
                     )
                     act[:, pl.ds(0, dim)] = xf3 * inv3 * rfin_ref[:]
+                    if head_a8 == 2:
+                        # Per-TOKEN symmetric quantization (one scale per
+                        # row): no slice loop, one store, one fixup column.
+                        hv = act[:, pl.ds(0, dim)]
+                        m = jnp.max(jnp.abs(hv), axis=1, keepdims=True)
+                        inv_s = jnp.where(m > 0, 127.0 / m, 0.0)
+                        head_xq[:] = jnp.round(hv * inv_s).astype(jnp.int8)
+                        head_xs[:] = jnp.broadcast_to(
+                            m * (1.0 / 127.0), head_xs.shape
+                        )
+                    elif head_a8:
+                        # Symmetric per-128-lane quantization of the head
+                        # input (once per step; 128-lane groups keep every
+                        # slice/store natively aligned — the WEIGHT group g
+                        # packs into them, fixup indexes xs at (gg*g)//128).
+                        hv = act[:, pl.ds(0, dim)]
+                        sc_cols = []
+                        for qi in range(dim // 128):
+                            sl = hv[:, qi * 128 : (qi + 1) * 128]
+                            m = jnp.max(jnp.abs(sl), axis=1, keepdims=True)
+                            inv_s = jnp.where(m > 0, 127.0 / m, 0.0)
+                            head_xq[:, pl.ds(qi * 128, 128)] = jnp.round(
+                                sl * inv_s
+                            ).astype(jnp.int8)
+                            sc_cols.append(m * (1.0 / 127.0))
+                        head_xs[:] = jnp.concatenate(sc_cols, axis=1)
                     td_h = plans["head"][1]
                     if greedy:
                         best_val[:] = jnp.full((B, td_h), -jnp.inf, jnp.float32)
@@ -1015,10 +1083,14 @@ def decode_stack_megakernel(
     # whole decode win.
     q4 = wqkv.q.dtype == jnp.uint8
     t5 = tuning if tuning is not None else megakernel_tuning()
-    if len(t5) < 6:  # pre-head/unroll-knob tuning tuples (older A/B scripts)
+    if len(t5) < 7:  # pre-head/unroll/a8-knob tuning tuples (older A/B scripts)
         defaults = megakernel_tuning()
         t5 = (*t5, *defaults[len(t5):])
-    tb, attn_pref, q4e, head_tb, head_la, unroll = t5
+    tb, attn_pref, q4e, head_tb, head_la, unroll, head_a8 = t5
+    # A8 head needs the weight group to pack into the 128-lane activation
+    # quant groups and a fused head to apply to; fall back silently.
+    if not include_head or dim % 128 or g not in (32, 64, 128):
+        head_a8 = 0
     if unroll == 0:
         # Auto: small-dim models gain from fewer grid entries (see
         # megakernel_tuning); large ones measured best at 1.
@@ -1040,6 +1112,8 @@ def decode_stack_megakernel(
     if include_head:
         v_pad = lm_head.q.shape[-1]
         tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=head_tb, td_cap=_HEAD_TD_CAP)
+        if head_a8 and (tiles["head"] is None or tiles["head"][0] != dim):
+            head_a8 = 0  # A8 needs a full-depth head tile (static offsets)
     td_max = max(v[1] for v in tiles.values())
 
     for name, t_ in tiles.items():
@@ -1057,6 +1131,7 @@ def decode_stack_megakernel(
     kernel = _mk_kernel(
         config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4,
         attn_prefetch=attn_pref, head_la=head_la, greedy=greedy, unroll=unroll,
+        head_a8=int(head_a8),
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
@@ -1130,6 +1205,15 @@ def decode_stack_megakernel(
                 pltpu.VMEM((B, tiles["head"][1]), jnp.int32),  # best_blk
             ]
             if greedy
+            else []
+        )
+        + (
+            [
+                # A8 head: quantized activation codes + per-128-lane scales.
+                pltpu.VMEM((B, dim), jnp.int8),  # head_xq
+                pltpu.VMEM((B, dim // 128), jnp.float32),  # head_xs
+            ]
+            if head_a8
             else []
         )
     )

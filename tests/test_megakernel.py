@@ -247,6 +247,48 @@ def test_megakernel_fused_head_parity():
     assert int(fused.argmax()) == int(manual.argmax())
 
 
+def test_megakernel_head_a8_parity():
+    """The A8 classifier phase (per-group int8 dots + f32 fixup) stays
+    within the activation-quantization noise bound of the exact head."""
+    from qwen3_rs_tpu.ops.pallas.megakernel import megakernel_tuning
+
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(1, config.vocab_size, (1, 19)), jnp.int32)
+    cache = init_kv_cache(config, batch=1, dtype=jnp.float32)
+    _, cache = qwen3_forward(
+        config, weights, prompt, cache, jnp.zeros(1, jnp.int32),
+        mode="fast", fresh_prefill=True,
+    )
+    pos = jnp.asarray([19], jnp.int32)
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
+
+    emb_q = weights.embed.q[tok]
+    emb_s = weights.embed.scales[tok]
+    x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
+    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    lw = weights.layers
+    outs = {}
+    for a8 in (0, 1):
+        tuning = (*megakernel_tuning()[:6], a8)
+        _, _, logits_pad = decode_stack_megakernel(
+            config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+            cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+            jnp.copy(cache.k), jnp.copy(cache.v), pos,
+            weights.rms_final, weights.lm_head,
+            eps=config.norm_eps, interpret=True, tuning=tuning,
+        )
+        outs[a8] = np.asarray(logits_pad[:, : config.vocab_size], np.float32)
+    # int8 activation quantization (per-128-lane symmetric) perturbs the
+    # logits by ~|x|/254 per element accumulated over dim — well under the
+    # bf16-path parity tolerance at these dims.
+    rel = np.abs(outs[1] - outs[0]).max() / max(1.0, np.abs(outs[0]).max())
+    assert rel < 0.05, rel
+
+
 def test_tiles_exist_for_real_models():
     # 8B / 0.6B body dims must all be tileable.
     for dims in [
