@@ -304,7 +304,10 @@ _A8_PREFILL_MIN_ROWS: int | None = None  # None = A8 never wins / uncalibrated
 # overrides for A/Bs: 1 = all projections, w2 = n>d shapes, big = FFN
 # shapes, 0 = off; auto = the measured region below.
 _XDOT_PREFILL_MIN_ROWS: int | None = 4096
-_XDOT_MIN_WEIGHT_ELEMS = 50_000_000  # excludes sub-~4B-model w2 dims
+# Model sweep at s=4096 (adjacent bench pairs): 8B w2 (50.3M) +3.6-5.4%,
+# 4B w2 (24.9M) +3.3/+15%, 1.7B w2 (12.6M) wash/+5.4%, 0.6B w2 (3.1M)
+# LOSS — the gate admits every measured non-loss and excludes 0.6B.
+_XDOT_MIN_WEIGHT_ELEMS = 10_000_000
 
 
 def _xdot_prefill_wins(rows: int, n: int, d: int, env: str) -> bool:

@@ -227,6 +227,8 @@ def test_xdot_prefill_crossover(monkeypatch):
     assert not m._xdot_prefill_wins(2048, 12288, 4096, "auto")  # short prefill
     assert not m._xdot_prefill_wins(4096, 4096, 24576, "auto")  # up-proj
     assert not m._xdot_prefill_wins(4096, 3072, 1024, "auto")  # 0.6B dims
+    assert m._xdot_prefill_wins(4096, 9728, 2560, "auto")  # 4B w2
+    assert m._xdot_prefill_wins(4096, 6144, 2048, "auto")  # 1.7B w2
     assert m._xdot_prefill_wins(512, 4096, 24576, "1")
     assert not m._xdot_prefill_wins(4096, 12288, 4096, "0")
     assert m._xdot_prefill_wins(4096, 12288, 4096, "w2")  # down-proj only
