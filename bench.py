@@ -127,12 +127,16 @@ def _orchestrate() -> int:
         if remaining > 30:
             result = run_child({"BENCH_MODEL": "0.6b"}, min(remaining, 240.0))
     if result is not None:
-        try:
-            with open(LAST_GOOD_PATH, "w") as f:
-                json.dump({**result, "recorded_unix": int(time.time())}, f)
-                f.write("\n")
-        except OSError:
-            pass
+        # Only decode-mode runs update the last-good record: it backs the
+        # degraded-fallback provenance, which must stay a tokens/sec decode
+        # number (a prefill/serve run once clobbered it with an ms metric).
+        if str(result.get("metric", "")).startswith("decode_tok_s_"):
+            try:
+                with open(LAST_GOOD_PATH, "w") as f:
+                    json.dump({**result, "recorded_unix": int(time.time())}, f)
+                    f.write("\n")
+            except OSError:
+                pass
         print(json.dumps(result))
         return 0
 
