@@ -12,8 +12,10 @@ JSON line carrying the last committed good number's provenance — ``parsed``
 is never null no matter what the environment does.  Set ``BENCH_CHILD=1``
 to run the measurement directly (what the orchestrator spawns).
 
-Measures single-stream decode throughput of the flagship Qwen3-0.6B-shaped
-INT8-g64 model (random weights, fast/Pallas path) on the attached device.
+Measures single-stream decode throughput of the flagship Qwen3-8B
+INT8-g64 config (random weights, fast/Pallas path) on the attached device;
+``BENCH_MODEL`` selects other family members (0.6b/1.7b/4b), and the
+watchdog's degraded fallback drops to 0.6B.
 
 Methodology: the decode loop (forward + greedy sample) runs **on device**
 via ``lax.scan`` — one dispatch per chunk — and the per-step time is taken
@@ -127,10 +129,14 @@ def _orchestrate() -> int:
         if remaining > 30:
             result = run_child({"BENCH_MODEL": "0.6b"}, min(remaining, 240.0))
     if result is not None:
-        # Only decode-mode runs update the last-good record: it backs the
-        # degraded-fallback provenance, which must stay a tokens/sec decode
-        # number (a prefill/serve run once clobbered it with an ms metric).
-        if str(result.get("metric", "")).startswith("decode_tok_s_"):
+        # Only runs at EXACTLY the flagship config update the last-good
+        # record: it backs the degraded-fallback provenance, which must
+        # stay the flagship decode tokens/sec (a prefill run once clobbered
+        # it with an ms metric; an INT4 run once replayed 115.9@0.61 as the
+        # flagship's number).  Exact metric-name match covers model, bits,
+        # batch, ctx and kv tags in one comparison.
+        metric = str(result.get("metric", ""))
+        if metric == "decode_tok_s_qwen3_8b_int8g64_b1":
             try:
                 with open(LAST_GOOD_PATH, "w") as f:
                     json.dump({**result, "recorded_unix": int(time.time())}, f)
@@ -163,6 +169,47 @@ def _orchestrate() -> int:
     degraded["degraded"] = "compile-service-episode"
     print(json.dumps(degraded))
     return 0
+
+
+def _epoch_probe() -> float | None:
+    """Fixed HBM-stream reference program timed before the measurement.
+
+    The relay's epoch drift swings identical programs ±4-5% hour to hour
+    (EVIDENCE.md §7); this ~2 s probe measures the epoch's achieved HBM
+    read rate with a fixed program so every cross-process number carries
+    a normalizer (``epoch_gbs`` in the JSON line).  Methodology: slope
+    between 20 and 5 chained 512 MB reduction passes (each pass reads the
+    array once; a runtime scalar multiplier defeats CSE), min of 3.
+    """
+    if os.environ.get("BENCH_EPOCH_PROBE", "1") == "0":
+        return None
+    try:
+        n = 256 * 1024 * 1024  # 512 MB of bf16
+        x = jnp.ones((n,), jnp.bfloat16)
+
+        def chain(x, k):
+            acc = jnp.float32(1.0)
+            for _ in range(k):
+                s = jnp.sum(x * acc.astype(jnp.bfloat16), dtype=jnp.float32)
+                acc = s * jnp.float32(1e-20) + jnp.float32(1.0)
+            return acc
+
+        times = {}
+        for k in (20, 5):
+            f = jax.jit(functools.partial(chain, k=k))
+            np.asarray(f(x))  # compile + warm
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f(x))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[k] = best
+        per_pass = (times[20] - times[5]) / 15
+        return round(n * 2 / per_pass / 1e9, 1)
+    except Exception as e:  # probe must never take the bench down
+        print(f"epoch probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
 
 
 def main() -> None:
@@ -301,6 +348,11 @@ def main() -> None:
         gc.collect()
         jax.clear_caches()
         result = bench_decode("0.6b")
+    # Probe AFTER the measurement: its (cacheable) compiles must not eat
+    # the watchdog budget before the headline number exists.
+    epoch_gbs = _epoch_probe()
+    if epoch_gbs is not None:
+        result["epoch_gbs"] = epoch_gbs
     print(json.dumps(result))
 
 
@@ -352,6 +404,24 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
 
     config = qwen3_config(model_name, seq_len=seq_len)
     weights = cast_weight_scales(random_weights(config))
+    # BENCH_PARROT=1: zero every LAYER weight scale so the residual stream
+    # is exactly the token embedding and the tied classifier's argmax
+    # parrots the input token (self-similarity dominates a random
+    # embedding's cross-dots).  The kernels stream the SAME bytes — zero
+    # scales change no traffic — but greedy continuations become cyclic,
+    # i.e. this is the acceptance-favorable regime the speculative A/B
+    # needs (random-weight 8B continuations are chaotic: measured EWMA
+    # exactly 1.0, EVIDENCE §2b — no acceptance exists to exploit there).
+    if os.environ.get("BENCH_PARROT") == "1":
+        lw = weights.layers
+        weights = weights._replace(
+            layers=lw._replace(
+                wqkv=lw.wqkv._replace(scales=jnp.zeros_like(lw.wqkv.scales)),
+                wo=lw.wo._replace(scales=jnp.zeros_like(lw.wo.scales)),
+                w13=lw.w13._replace(scales=jnp.zeros_like(lw.w13.scales)),
+                w2=lw.w2._replace(scales=jnp.zeros_like(lw.w2.scales)),
+            )
+        )
     engine = ContinuousBatchingEngine(
         config=config,
         weights=weights,
@@ -395,6 +465,7 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
     elapsed = time.perf_counter() - t0
     total = sum(len(r.generated) for r in done)
     stats = engine.stats()
+    epoch_gbs = _epoch_probe()
 
     device_kind = jax.devices()[0].device_kind
     bw = HBM_BW_BY_KIND.get(device_kind, 819e9)
@@ -407,12 +478,14 @@ def _bench_serve(model_name: str, seq_len: int) -> None:
                 + (f"_kv{kv}" if kv != "bf16" else "")
                 + (f"_spec{spec_k}" if spec_k else "")
                 + (f"_prefix{prefix_mode}" if prefix_mode else "")
-                + (f"_t{temperature}" if temp_env else ""),
+                + (f"_t{temperature}" if temp_env else "")
+                + ("_parrot" if os.environ.get("BENCH_PARROT") == "1" else ""),
                 "value": round(total / elapsed, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": round(total / elapsed / roofline_1, 4),
                 "p50_ttft_s": round(stats["p50_ttft"], 4) if stats["p50_ttft"] else None,
                 "requests": len(done),
+                **({"epoch_gbs": epoch_gbs} if epoch_gbs is not None else {}),
                 **(
                     {
                         "spec_enabled_at_end": stats["spec_enabled"],
@@ -525,6 +598,7 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
     device_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS_BY_KIND.get(device_kind, 197e12)
     achieved = prefill_flops(config, s, batch) / per_prefill
+    epoch_gbs = _epoch_probe()
     print(
         json.dumps(
             {
@@ -539,6 +613,7 @@ def _bench_prefill(config, weights, batch: int, seq_len: int) -> None:
                 "unit": "ms",
                 "vs_baseline": round(achieved / peak, 4),
                 "tflops": round(achieved / 1e12, 1),
+                **({"epoch_gbs": epoch_gbs} if epoch_gbs is not None else {}),
             }
         )
     )

@@ -980,10 +980,13 @@ def qmatmul_pallas_stacked_rows(
 # and streams at only ~300-430 GB/s, eating the difference.  This kernel
 # does the dequant at HBM rate (1 B read + 2 B write per element, no f32
 # round-trip) so the pair (dequant kernel → jnp.dot) keeps XLA's dot
-# advantage.  Numerics match the rows kernel exactly: the same
+# advantage.  Numerics: impl="bf16" is bit-identical to the rows kernel's
 # ``codes.astype(bf16) * scales.astype(bf16)`` product (_accumulate_tile_i8
-# "scale_w").  Cost amortizes over the prefill row count — the caller only
-# engages this above a measured row threshold.
+# "scale_w"); the DEFAULT impl="f32" computes the product in f32 and rounds
+# once at the end — one fewer rounding, NOT bit-identical to the rows path
+# (measured rel ≤ 0.041 logit drift, EVIDENCE §3), traded for VPU rate
+# (v5e emulates bf16 ALU).  Cost amortizes over the prefill row count —
+# the caller only engages this above a measured row threshold.
 
 
 def _kernel_dequant_stacked(
@@ -1012,17 +1015,33 @@ def _kernel_dequant_stacked(
         o_ref[:] = wq.astype(jnp.bfloat16) * scales
 
 
+def _check_tiles_dequant(n, d, group_size, tiles, source):
+    """Override tiles bypass the built-in candidate table, so validate the
+    divisibility the grid silently assumes — a tile_n not dividing n would
+    truncate the (n//tn, d//td) grid and leave part of the bf16 output
+    uninitialized (wrong logits with no error)."""
+    tn, td = tiles
+    if tn <= 0 or td <= 0 or n % tn or d % td or tn % group_size:
+        raise ValueError(
+            f"dequant {source}=({tn},{td}) invalid for [N={n}, D={d}] "
+            f"g={group_size}: need tn|N, td|D, g|tn"
+        )
+    return tn, td
+
+
 def _pick_tiles_dequant(n: int, d: int, group_size: int, tiles=None):
     """(tile_n, tile_d) for the dequant pass: big DMA-friendly tiles.
 
     VMEM: int8 in (tn*td) + f32 scales (tn/g*td*4) + bf16 out (tn*td*2),
     double-buffered — at (512, 1024) that is ~3.3 MB, far under the cap."""
     if tiles is not None:
-        return tiles
+        return _check_tiles_dequant(n, d, group_size, tiles, "tiles argument")
     env = os.environ.get("QWEN3_TPU_DEQUANT_TILES")
     if env:
         tn, td = (int(v) for v in env.split(","))
-        return tn, td
+        return _check_tiles_dequant(
+            n, d, group_size, (tn, td), "QWEN3_TPU_DEQUANT_TILES"
+        )
     tile_n = next((t for t in (512, 256, 128, 64) if n % t == 0 and t % group_size == 0), None)
     tile_d = next((t for t in (1024, 512, 256, 128) if d % t == 0), None)
     if tile_n is None or tile_d is None:
