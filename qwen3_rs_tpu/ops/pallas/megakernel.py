@@ -53,27 +53,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import _pick_blk
 
-# ~Codes bytes per weight tile, default 2 MB.  NOTE: the original 2-vs-4 MB
-# same-process sweep predated the static-``tuning`` plumbing and compared
-# the first-traced kernel against itself (inner-jit jaxpr cache froze the
-# env read), so there is NO validated evidence larger tiles help; the
-# deltas it reported (±0.5-1.4%) were run noise.  Re-sweep with
-# scripts/mega_ab.py (now correct) before changing this.  2 MB is also
-# the compile-cache-warm configuration, which matters here: the
-# deployment's remote-compile service intermittently takes 25+ min for a
-# fresh program.
+# ~Codes bytes per weight tile.  0 = auto, resolved per model dim by
+# _resolve_tile_bytes: 2 MB for the tuned 8B/1.7B/0.6B configs (the r4
+# corrected same-process sweeps measured 4 MB worse at 8B and 2 MB best at
+# 4B under the OLD ≤1024-row plans), 6 MB at dim 2560 where full-depth
+# plans want the bigger budget (r5 interleaved sweep: 2→6 MB lifts 4B
+# decode 0.822→0.878 of roofline; 8 MB regresses).  2 MB is also the
+# compile-cache-warm configuration, which matters here: the deployment's
+# remote-compile service intermittently takes 25+ min for a fresh program.
 import os as _os
 
 def _tile_bytes() -> int:
     """Per-tile code-byte budget (default env read — see
     :func:`megakernel_tuning` for why same-process A/Bs must thread these
-    values as statics instead of relying on env reads here)."""
-    return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", 2 * 1024 * 1024))
+    values as statics instead of relying on env reads here).  0 = auto."""
+    return int(_os.environ.get("QWEN3_TPU_MEGA_TILE_BYTES", "0"))
 
 
-def megakernel_tuning() -> tuple[int, bool, int, int, int, int, int]:
+def _resolve_tile_bytes(tb: int, dim: int) -> int:
+    """Resolve the auto (0) tile budget against the model dim."""
+    if tb:
+        return tb
+    return 6 * 1024 * 1024 if dim == 2560 else 2 * 1024 * 1024
+
+
+def megakernel_tuning() -> tuple[int, bool, int, int, int, int, int, int, int]:
     """(tile_bytes, attn_prefetch, q4_elems, head_tile_bytes,
-    head_lookahead) from the environment.
+    head_lookahead, unroll, head_a8, fulldepth, head_pipe) from the
+    environment.
 
     Read by the DISPATCH (models/qwen3.py) at outer-trace time and passed
     to :func:`decode_stack_megakernel` as the static ``tuning`` argument.
@@ -110,7 +117,13 @@ def megakernel_tuning() -> tuple[int, bool, int, int, int, int, int]:
     not bound by the dequant VPU pass the way the resident-tile probe
     suggested (the int8 dot chain pipelines worse against the live DMA
     stream).  Kept opt-in for future hardware; numerics shift by
-    activation-quant noise on LOGITS ONLY (parity-tested rel < 0.05)."""
+    activation-quant noise on LOGITS ONLY (parity-tested rel < 0.05).
+    ``fulldepth``: admit tn == n tile plans past the 1024-row cap
+    (0 = off, 1 = on, 2 = auto: on at dim 2560 — the 4B body fix).
+    ``head_pipe``: software-pipeline the classifier phase — dequantize
+    tile t into double-buffered bf16 scratch while the MXU dots tile t-1
+    (the fifth lever at the diagnosed dequant+dot serialization;
+    0 = off, 1 = on, 2 = auto).  Costs 2 extra bf16 head tiles of VMEM."""
     tb = _tile_bytes()
     return (
         tb,
@@ -120,6 +133,8 @@ def megakernel_tuning() -> tuple[int, bool, int, int, int, int, int]:
         int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_LA", "2")),
         int(_os.environ.get("QWEN3_TPU_MEGA_UNROLL", "0")),
         int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_A8", "0")),
+        int(_os.environ.get("QWEN3_TPU_MEGA_FULLDEPTH", "2")),
+        int(_os.environ.get("QWEN3_TPU_MEGA_HEAD_PIPE", "2")),
     )
 
 
@@ -142,6 +157,7 @@ def _mk_tiles(
     tile_bytes: int | None = None,
     max_q4_elems: int | None = None,
     td_cap: int = 4096,
+    full_depth: bool = False,
 ) -> tuple[int, int] | None:
     """(tn, td) dividing (n, d): tn%g==0 with 8-aligned group rows (or
     tn==n), td%256==0 (or td==d, 128-aligned), code bytes ≤ _TILE_BYTES.
@@ -149,12 +165,20 @@ def _mk_tiles(
     tn·td/2 bytes, so tiles can span twice the logical rows.  ``td_cap``:
     widest allowed output block — the classifier phase raises it (its
     152064-column matrix tiles poorly under 4096: 1.5 MB tiles at 2 MB
-    budget) so bigger head tiles amortize the per-tile fixed cost."""
+    budget) so bigger head tiles amortize the per-tile fixed cost.
+    ``full_depth``: also admit tn == n beyond the 1024-row cap (K = 1
+    plans — no accumulation loop, static scale-row offsets).  The cap
+    exists because 8B tuned best with 1024-row tiles, but at dim 2560 it
+    forces 512-row tiles and — fatally for w13, whose 19456 columns carry
+    a factor 19 — 512 KB tiles (95/layer); full-depth plans restore
+    ~4B-sized tiles there (see the dim-2560 deficit, docs/kernels.md)."""
     tn_cands = [
         c
         for c in range(g, n + 1, g)
         if n % c == 0 and ((c // g) % 8 == 0 or c == n) and c <= 1024
     ] or ([n] if n % g == 0 else [])
+    if full_depth and n % g == 0 and (n // g) % 8 == 0 and n not in tn_cands:
+        tn_cands = tn_cands + [n]
     if q4:
         # Packed sublane slices: tn/2 byte rows must stay 32-aligned
         # (uint8 tiling) for the HBM DMA offset k·tn/2.
@@ -166,9 +190,10 @@ def _mk_tiles(
     # in-kernel nibble unpack materializes int32/bf16 temps per element,
     # so a "2 MB" packed tile costs 4M elements of VMEM churn — measured
     # 70 tok/s vs 111 for the per-matrix path at 8B before this cap.
-    if tile_bytes is None:
-        tile_bytes = _tile_bytes()
-    if max_q4_elems is None:
+    if not tile_bytes:
+        # No model-dim context here — fall back to env or the 2 MB base.
+        tile_bytes = _resolve_tile_bytes(_tile_bytes(), 0)
+    if not max_q4_elems:
         max_q4_elems = int(_os.environ.get("QWEN3_TPU_MEGA_Q4_ELEMS", tile_bytes))
     best = None
     for tn in tn_cands:
@@ -220,8 +245,13 @@ def megakernel_supported(
         (config.dim, 2 * config.hidden_dim),
         (config.hidden_dim, config.dim),
     ]
+    # Mirror the builder's auto resolution (tile budget + full-depth
+    # candidacy) so the gate validates the plans the kernel will build.
+    tb = _resolve_tile_bytes(_tile_bytes(), config.dim)
+    fd_env = int(os.environ.get("QWEN3_TPU_MEGA_FULLDEPTH", "2"))
+    fd = config.dim == 2560 if fd_env == 2 else bool(fd_env)
     for n, d in dims:
-        tiles = _mk_tiles(n, d, g, q4=q4)
+        tiles = _mk_tiles(n, d, g, q4=q4, tile_bytes=tb, full_depth=fd)
         # Mosaic requires the scale block's sublane extent (groups per
         # tile) 8-aligned for the HBM slice; tiny test dims only run in
         # interpret mode.
@@ -304,6 +334,7 @@ def _buf_slots(
 def _mk_kernel(
     config, tiles, blk, eps, cache_dtype, n_layers, batch, v_pad=None, q4=False,
     attn_prefetch=True, head_la=1, greedy=False, unroll=1, head_a8=False,
+    head_pipe=False,
 ):
     dim = config.dim
     ah = config.all_heads_dim
@@ -397,6 +428,12 @@ def _mk_kernel(
             # Quantized head activation: int8 codes + per-128-lane scales,
             # written once per step before the classifier stream.
             head_xq, head_xs = scr[:2]  # [B, dim] i8 / [B, dim//128] f32
+            scr = scr[2:]
+        if head_pipe:
+            # Software-pipeline scratch: dequantized bf16 head tiles,
+            # double-buffered — iteration t dots tile t-1 from here while
+            # the VPU dequantizes tile t (see stream_phase pipe mode).
+            head_wpipe = scr[0]  # [2, tn_head, td_head] bf16
 
         base_layer = pl.program_id(0)
 
@@ -510,6 +547,7 @@ def _mk_kernel(
             def stream_phase(
                 name, src_ref, dest, dest_residual, next_starts, lyr=None,
                 dest_rows=False, pre=1, lookahead=1, dest_argmax=False,
+                pipe=False,
             ):
                 """Run one matmul phase: dest[:, i·td] ← Σ_k x[k·tn] · W tile.
 
@@ -527,12 +565,75 @@ def _mk_kernel(
                 each block's (masked) max + first-max column into the running
                 (best_val, best_idx) scratch; the caller initializes the
                 scratch and stores the winning index after the loop.
+                ``pipe``: software-pipeline the dequant against the dot —
+                iteration t dequantizes tile t into the double-buffered bf16
+                scratch (head_wpipe) and dots tile t-1 from the OTHER slot,
+                so the VPU dequant pass and the MXU dot (whose per-tile
+                serialization caps the head phase at 0.68) can overlap; the
+                last tile's dot drains after the loop.
                 """
                 tn, td, K, I = plans[name]
                 tg = tn // g
                 wbuf, sbuf, wsem, ssem = bufs[name]
                 lyr = layer if lyr is None else lyr
                 n_sl = n_slots[name]
+
+                def _finish(i, k, part):
+                    """Accumulate ``part`` and, at the output block's last
+                    depth tile, run the store/residual/argmax epilogue."""
+                    if K > 1:
+                        @pl.when(k == 0)
+                        def _():
+                            acc[:, pl.ds(0, td)] = jnp.zeros((B, td), jnp.float32)
+
+                        acc[:, pl.ds(0, td)] += part
+
+                    @pl.when(k == K - 1)
+                    def _():
+                        # K == 1 (full-depth plans): every tile is its own
+                        # output block — skip the acc zero/add/read trip.
+                        block = part if K == 1 else acc[:, pl.ds(0, td)]
+                        if dest_argmax:
+                            # Greedy epilogue, lane-parallel: per block only
+                            # ELEMENTWISE updates of the running per-lane best
+                            # (value, block) — the cross-lane reduction happens
+                            # ONCE at phase end.  (A per-block lane argmax
+                            # measured SLOWER than the XLA argmax it replaced:
+                            # 27 blocks × two 5632-lane reductions at 0.6B.)
+                            # Padded vocab columns are masked to -inf (the XLA
+                            # path slices [:vocab_size] first); strict > keeps
+                            # the earliest block per lane — with the final
+                            # min-global-index tie-break this reproduces
+                            # jnp.argmax first-max semantics exactly.
+                            lane = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
+                            bm = jnp.where(
+                                lane + i * td < vocab_size, block, -jnp.inf
+                            )
+                            better = bm > best_val[:]
+                            best_val[:] = jnp.where(better, bm, best_val[:])
+                            best_blk[:] = jnp.where(better, i, best_blk[:])
+                        elif dest_rows:
+                            # dest is [I, B, td]: a dynamic SUBLANE store.  (A
+                            # dynamic-lane store into a very wide vector —
+                            # the padded vocab — measured ~15 µs each; the
+                            # row layout makes it free.  Caller reshapes.)
+                            dest[pl.ds(i, 1), :, :] = block[None]
+                        elif dest_residual:
+                            dest[:, pl.ds(i * td, td)] += block
+                        else:
+                            dest[:, pl.ds(i * td, td)] = block
+
+                def emit(j, wf):
+                    """Dot + accumulate + epilogue for tile ``j`` given its
+                    dequantized weights ``wf`` (traced j; static shapes)."""
+                    i = j // K
+                    k = jax.lax.rem(j, K)
+                    xt = src_ref[:, pl.ds(k * tn, tn)].astype(jnp.bfloat16)
+                    part = jax.lax.dot_general(
+                        xt, wf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [B, td]
+                    _finish(i, k, part)
 
                 def body(t, _):
                     slot = jax.lax.rem(t, n_sl)
@@ -554,6 +655,24 @@ def _mk_kernel(
                     def _():
                         for s in next_starts:
                             s()
+
+                    if pipe:
+                        # Dot tile t-1 from the already-dequantized pipe slot
+                        # BEFORE waiting on tile t's DMA: the MXU chews the
+                        # previous tile while this tile's codes land, then
+                        # the VPU dequantizes tile t — the dequant and the
+                        # dot no longer serialize per tile.
+                        @pl.when(t > 0)
+                        def _():
+                            emit(t - 1, head_wpipe[jax.lax.rem(t - 1, 2)])
+
+                        cw, cs = tile_copies(name, lyr, t, slot)
+                        cw.wait()
+                        cs.wait()
+                        head_wpipe[jax.lax.rem(t, 2)] = _dequant(
+                            wbuf[slot], sbuf[slot], g
+                        )
+                        return 0
 
                     cw, cs = tile_copies(name, lyr, t, slot)
                     cw.wait()
@@ -598,48 +717,14 @@ def _mk_kernel(
                             preferred_element_type=jnp.float32,
                         )  # [B, td]
 
-                    @pl.when(k == 0)
-                    def _():
-                        acc[:, pl.ds(0, td)] = jnp.zeros((B, td), jnp.float32)
-
-                    acc[:, pl.ds(0, td)] += part
-
-                    @pl.when(k == K - 1)
-                    def _():
-                        block = acc[:, pl.ds(0, td)]
-                        if dest_argmax:
-                            # Greedy epilogue, lane-parallel: per block only
-                            # ELEMENTWISE updates of the running per-lane best
-                            # (value, block) — the cross-lane reduction happens
-                            # ONCE at phase end.  (A per-block lane argmax
-                            # measured SLOWER than the XLA argmax it replaced:
-                            # 27 blocks × two 5632-lane reductions at 0.6B.)
-                            # Padded vocab columns are masked to -inf (the XLA
-                            # path slices [:vocab_size] first); strict > keeps
-                            # the earliest block per lane — with the final
-                            # min-global-index tie-break this reproduces
-                            # jnp.argmax first-max semantics exactly.
-                            lane = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
-                            bm = jnp.where(
-                                lane + i * td < vocab_size, block, -jnp.inf
-                            )
-                            better = bm > best_val[:]
-                            best_val[:] = jnp.where(better, bm, best_val[:])
-                            best_blk[:] = jnp.where(better, i, best_blk[:])
-                        elif dest_rows:
-                            # dest is [I, B, td]: a dynamic SUBLANE store.  (A
-                            # dynamic-lane store into a very wide vector —
-                            # the padded vocab — measured ~15 µs each; the
-                            # row layout makes it free.  Caller reshapes.)
-                            dest[pl.ds(i, 1), :, :] = block[None]
-                        elif dest_residual:
-                            dest[:, pl.ds(i * td, td)] += block
-                        else:
-                            dest[:, pl.ds(i * td, td)] = block
-
+                    _finish(i, k, part)
                     return 0
 
                 jax.lax.fori_loop(0, K * I, body, 0, unroll=False)
+                if pipe:
+                    # Drain: the last tile's dot never ran inside the loop.
+                    last = K * I - 1
+                    emit(last, head_wpipe[last % 2])
 
             # ---- layer entry: residual stream init, att-norm ----
             if first_possible:  # layer == 0 only reachable at u == 0
@@ -994,7 +1079,7 @@ def _mk_kernel(
                     stream_phase(
                         "head", act, head_out_ref, False, [], lyr=0,
                         dest_rows=not greedy, pre=head_pre, lookahead=head_pre,
-                        dest_argmax=greedy,
+                        dest_argmax=greedy, pipe=head_pipe and not head_a8,
                     )
                     if greedy:
                         # The fused greedy token: no 152k-logit materialization,
@@ -1083,10 +1168,21 @@ def decode_stack_megakernel(
     # whole decode win.
     q4 = wqkv.q.dtype == jnp.uint8
     t5 = tuning if tuning is not None else megakernel_tuning()
-    if len(t5) < 7:  # pre-head/unroll/a8-knob tuning tuples (older A/B scripts)
+    if len(t5) < 9:  # shorter tuning tuples from older A/B scripts
         defaults = megakernel_tuning()
         t5 = (*t5, *defaults[len(t5):])
-    tb, attn_pref, q4e, head_tb, head_la, unroll, head_a8 = t5
+    (tb, attn_pref, q4e, head_tb, head_la, unroll, head_a8, fulldepth,
+     head_pipe) = t5
+    tb = _resolve_tile_bytes(tb, dim)
+    q4e = q4e or tb
+    if fulldepth == 2:
+        # Auto: full-depth (K=1) plans fix the dim-2560 tiling deficit —
+        # w13's factor-19 column count forces 512 KB tiles under the
+        # 1024-row cap (95/layer); tn=2560 restores 1.25-2 MB tiles.
+        # 8B/1.7B/0.6B plans are unchanged by candidacy (the legacy pick
+        # ties or wins on bytes), so auto keys on the affected dim only.
+        fulldepth = 1 if dim == 2560 else 0
+    fd = bool(fulldepth)
     # A8 head needs the weight group to pack into the 128-lane activation
     # quant groups and a fused head to apply to; fall back silently.
     if not include_head or dim % 128 or g not in (32, 64, 128):
@@ -1103,17 +1199,32 @@ def decode_stack_megakernel(
     if greedy and not include_head:
         raise ValueError("greedy decode requires the fused head (lm_head/rms_final)")
     tiles = {
-        "wqkv": _mk_tiles(dim, ah + 2 * kvd, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
-        "wo": _mk_tiles(ah, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
-        "w13": _mk_tiles(dim, 2 * hidden, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
-        "w2": _mk_tiles(hidden, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e),
+        "wqkv": _mk_tiles(dim, ah + 2 * kvd, g, q4=q4, tile_bytes=tb,
+                          max_q4_elems=q4e, full_depth=fd),
+        "wo": _mk_tiles(ah, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e,
+                        full_depth=fd),
+        "w13": _mk_tiles(dim, 2 * hidden, g, q4=q4, tile_bytes=tb,
+                         max_q4_elems=q4e, full_depth=fd),
+        "w2": _mk_tiles(hidden, dim, g, q4=q4, tile_bytes=tb, max_q4_elems=q4e,
+                        full_depth=fd),
     }
     v_pad = None
     if include_head:
         v_pad = lm_head.q.shape[-1]
-        tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=head_tb, td_cap=_HEAD_TD_CAP)
+        tiles["head"] = _mk_tiles(dim, v_pad, g, tile_bytes=head_tb,
+                                  td_cap=_HEAD_TD_CAP, full_depth=fd)
         if head_a8 and (tiles["head"] is None or tiles["head"][0] != dim):
             head_a8 = 0  # A8 needs a full-depth head tile (static offsets)
+    if head_pipe == 2:
+        head_pipe = 0  # auto resolution pending the hardware A/B
+    if not include_head or head_a8:
+        head_pipe = 0
+    if head_pipe and tiles["head"] is not None:
+        # VMEM budget: 2 bf16 tiles of pipe scratch on top of the weight
+        # buffers; drop to off (silently) if it would blow the limit.
+        tn_h, td_h = tiles["head"]
+        if 2 * tn_h * td_h * 2 > _VMEM_LIMIT // 3:
+            head_pipe = 0
     td_max = max(v[1] for v in tiles.values())
 
     for name, t_ in tiles.items():
@@ -1131,7 +1242,7 @@ def decode_stack_megakernel(
     kernel = _mk_kernel(
         config, tiles, blk, eps, k_cache.dtype, L, B, v_pad=v_pad, q4=q4,
         attn_prefetch=attn_pref, head_la=head_la, greedy=greedy, unroll=unroll,
-        head_a8=int(head_a8),
+        head_a8=int(head_a8), head_pipe=bool(head_pipe),
     )
 
     sdt = wqkv.scales.dtype  # bf16 in the fast engine; f32 in raw loads
@@ -1214,6 +1325,14 @@ def decode_stack_megakernel(
                 pltpu.VMEM((B, dim // 128), jnp.float32),  # head_xs
             ]
             if head_a8
+            else []
+        )
+        + (
+            [
+                # Pipelined head: double-buffered dequantized bf16 tiles.
+                pltpu.VMEM((2, *tiles["head"]), jnp.bfloat16),  # head_wpipe
+            ]
+            if head_pipe
             else []
         )
     )

@@ -289,6 +289,62 @@ def test_megakernel_head_a8_parity():
     assert rel < 0.05, rel
 
 
+def test_megakernel_head_pipe_parity():
+    """The software-pipelined classifier phase (dequant tile t while the
+    MXU dots tile t-1) computes the same dequant+dot math; only the float
+    association may shift (the pipe's scratch store is a fusion barrier —
+    measured: the piped arm matches the eager bf16 dequant→dot reference
+    bit-for-bit, the unpiped arm carries compiler-fusion drift), so the
+    comparison is drift-bounded like test_megakernel_fused_head_parity."""
+    from qwen3_rs_tpu.ops.pallas.megakernel import megakernel_tuning
+
+    config = CFG
+    weights = cast_weight_scales(random_weights(config, seed=3))
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(1, config.vocab_size, (1, 19)), jnp.int32)
+    cache = init_kv_cache(config, batch=1, dtype=jnp.float32)
+    _, cache = qwen3_forward(
+        config, weights, prompt, cache, jnp.zeros(1, jnp.int32),
+        mode="fast", fresh_prefill=True,
+    )
+    pos = jnp.asarray([19], jnp.int32)
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    from qwen3_rs_tpu.ops.quant import QuantizedTensor, dequantize
+
+    emb_q = weights.embed.q[tok]
+    emb_s = weights.embed.scales[tok]
+    x0 = dequantize(QuantizedTensor(emb_q, emb_s), jnp.float32)[:, 0, :]
+    cos_t, sin_t = rope_table(cache.seq_len, config.head_dim, config.rope_theta)
+    lw = weights.layers
+    outs = {}
+    toks = {}
+    for pipe in (0, 1):
+        tuning = (*megakernel_tuning()[:8], pipe)
+        _, _, logits_pad = decode_stack_megakernel(
+            config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+            cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+            jnp.copy(cache.k), jnp.copy(cache.v), pos,
+            weights.rms_final, weights.lm_head,
+            eps=config.norm_eps, interpret=True, tuning=tuning,
+        )
+        outs[pipe] = np.asarray(logits_pad[:, : config.vocab_size], np.float32)
+        # Greedy (fused argmax) epilogue under the pipe as well.
+        _, _, tok_out = decode_stack_megakernel(
+            config, x0, lw.rms_att, lw.rms_ffn, lw.q_norm, lw.k_norm,
+            cos_t[pos], sin_t[pos], lw.wqkv, lw.wo, lw.w13, lw.w2,
+            jnp.copy(cache.k), jnp.copy(cache.v), pos,
+            weights.rms_final, weights.lm_head,
+            eps=config.norm_eps, interpret=True, tuning=tuning, greedy=True,
+        )
+        toks[pipe] = int(np.asarray(tok_out)[0])
+    rel = np.abs(outs[1] - outs[0]).max() / max(1.0, np.abs(outs[0]).max())
+    assert rel < 0.03, rel
+    # The fused greedy token must match each arm's own logits argmax.
+    for pipe in (0, 1):
+        assert toks[pipe] == int(outs[pipe].argmax())
+
+
 def test_tiles_exist_for_real_models():
     # 8B / 0.6B body dims must all be tileable.
     for dims in [
@@ -296,6 +352,27 @@ def test_tiles_exist_for_real_models():
         (1024, 4096), (2048, 1024), (1024, 6144), (3072, 1024),  # 0.6B
     ]:
         assert _mk_tiles(*dims, 64) is not None, dims
+
+
+def test_full_depth_tiles():
+    tb = 2 * 1024 * 1024
+    # Full-depth candidacy fixes the dim-2560 (4B) plans: w13's factor-19
+    # column count forces 512 KB tiles under the 1024-row cap; tn == n
+    # restores >1.3 MB K=1 tiles.
+    assert _mk_tiles(2560, 19456, 64, tile_bytes=tb) == (512, 1024)
+    assert _mk_tiles(2560, 19456, 64, tile_bytes=tb, full_depth=True) == (2560, 512)
+    assert _mk_tiles(2560, 6144, 64, tile_bytes=tb, full_depth=True) == (2560, 768)
+    # 8B plans must NOT change under full-depth candidacy (ties keep the
+    # legacy pick — the tuned flagship config is preserved bit-for-bit).
+    for dims in [(4096, 6144), (4096, 4096), (4096, 24576), (12288, 4096)]:
+        assert _mk_tiles(*dims, 64, tile_bytes=tb) == _mk_tiles(
+            *dims, 64, tile_bytes=tb, full_depth=True
+        ), dims
+    # Full-depth plans keep the 8-aligned scale-row extent the kernel's
+    # HBM slices need.
+    for n, d in [(2560, 19456), (2560, 6144), (2560, 153600)]:
+        tn, _ = _mk_tiles(n, d, 64, tile_bytes=6 * tb, td_cap=8192, full_depth=True)
+        assert (tn // 64) % 8 == 0
 
 
 def test_supported_gates():
