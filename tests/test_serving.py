@@ -739,6 +739,52 @@ class TestSpeculativeServing:
         assert eng.allocator.free_pages == eng.allocator.n_pages - 1
         assert eng.stats()["spec_accept_ewma"] is not None
 
+    def test_probe_gate_detector(self, setup):
+        """_traffic_repetitive: True iff some live stream's recent window
+        repeats a bigram (the precondition for the bigram drafter to have
+        anything to draft)."""
+        config, weights = setup
+        eng = ContinuousBatchingEngine(
+            config=config, weights=weights, n_slots=3, mode="fast",
+            prefill_buckets=(8,), kv_layout="paged", page_size=8,
+            sampling="device", spec_k=2, decode_chunk_steps=4,
+        )
+        def req(tokens, gen=()):
+            r = Request(request_id=0, prompt_tokens=list(tokens))
+            r.generated = list(gen)
+            return r
+
+        # No live streams → nothing to draft.
+        eng.slot_request = [None, None, None]
+        assert not eng._traffic_repetitive()
+        # Distinct bigrams only.
+        eng.slot_request = [req([1, 2, 3, 4, 5]), None, req([9, 8, 7])]
+        assert not eng._traffic_repetitive()
+        # A repeated bigram in one stream's prompt...
+        eng.slot_request = [req([1, 2, 3, 4, 5]), req([5, 6, 5, 6]), None]
+        assert eng._traffic_repetitive()
+        # ...or spanning prompt tail + generated.
+        eng.slot_request = [req([1, 2, 3], gen=[4, 1, 2]), None, None]
+        assert eng._traffic_repetitive()
+        # Repetition older than the window is invisible.
+        w = eng._SPEC_GATE_WINDOW
+        eng.slot_request = [req([7, 7, 7] + list(range(100, 100 + w))), None, None]
+        assert not eng._traffic_repetitive()
+
+    def test_probe_gate_holds_on_nonrepetitive_traffic(self, setup):
+        """With an unreachable threshold and a 1-chunk probe interval, a
+        gated probe must not break completion; the gated counter is
+        reported in stats()."""
+        reqs = [
+            Request(request_id=0, prompt_tokens=[1, 2, 3], max_new_tokens=6),
+            Request(request_id=1, prompt_tokens=[4, 5, 6, 7], max_new_tokens=5),
+        ]
+        eng, out = self._run(setup, spec_k=2, reqs=reqs,
+                             spec_min_accept=10.0, spec_probe_chunks=1)
+        assert {rid: len(v) for rid, v in out.items()} == {0: 6, 1: 5}
+        st = eng.stats()
+        assert "spec_probes_gated" in st and st["spec_probes_gated"] >= 0
+
     def test_adaptive_keeps_spec_on_high_acceptance(self, setup):
         """Cyclic prompts draft perfectly (bigram drafter); with the default
         threshold the engine should finish with speculation still on."""
