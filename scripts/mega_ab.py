@@ -9,6 +9,8 @@ Usage:
   python scripts/mega_ab.py 8b  attn_prefetch     # wo/w13 pre-start on/off
   python scripts/mega_ab.py 8b  q4tiles 2097152,1048576,524288
   python scripts/mega_ab.py 0.6b attn_prefetch
+  python scripts/mega_ab.py 8b  env QWEN3_TPU_MEGA_UNROLL 1,4
+  python scripts/mega_ab.py 8b  multi A=1:B=2,A=0:B=4   # combined knobs
 """
 
 from __future__ import annotations
@@ -60,6 +62,16 @@ elif what in ("env", "q4env"):
     key = arg3
     vals = sys.argv[4].split(",")
     variants = [(key, v, f"{key.split('_')[-2:]}={v}") for v in vals]
+elif what in ("multi", "q4multi"):
+    # Combined-knob sweep: mega_ab.py <model> multi K1=V1:K2=V2,K1=V1b:...
+    # Each comma-separated variant is a colon-separated list of KEY=VAL
+    # env settings applied together for that arm.
+    bits = 4 if what == "q4multi" else 8
+    variants = []
+    for spec in arg3.split(","):
+        pairs = [kv.split("=", 1) for kv in spec.split(":")]
+        label = " ".join(f"{k.split('_')[-1]}={v}" for k, v in pairs)
+        variants.append((dict(pairs), None, label))
 else:
     bits = 8
     variants = [
@@ -74,8 +86,9 @@ roofline_ms = (
 
 
 def make_fn(env_key, env_val, n_steps):
-    old = os.environ.get(env_key)
-    os.environ[env_key] = env_val
+    overrides = env_key if isinstance(env_key, dict) else {env_key: env_val}
+    olds = {k: os.environ.get(k) for k in overrides}
+    os.environ.update(overrides)
     try:
 
         def decode_n(w, token, cache, pos):
@@ -103,10 +116,11 @@ def make_fn(env_key, env_val, n_steps):
         np.asarray(f(weights, tok, cache, pos)[0])  # compile + warm
         return f
     finally:
-        if old is None:
-            os.environ.pop(env_key, None)
-        else:
-            os.environ[env_key] = old
+        for k, old in olds.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
 
 
 fns = {}

@@ -42,7 +42,23 @@ CANDIDATES = [
     (512, 2048, 1536),
     (256, 2048, 2048),
     (1024, 1024, 1024),
+    # The production pick at 4096 rows (r4 calibration).
+    (512, 1024, 1536),
+    # Weight-stationary candidates (r5, VERDICT item 5): bigger row blocks
+    # halve/quarter the weight re-streaming (8× at s=4096 with tb=512) at
+    # the cost of smaller weight tiles under the ~23 MB scoped-VMEM
+    # frontier — the A/B that decides whether the rows kernel is
+    # weight-stream-bound or MXU-tile-bound.
+    (1024, 1024, 512),
+    (1024, 512, 1024),
+    (1024, 512, 1536),
+    (2048, 512, 512),
+    (2048, 1024, 256),
+    (4096, 512, 256),
 ]
+env_c = os.environ.get("ROWS_CANDIDATES")
+if env_c:
+    CANDIDATES = [tuple(int(v) for v in spec.split("x")) for spec in env_c.split(",")]
 
 
 def bench(tiles):
