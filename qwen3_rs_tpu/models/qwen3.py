@@ -304,9 +304,11 @@ _A8_PREFILL_MIN_ROWS: int | None = None  # None = A8 never wins / uncalibrated
 # overrides for A/Bs: 1 = all projections, w2 = n>d shapes, big = FFN
 # shapes, 0 = off; auto = the measured region below.
 _XDOT_PREFILL_MIN_ROWS: int | None = 4096
-# Model sweep at s=4096 (adjacent bench pairs): 8B w2 (50.3M) +3.6-5.4%,
-# 4B w2 (24.9M) +3.3/+15%, 1.7B w2 (12.6M) wash/+5.4%, 0.6B w2 (3.1M)
-# LOSS — the gate admits every measured non-loss and excludes 0.6B.
+# Model sweep at s=4096: 8B w2 (50.3M) +3.6-5.4%, 4B w2 (24.9M)
+# +3.3/+15% (adjacent bench pairs), 1.7B w2 (12.6M) **+5.0% interleaved**
+# (scripts/prefill_ab.py, r5 — the r4 "wash" was drift; the gate's 1.7B
+# admission is now justified by a same-process row), 0.6B w2 (3.1M) LOSS
+# — the gate admits every measured win and excludes 0.6B.
 _XDOT_MIN_WEIGHT_ELEMS = 10_000_000
 
 

@@ -153,6 +153,65 @@ for mode in ("fast", "exact"):
 report["golden_fast"] = golden["fast"]
 report["golden_exact"] = golden["exact"]
 
+# ---- 4. engaged-kernel record: which code paths this report covers ----
+# (VERDICT r4 item 10: the committed accuracy must name the kernels that
+# actually run for this config, so readers know what the numbers cover.)
+from qwen3_rs_tpu.models.qwen3 import _xdot_prefill_wins
+from qwen3_rs_tpu.ops.pallas.megakernel import megakernel_supported
+import jax.numpy as _jnp
+
+report["engaged_kernels"] = {
+    "decode": (
+        "megakernel" if megakernel_supported(config, 512, _jnp.bfloat16)
+        else "per-matrix fused"
+    ),
+    "prefill": "rows (W8A16)",
+    # The xdot auto gate excludes this fixture's w2 (dim 1024 -> 3.1M
+    # weights < the 10M gate; measured LOSS at 0.6B dims) — xdot parity
+    # at admitted dims is separately bounded in EVIDENCE §3 (rel <=0.041).
+    "xdot_w2_engaged": _xdot_prefill_wins(
+        2048, body.hidden_dim, body.dim, "auto"
+    ),
+}
+
+# ---- 5. INT4 row: --bits 4 is a first-class export; bound + KL + golden ----
+ckpt4 = out_dir / "m4.qtpu"
+if not ckpt4.exists():
+    log("exporting INT4-g64...")
+    from qwen3_rs_tpu.export import export_model
+
+    err4 = export_model(
+        str(out_dir / "hf_model"), str(ckpt4), group_size=64, weight_bits=4
+    )
+    (out_dir / "export_errors_int4.json").write_text(json.dumps(err4))
+err4 = json.loads((out_dir / "export_errors_int4.json").read_text())
+viol4 = [r for r in err4 if r["max_err"] > r["bound"] * (1 + 1e-6)]
+worst4 = max((r["max_err"] / r["bound"] for r in err4 if r["bound"] > 0), default=0.0)
+assert not viol4, f"INT4 reconstruction error exceeds analytic bound: {viol4[:3]}"
+log(f"INT4 per-tensor bound check: {len(err4)} tensors, worst err/bound = {worst4:.4f}")
+
+config4, weights4 = load_checkpoint(str(ckpt4))
+log("perplexity + KL [int4 fast]...")
+r4 = compute_perplexity(config4, weights4, eval_ids, mode="fast", window=512)
+kl4 = logit_kl(config4, weights4, eval_ids, mode_q="fast", window=512)
+log(f"  ppl={r4.perplexity:.6f}  KL mean={kl4['mean']:.6f} max={kl4['max']:.6f}")
+eng4 = Engine(str(ckpt4), mode="fast", ctx_length=128)
+toks4 = generate(
+    eng4, tokenizer, TokenSampler(0.0, 0.9, 9),
+    "The quick brown fox jumps over the lazy dog", out=io.StringIO(),
+)
+report["int4"] = {
+    "ppl_fast": r4.perplexity,
+    "delta_vs_f32": r4.delta_vs(results["f32"]),
+    "logit_kl_f32_fast": kl4,
+    "per_tensor_bound": {
+        "tensors": len(err4),
+        "worst_err_over_bound": worst4,
+        "all_within_bound": True,
+    },
+    "golden_fast": [int(t) for t in toks4[:32]],
+}
+
 (out_dir / "accuracy_report.json").write_text(json.dumps(report, indent=2))
 print(json.dumps(report))
 log("DONE")

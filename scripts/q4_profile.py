@@ -56,7 +56,12 @@ SEQ = 1024
 
 config = qwen3_config(model, seq_len=SEQ)
 HBM_BW = 819e9
-L = config.n_layers
+# Microbench weight stacks use a short layer axis: per-call work and the
+# HBM stream are identical (the chain strides layers mod L), but the
+# resident footprint drops 9× — the full-L i8full stacks OOM'd the chip
+# next to the leftover variant buffers.
+L = int(os.environ.get("Q4P_LAYERS", "4"))
+L_REAL = config.n_layers
 g = config.group_size
 
 shapes = {
@@ -130,6 +135,13 @@ per_shape = {}
 for name, (n, d) in shapes.items():
     row = {}
     for variant in ("q4", "i8half", "i8full"):
+        # Free the previous variant's weight stack + compiled fns before
+        # allocating the next (w13 i8full alone is 3.6 GB at 8B; keeping
+        # three variants × four shapes live OOM'd a 16 GB chip).
+        import gc
+        w = None  # noqa: F841 — drop the previous stack's last reference
+        gc.collect()
+        jax.clear_caches()
         if variant == "q4":
             w = mk_q4(n, d)
             code_bytes = n * d // 2
@@ -154,7 +166,7 @@ for name, (n, d) in shapes.items():
     unpack_us = row["q4"][0] - row["i8half"][0]
     print(
         f"  {name:>5} unpack overhead vs i8half: {unpack_us:+.2f} µs/call "
-        f"({unpack_us * L:+.1f} µs/step over {L} layers)",
+        f"({unpack_us * L_REAL:+.1f} µs/step over {L_REAL} layers)",
         flush=True,
     )
 
@@ -183,7 +195,7 @@ def full_maker(n_steps):
 
 
 full_ms = slope(full_maker, n_long, n_short) * 1e3
-body_us = sum(per_shape[nm]["q4"][0] for nm in shapes) * L
+body_us = sum(per_shape[nm]["q4"][0] for nm in shapes) * L_REAL
 # Head: INT8 rows at [dim, v_pad] — reuse its measured share from the
 # megakernel profile era (~0.68 of its byte share) unless measured here.
 head_bytes = weights.lm_head.q.shape[-2] * weights.lm_head.q.shape[-1]
@@ -192,7 +204,7 @@ head_roof_us = head_bytes / HBM_BW * 1e6
 
 print(f"\n  full INT4 step : {full_ms:8.3f} ms (roofline {roof_step_ms:.3f}, "
       f"frac {roof_step_ms / full_ms:.3f})", flush=True)
-print(f"  Σ matmul calls : {body_us / 1e3:8.3f} ms ({L} layers × 4 kernels)",
+print(f"  Σ matmul calls : {body_us / 1e3:8.3f} ms ({L_REAL} layers × 4 kernels)",
       flush=True)
 print(f"  head byte share: {head_roof_us / 1e3:8.3f} ms at roofline "
       f"(measured separately ≈ share/0.68)", flush=True)
