@@ -206,6 +206,10 @@ def _epoch_probe() -> float | None:
                 best = dt if best is None else min(best, dt)
             times[k] = best
         per_pass = (times[20] - times[5]) / 15
+        if per_pass <= 0:
+            # A relay episode hit one chunk length but not the other; a
+            # negative/zero slope would commit a bogus normalizer.
+            return None
         return round(n * 2 / per_pass / 1e9, 1)
     except Exception as e:  # probe must never take the bench down
         print(f"epoch probe failed: {type(e).__name__}: {e}", file=sys.stderr)

@@ -269,9 +269,13 @@ def head_phase_supported(config, v_pad: int, head_tile_bytes: int | None = None)
     head budget so the gate validates the tiles the kernel will build."""
     if not head_tile_bytes:  # 0/None = auto, same rule as the builder
         head_tile_bytes = 2 * 1024 * 1024 if config.dim <= 2048 else 6 * 1024 * 1024
+    # Mirror the builder's full-depth candidacy so the gate validates the
+    # head plan the kernel will actually build (same rule as the body gate).
+    fd_env = int(_os.environ.get("QWEN3_TPU_MEGA_FULLDEPTH", "2"))
+    fd = config.dim == 2560 if fd_env == 2 else bool(fd_env)
     tiles = _mk_tiles(
         config.dim, v_pad, config.group_size,
-        tile_bytes=head_tile_bytes, td_cap=_HEAD_TD_CAP,
+        tile_bytes=head_tile_bytes, td_cap=_HEAD_TD_CAP, full_depth=fd,
     )
     return tiles is not None and (tiles[0] // config.group_size) % 8 == 0
 
@@ -1173,8 +1177,13 @@ def decode_stack_megakernel(
         t5 = (*t5, *defaults[len(t5):])
     (tb, attn_pref, q4e, head_tb, head_la, unroll, head_a8, fulldepth,
      head_pipe) = t5
+    tb_raw = tb
     tb = _resolve_tile_bytes(tb, dim)
-    q4e = q4e or tb
+    # Q4 element cap: defaults to the EXPLICIT tile budget if one was set,
+    # else the 2 MB base — NOT the dim-resolved auto (the 6 MB dim-2560
+    # auto was tuned for INT8; a 6M-element unpack tile is exactly the
+    # VMEM-churn regime the cap exists to prevent, see _mk_tiles).
+    q4e = q4e or (tb_raw if tb_raw else 2 * 1024 * 1024)
     if fulldepth == 2:
         # Auto: full-depth (K=1) plans fix the dim-2560 tiling deficit —
         # w13's factor-19 column count forces 512 KB tiles under the

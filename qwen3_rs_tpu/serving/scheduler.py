@@ -214,9 +214,12 @@ class ContinuousBatchingEngine:
         # each probe pays the grace chunks of unaccepted spec rounds).
         self._spec_probe_interval = spec_probe_chunks
         # Probes additionally gated on host-side bigram repetition in the
-        # live streams (see the re-probe site): count of gated probes for
-        # observability.
+        # live streams (see the re-probe site): count of gated (suppressed)
+        # probe checks, evaluated at _SPEC_GATE_RECHECK-chunk cadence once
+        # the interval elapses; after _SPEC_GATE_MAX_HOLDS consecutive
+        # holds a probe fires regardless (detector-blind-spot escape).
         self._spec_probes_gated = 0
+        self._spec_gate_base = 0
         # prefix_cache: requests sharing a prompt prefix adopt the pages
         # that cover it instead of recomputing the prefill (refcounted +
         # LRU-cached pages, serving/paged_cache.py PageAllocator); admission
@@ -978,13 +981,32 @@ class ContinuousBatchingEngine:
                     # appears instead.
                     self._spec_plain_chunks += 1
                     if self._spec_plain_chunks >= self._spec_probe_interval:
-                        if self._traffic_repetitive():
+                        # Escape hatch: after _SPEC_GATE_MAX_HOLDS gated
+                        # boundaries, probe anyway — the detector's window
+                        # cannot see repetition cycles longer than itself,
+                        # and the pre-gate policy's unconditional-recovery
+                        # guarantee must survive (bounded cost: one probe
+                        # per MAX_HOLDS × recheck-cadence chunks).
+                        if (
+                            self._traffic_repetitive()
+                            or self._spec_probes_gated - self._spec_gate_base
+                            >= self._SPEC_GATE_MAX_HOLDS
+                        ):
                             self._spec_enabled = True
                             self._spec_accept_ewma = None
                             self._spec_chunks_seen = 0
                             self._spec_plain_chunks = 0
+                            self._spec_gate_base = self._spec_probes_gated
                         else:
                             self._spec_probes_gated += 1
+                            # Re-check at probe cadence, not every chunk:
+                            # hold the counter a recheck-interval short of
+                            # the boundary.
+                            self._spec_plain_chunks = max(
+                                0,
+                                self._spec_probe_interval
+                                - self._SPEC_GATE_RECHECK,
+                            )
             for p in pending:
                 self._process_admits(p, emitted)
             if prev is not None:
@@ -1789,7 +1811,9 @@ class ContinuousBatchingEngine:
                     # EWMA sank: traffic changed — reset the backoff.
                     self._spec_probe_interval = self.spec_probe_chunks
 
-    _SPEC_GATE_WINDOW = 32
+    _SPEC_GATE_WINDOW = 64
+    _SPEC_GATE_RECHECK = 4
+    _SPEC_GATE_MAX_HOLDS = 16
 
     def _traffic_repetitive(self) -> bool:
         """Host-side gate for speculative re-probes: True iff some live
@@ -1798,13 +1822,18 @@ class ContinuousBatchingEngine:
         earlier occurrence of the current token-pair, so a window with no
         repeated bigram yields zero draftable continuations — a probe there
         is guaranteed to measure zero acceptance and just pays the grace
-        chunks of unaccepted rounds.  O(window) per live slot, evaluated
-        only at probe boundaries."""
+        chunks of unaccepted rounds.  O(window) per live slot (tails are
+        sliced BEFORE concatenating — long contexts must not materialize
+        full token lists on the scheduling hot path), evaluated every
+        _SPEC_GATE_RECHECK chunks once the probe interval elapses.  The
+        window cannot see repetition cycles longer than itself; the
+        _SPEC_GATE_MAX_HOLDS escape at the call site covers that blind
+        spot."""
         w = self._SPEC_GATE_WINDOW
         for r in self.slot_request:
             if r is None:
                 continue
-            seq = (list(r.prompt_tokens) + list(r.generated))[-w:]
+            seq = (list(r.prompt_tokens[-w:]) + list(r.generated[-w:]))[-w:]
             seen = set()
             for pair in zip(seq, seq[1:]):
                 if pair in seen:

@@ -70,8 +70,17 @@ elif what in ("multi", "q4multi"):
     variants = []
     for spec in arg3.split(","):
         pairs = [kv.split("=", 1) for kv in spec.split(":")]
-        label = " ".join(f"{k.split('_')[-1]}={v}" for k, v in pairs)
+        # Labels must be UNIQUE — they key the fns dict, and a collision
+        # would silently compare an arm against itself (the exact failure
+        # mode the static-tuning rework fixed).  Strip only the common
+        # prefix; keep the rest of the key.
+        label = " ".join(
+            f"{k.removeprefix('QWEN3_TPU_').removeprefix('MEGA_')}={v}"
+            for k, v in pairs
+        )
         variants.append((dict(pairs), None, label))
+    if len({label for _, _, label in variants}) != len(variants):
+        raise SystemExit(f"duplicate variant labels: {[v[2] for v in variants]}")
 else:
     bits = 8
     variants = [
